@@ -1,0 +1,90 @@
+"""Text kernels as pure column expressions.
+
+Reference parity:
+  - searchable_text lowercase concat (backend/convert_housing_to_json.py:49)
+  - services split on newline        (backend/datasets/convert_csv_to_json.py:30-32)
+  - regex coordinate extraction      (backend/main.py:490-509)
+
+Plus the training-data-pipeline surface (north star): tokenization, quality
+scoring, language-ID heuristic, document fingerprinting, shingling for
+MinHash/Jaccard dedup. All deterministic; fingerprints use md5 so the
+DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"],
+}
+
+
+def normalize_ws(text: Column) -> Column:
+    """Collapse runs of whitespace, trim, lowercase — canonical doc form."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def normalize_ws_sql(text: str) -> str:
+    return f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty string → empty array)."""
+    t = normalize_ws(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_count_sql(text: str) -> str:
+    n = normalize_ws_sql(text)
+    return f"(CASE WHEN {n} = '' THEN 0 ELSE len(str_split({n}, ' ')) END)::BIGINT"
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (quality signal)."""
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:'\"()\[\]-]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(n_punct.cast("double") / F.length(text))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens are stopwords of `lang` (language-ID evidence)."""
+    toks = tokens(text)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t))).cast("bigint")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized text.
+
+    md5 is available in both Spark and DuckDB → oracle-checkable; the
+    rolling-hash variant for near-dup lives in operators/dedup.py.
+    """
+    return F.md5(normalize_ws(text))
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5({normalize_ws_sql(text)})"
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """Distinct k-word shingles as strings ("w1 w2 ... wk")."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, shingle))
+    )

@@ -1,0 +1,228 @@
+"""Deduplication operators for the training-data pipeline (north star).
+
+  - exact_dedup:        md5-content groupBy (one shuffle on the hash key)
+  - ngram_jaccard_pairs: exact k-shingle Jaccard via shingle-explode +
+                         equi-join on shingle (oracle-checkable in SQL)
+  - minhash_signatures / minhash_lsh_pairs: MinHash + banded LSH —
+    the 100 TB path: candidate pairs come from an equi-join on
+    (band, band-hash), never a cross product
+  - simhash64: 64-bit SimHash fingerprint per document
+  - embedding_neardup_exact / _lsh: cosine near-dup on embedding columns
+
+All hashes are deterministic (xxhash64/md5 with fixed seeds), no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.vector import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, canonical id =
+    min id, n_dups). Hash-groupBy — a single shuffle on the md5 key, which
+    is uniformly distributed → no skew at any scale."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("bigint").alias("canonical_id"),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-word shingles, pairs above
+    threshold (id_a < id_b).
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle →
+    groupBy pair counting intersections → |A∪B| = |A|+|B|-|A∩B|. Shuffles
+    on the shingle key; hot shingles (stopword runs) are the skew risk at
+    scale — AQE skew-join splitting handles them, and k>=3 keeps shingle
+    frequency low. Exact semantics → DuckDB oracle twin.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+N_MINHASH = 64  # signature length; 16 bands × 4 rows
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """MinHash signature per document: for each of N_MINHASH seeded hash
+    functions, the min of xxhash64(shingle, seed) over the doc's shingles.
+
+    Plan shape: explode shingles → N_MINHASH narrow min() aggregates →
+    re-assemble the signature array. The explode+groupBy form keeps every
+    hash inside whole-stage codegen and vectorized hash aggregation (a
+    transform-per-seed nested expression tree is ~30× slower to compile and
+    evaluate); the shuffle key is the doc id, uniformly distributed.
+    Docs with fewer than k tokens produce no shingles → no signature row.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    return sh.groupBy("doc").agg(
+        F.array(
+            *[F.min(F.xxhash64("shingle", F.lit(seed))) for seed in range(N_MINHASH)]
+        ).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with the
+    estimated Jaccard (fraction of matching signature positions).
+
+    Scale path: each doc emits `bands` (band_idx, band_hash) keys; candidate
+    generation is a self-equi-join on that key — shuffle ∝ corpus size, not
+    corpus². rows-per-band = N_MINHASH // bands sets the S-curve.
+    """
+    rows_per_band = N_MINHASH // bands
+    sigs = minhash_signatures(df, text_col, id_col, k).filter(F.col("signature").isNotNull())
+    banded = sigs.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[i * rows_per_band + j] for j in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "signature", "bk.band", "bk.bhash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / float(N_MINHASH)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the summed
+    ±1 contributions of each token's xxhash64 bit.
+
+    Plan shape: explode tokens → one xxhash64 per token → 64 vectorized
+    sum() aggregates (bit balance = 2*ones - n) → assemble the fingerprint
+    long. Same explode+groupBy rationale as minhash_signatures. Docs with
+    zero tokens produce no row.
+    """
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    aggs = [
+        F.sum(F.shiftright(h, bit).bitwiseAND(F.lit(1))).alias(f"ones_{bit}")
+        for bit in range(64)
+    ] + [F.count("*").alias("n_tok")]
+    balances = tok.groupBy("doc").agg(*aggs)
+    # shiftleft, not lit(2**bit): 2**63 does not fit a signed long; the sign
+    # bit arrives as min-long and plain addition assembles the two's-
+    # complement pattern without overflow (distinct bits → no carry).
+    pieces = [
+        F.when(2 * F.col(f"ones_{bit}") - F.col("n_tok") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        * F.shiftleft(F.lit(1).cast("long"), bit)
+        for bit in range(64)
+    ]
+    simhash = pieces[0]
+    for piece in pieces[1:]:
+        simhash = simhash + piece
+    return balances.select("doc", simhash.alias("simhash"))
+
+
+def embedding_neardup_exact(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs with cosine >= threshold — exact O(n²) baseline (oracle
+    path; fine to ~10^5 rows on a cluster, used for correctness only)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame, vec_col: str, id_col: str, dim: int, threshold: float = 0.95, n_planes: int = 8
+) -> DataFrame:
+    """Scale path: candidate pairs only within an LSH bucket (equi-join on
+    the sign-hash bucket), then exact cosine verify. Approximate recall."""
+    from .vector import with_lsh_bucket
+
+    bucketed = with_lsh_bucket(df, vec_col, dim, n_planes).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+    )

@@ -1,0 +1,158 @@
+"""Geo operators: radius filter, radius top-k, per-group k-NN enrichment.
+
+Reference parity:
+  - radius candidate query (backend/hybrid_search.py:62-102)
+  - nearest-transit-per-service N+1 loop (backend/main.py:467-475 +
+    hybrid_search.py:200-268) → ONE per-group-top-k join here.
+
+Scale design: the naive radius join is a cross product. `knn_join`
+prefilters with a deterministic grid-cell equi-join (cell + 8 neighbors)
+before the exact haversine refine, so the shuffle key is the cell id and
+the cross product is bounded by cell occupancy. At 100 TB both sides
+hash-partition by cell — no broadcast required; for small right sides
+(dimension-sized, like 6k transit stops) we broadcast instead and skip the
+shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import geohash_cell, haversine_km
+from .relational import topk_per_group
+
+
+def radius_filter(
+    df: DataFrame, lat: str, lon: str, probe_lat: float, probe_lon: float, max_km: float
+) -> DataFrame:
+    """Rows within `max_km` of a probe point, with a `distance_km` column.
+
+    Adds a bounding-box prefilter (sargable: plain comparisons on the lat/lon
+    columns, pushed to the parquet scan as min/max pruning) before the exact
+    haversine — the rewrite SURVEY.md §4.3 calls out. 1 deg lat = ~111.045 km
+    at the reference's R=6371.
+    """
+    deg = max_km / 111.045  # conservative: longitude shrinks by cos(lat) <= 1
+    boxed = df.filter(
+        F.col(lat).between(probe_lat - deg, probe_lat + deg)
+        & F.col(lon).between(probe_lon - deg * 2.0, probe_lon + deg * 2.0)
+    )
+    dist = haversine_km(F.lit(probe_lat), F.lit(probe_lon), F.col(lat), F.col(lon))
+    return boxed.withColumn("distance_km", dist).filter(F.col("distance_km") <= max_km)
+
+
+def radius_topk(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    probe_lat: float,
+    probe_lon: float,
+    max_km: float,
+    k: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Nearest-k within radius, ordered by distance with unique tiebreak (J3/W1)."""
+    return (
+        radius_filter(df, lat, lon, probe_lat, probe_lon, max_km)
+        .orderBy(F.col("distance_km").asc(), F.col(tiebreak).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_km: float,
+    k: int,
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "lat",
+    right_lon: str = "lon",
+    broadcast_right: bool = True,
+    min_cos_lat: float = 0.7,
+) -> DataFrame:
+    """For each left row: the k nearest right rows within max_km (J2/W6).
+
+    Output: all left columns + right columns prefixed `nn_` + distance_km.
+    Grid-cell equi-join prefilter → exact haversine refine → per-left-key
+    top-k window. Cell size is chosen so a radius-r disk intersects at most
+    the 3×3 neighborhood of the probe's cell — including the longitude
+    dimension, where a degree spans only 111.045*cos(lat) km. The default
+    min_cos_lat=0.7 keeps the cover exact up to ~45° latitude; lower it for
+    higher-latitude data.
+    """
+    cell_deg = max(max_km / (111.045 * min_cos_lat), 1e-6)
+
+    lcell = geohash_cell(F.col(left_lat), F.col(left_lon), cell_deg)
+    rcell = geohash_cell(F.col(right_lat), F.col(right_lon), cell_deg)
+
+    # Left side explodes to its 3x3 cell neighborhood; right side keeps its
+    # own cell → equi-join on cell covers every pair within max_km.
+    neighbors = F.array(
+        *[lcell + F.lit(dy * 1_000_000 + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    )
+    l = left.withColumn("_cell", F.explode(neighbors))
+    r = right.select(
+        rcell.alias("_cell"),
+        F.col(right_key).alias("nn_" + right_key),
+        F.col(right_lat).alias("_nn_lat"),
+        F.col(right_lon).alias("_nn_lon"),
+        *[
+            F.col(c).alias("nn_" + c)
+            for c in right.columns
+            if c not in (right_key, right_lat, right_lon)
+        ],
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col("_nn_lat"), F.col("_nn_lon"))
+    paired = (
+        l.join(r, "_cell")
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= max_km)
+        .drop("_cell", "_nn_lat", "_nn_lon")
+    )
+    # The neighborhood explode can produce the same (left, right) pair at most
+    # once per cell because the right row lives in exactly one cell — no dedup
+    # needed before ranking.
+    return topk_per_group(
+        paired, [left_key], [F.col("distance_km").asc(), F.col("nn_" + right_key).asc()], k
+    )
+
+
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_km: float,
+    k: int,
+    **kw,
+) -> DataFrame:
+    """Oracle-comparable exact variant: plain cross join + haversine + top-k.
+
+    Same semantics as `knn_join` (which is also exact thanks to the 3×3
+    cover, but exercises the grid path); this one is the simplest possible
+    plan for small dimensions and the form the DuckDB oracle mirrors.
+    """
+    left_lat, left_lon = kw.get("left_lat", "lat"), kw.get("left_lon", "lon")
+    right_lat, right_lon = kw.get("right_lat", "lat"), kw.get("right_lon", "lon")
+    r = right.select(
+        F.col(right_key).alias("nn_" + right_key),
+        F.col(right_lat).alias("_nn_lat"),
+        F.col(right_lon).alias("_nn_lon"),
+    )
+    dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col("_nn_lat"), F.col("_nn_lon"))
+    paired = (
+        left.crossJoin(F.broadcast(r))
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= max_km)
+        .drop("_nn_lat", "_nn_lon")
+    )
+    return topk_per_group(
+        paired, [left_key], [F.col("distance_km").asc(), F.col("nn_" + right_key).asc()], k
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators over a documents table (north-star surface +
+reference parity for searchable-text / regex extraction).
+
+All pure column expressions — the whole pipeline stays inside whole-stage
+codegen; nothing here shuffles except the explicit groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    char_count,
+    fingerprint,
+    normalize_ws,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality metrics: chars, tokens, avg token length, punct ratio,
+    uppercase ratio, digit ratio — the standard pre-training quality signals."""
+    t = F.col(text_col)
+    n_chars = char_count(t)
+    n_tokens = token_count(t)
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                F.length(normalize_ws(t)).cast("double") / n_tokens
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(digits.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scalar quality score in [0,1]: length sweet-spot × low punctuation.
+    Deterministic arithmetic only → oracle-checkable."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(len_score * punct_penalty, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-evidence language ID over {en,es,fr,de}; 'und' when no
+    evidence. Greatest-hits argmax with deterministic tie order en>es>fr>de."""
+    t = F.col(text_col)
+    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    guess = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # reversed → earlier langs win ties
+        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    out = df.select(
+        F.col(id_col),
+        *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+        guess.alias("lang_guess"),
+    )
+    return out
+
+
+def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """md5 content fingerprint + 32-bit rolling (polynomial) hash of tokens.
+
+    The rolling hash is a left fold  h = (h*31 + xxhash64(token)) mod 2^32 —
+    order-sensitive (unlike the md5 of normalized text) so it distinguishes
+    permuted documents with equal token sets."""
+    rolling = F.aggregate(
+        tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * 31 + F.pmod(F.xxhash64(tok), F.lit(2**32))) % F.lit(2**32),
+    )
+    return df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+def extract_coordinates(df: DataFrame, text_col: str) -> DataFrame:
+    """Regex lat/lon extraction from message text (F4; main.py:490-509)."""
+    pat_lat = r"Latitude\s+([-+]?\d+\.?\d*)"
+    pat_lon = r"Longitude\s+([-+]?\d+\.?\d*)"
+    lat = F.regexp_extract(F.col(text_col), pat_lat, 1)
+    lon = F.regexp_extract(F.col(text_col), pat_lon, 1)
+    return df.withColumn(
+        "msg_lat", F.when(lat != "", lat.cast("double"))
+    ).withColumn("msg_lon", F.when(lon != "", lon.cast("double")))
+
+
+def searchable_text(df: DataFrame, cols: list[str], out: str = "searchable_text") -> DataFrame:
+    """Lowercase concat of columns (P3; convert_housing_to_json.py:49)."""
+    return df.withColumn(out, F.lower(F.concat_ws(" ", *[F.col(c) for c in cols])))

@@ -1,0 +1,150 @@
+"""Vector operators: exact KNN, threshold search, hybrid fusion, ANN at scale.
+
+Reference parity:
+  - pgvector `<=>` cosine KNN with threshold 0.7 (backend/embeddings.py:138-193)
+  - two-stage retrieval: radius candidates → semantic rescore → fused top-k
+    (backend/hybrid_search.py:36-197)
+  - face-encoding euclidean probe (backend/auth.py:66-81)
+
+Scale design: exact KNN against one probe is a map-only scan (no shuffle) +
+TakeOrderedAndProject — it scales linearly and is the oracle-checked path.
+For all-pairs / repeated-probe workloads at 100 TB, `lsh_bucket_ann`
+assigns each vector to sign-hash buckets (random-hyperplane LSH with a
+deterministic seed) so candidate generation is an equi-join on the bucket
+key instead of a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, distance_score, euclidean, fuse_scores
+
+
+def knn(
+    df: DataFrame,
+    vec_col: str,
+    probe: list[float],
+    k: int,
+    id_col: str,
+    threshold: float | None = None,
+    sim_name: str = "similarity",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to `probe` (V3/W8), optional P15
+    threshold. Map-only + top-k: no shuffle, scales to any row count."""
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    out = df.filter(F.col(vec_col).isNotNull()).withColumn(
+        sim_name, cosine_similarity(F.col(vec_col), pv)
+    )
+    if threshold is not None:
+        out = out.filter(F.col(sim_name) >= threshold)
+    return out.orderBy(F.desc(sim_name), F.col(id_col).asc()).limit(k)
+
+
+def euclidean_match(
+    df: DataFrame, vec_col: str, probe: list[float], tau: float, id_col: str
+) -> DataFrame:
+    """First row whose encoding is within distance tau of the probe (V8/J4)."""
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("distance", euclidean(F.col(vec_col), pv))
+        .filter(F.col("distance") < tau)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(1)
+    )
+
+
+def hybrid_search(
+    df: DataFrame,
+    vec_col: str,
+    probe_vec: list[float],
+    probe_lat: float,
+    probe_lon: float,
+    max_km: float,
+    k: int,
+    id_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    weight: float = 0.5,
+    candidate_factor: int | None = None,
+) -> DataFrame:
+    """Two-stage hybrid geo+semantic retrieval (V5/V7; hybrid_search.py:36-197).
+
+    Stage 1: radius filter (+ optional over-fetch limit*factor by distance —
+    the reference's perf path). Stage 2: cosine rescore, distance-score
+    normalization, weighted fusion, exact top-k. candidate_factor=None scores
+    ALL in-radius rows — the deterministic, oracle-checked mode (SURVEY §7.4).
+    Missing embeddings get similarity 0.0 (V6), not dropped.
+    """
+    from .geo import radius_filter
+
+    cands = radius_filter(df, lat, lon, probe_lat, probe_lon, max_km)
+    if candidate_factor is not None:
+        cands = cands.orderBy(F.col("distance_km").asc(), F.col(id_col).asc()).limit(
+            k * candidate_factor
+        )
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    sim = F.when(
+        F.col(vec_col).isNull(), F.lit(0.0)
+    ).otherwise(cosine_similarity(F.col(vec_col), pv))
+    return (
+        cands.withColumn("similarity", sim)
+        .withColumn("distance_score", distance_score(F.col("distance_km"), max_km))
+        .withColumn(
+            "combined_score", fuse_scores(F.col("similarity"), F.col("distance_score"), weight)
+        )
+        .orderBy(F.desc("combined_score"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- scale path
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (pure fn of index)."""
+    # xorshift-ish integer mix, no RNG state: component in [-1, 1)
+    comps = []
+    for i in range(dim):
+        h = (plane_idx * 1_000_003 + i * 7919 + 12345) * 2_654_435_761 % (2**32)
+        comps.append((h / 2**31) - 1.0)
+    return comps
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane (SimHash) bucket id for cosine ANN: sign bits of
+    `n_planes` fixed hyperplane projections packed into a long."""
+    from ..functions.vector import dot
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_bucket_ann(
+    df: DataFrame,
+    vec_col: str,
+    probe: list[float],
+    k: int,
+    id_col: str,
+    dim: int,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate KNN: score only vectors sharing the probe's LSH bucket.
+
+    At scale the bucket column is a partition/sort key, so a probe touches
+    one bucket's files instead of the full corpus. Recall is tunable via
+    n_planes (fewer planes → bigger buckets → higher recall, more work).
+    """
+    bucketed = with_lsh_bucket(df, vec_col, dim, n_planes)
+    probe_bits = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        proj = sum(a * b for a, b in zip(probe, plane))
+        probe_bits = probe_bits * 2 + (1 if proj >= 0 else 0)
+    cands = bucketed.filter(F.col("lsh_bucket") == probe_bits)
+    return knn(cands, vec_col, probe, k, id_col).drop("lsh_bucket")

@@ -1,0 +1,1243 @@
+"""The declared-query corpus: every operator from SURVEY.md §2 expressed as
+a deterministic (Spark query, DuckDB oracle SQL) pair over the driver's
+synthetic tables.
+
+Determinism contract (SURVEY.md §7.4):
+  - every computed float is rounded identically on both sides before output,
+  - every LIMIT is preceded by a total order ending in a unique key,
+  - time-relative queries anchor on fixed literals (tables.NOW_*), never
+    the wall clock,
+  - derived geo columns are pure functions of the primary key
+    (tables.derived_lat/_lon with SQL twins).
+
+Queries without an oracle entry (xxhash64-based MinHash/SimHash, LSH
+variants) are validated by pytest instead; the driver records a weaker
+rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import tables as T
+from .functions import geo as G
+from .functions import text as X
+from .functions import vector as V
+from .operators import dedup as D
+from .operators import geo as OG
+from .operators import health as H
+from .operators import relational as R
+from .operators import textops as TO
+from .operators import vector as OV
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str
+
+
+REGISTRY: dict[str, DeclaredQuery] = {}
+
+
+def declared(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = DeclaredQuery(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def load(spark, sf_dir, name):
+    return T.table(spark, sf_dir, name)
+
+
+# Shared probe constants (FIXTURES.md §8 analog, inside the derived geo box).
+PROBE_LAT, PROBE_LON = 32.9, -117.15
+
+# ===================================================================
+# §2.2 Projections / filters / predicates
+# ===================================================================
+
+
+@declared(
+    "filter_eq",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="P8 exact equality filter + column pruning (search_housing.py:51-52)",
+)
+def q_filter_eq(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@declared(
+    "filter_range",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_totalprice BETWEEN 10000 AND 50000
+    """,
+    doc="P9 range predicate (search_housing.py:59-63)",
+)
+def q_filter_range(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").between(10000, 50000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@declared(
+    "filter_contains",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%'",
+    doc="P10 substring text search (search_housing.py:43)",
+)
+def q_filter_contains(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@declared(
+    "filter_ilike",
+    oracle="SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%econ%'",
+    doc="P11 case-insensitive pattern filter (health_api.py:203-204)",
+)
+def q_filter_ilike(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_type")).contains("econ"))
+        .select("p_partkey", "p_type")
+    )
+
+
+@declared(
+    "filter_ts_range",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+    doc="P12 timestamp-range filter (health_api.py:137-140)",
+)
+def q_filter_ts_range(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                F.to_timestamp(F.lit("1996-01-01 00:00:00")),
+                F.to_timestamp(F.lit("1996-12-31 00:00:00")),
+            )
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@declared(
+    "cast_truncate",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_name IS NOT NULL
+                THEN substr(CAST(c_name AS VARCHAR), 1, 12) END AS name_trunc
+    FROM customer
+    """,
+    doc="P1 cast + null-coalesce + truncate projection (import_datasets.py:48-62)",
+)
+def q_cast_truncate(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_name").isNotNull(), F.substring(F.col("c_name").cast("string"), 1, 12)
+        ).alias("name_trunc"),
+    )
+
+
+@declared(
+    "struct_project",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc="P2 nested-struct build + field re-projection (convert_housing_to_json.py:31-50)",
+)
+def q_struct_project(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"), F.col("o_orderstatus").alias("status")
+        ).alias("info"),
+    )
+    return nested.select("o_orderkey", F.col("info.price").alias("price"), F.col("info.status").alias("status"))
+
+
+@declared(
+    "null_filter",
+    oracle="""
+    SELECT event_id, big_value FROM (
+      SELECT event_id, CASE WHEN value > 100 THEN value END AS big_value
+      FROM events
+    ) WHERE big_value IS NOT NULL
+    """,
+    doc="P6/P13 null derivation + not-null filter (hybrid_search.py:83)",
+)
+def q_null_filter(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", F.when(F.col("value") > 100, F.col("value")).alias("big_value"))
+        .filter(F.col("big_value").isNotNull())
+    )
+
+
+@declared(
+    "threshold_flag",
+    oracle="""
+    SELECT alert, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN value >= 150 THEN 'alert' ELSE 'ok' END AS alert
+      FROM events
+    ) GROUP BY alert
+    """,
+    doc="P17 severity threshold rule (health_api.py:181-183)",
+)
+def q_threshold_flag(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(F.when(F.col("value") >= 150, "alert").otherwise("ok").alias("alert"))
+        .groupBy("alert")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@declared(
+    "abnormal_rules",
+    oracle="""
+    SELECT event_type, is_abnormal, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT event_type,
+             (  (event_type = 'purchase' AND value NOT BETWEEN 10 AND 150)
+             OR (event_type = 'error'    AND value NOT BETWEEN 0  AND 120)
+             OR (event_type = 'view'     AND value NOT BETWEEN 5  AND 180)
+             ) AS is_abnormal
+      FROM events
+    ) GROUP BY event_type, is_abnormal
+    """,
+    doc="P18 per-type abnormal threshold rules (health_api.py:500-514)",
+)
+def q_abnormal_rules(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    rules = {"purchase": (10.0, 150.0), "error": (0.0, 120.0), "view": (5.0, 180.0)}
+    flagged = H.abnormal_flags(e, "event_type", "value", rules)
+    return flagged.groupBy("event_type", "is_abnormal").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+# ===================================================================
+# §2.4 Aggregations
+# ===================================================================
+
+
+@declared(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_quantity), 1) AS avg_qty,
+           max(l_quantity) AS max_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1 group-by multi-agg, TPC-H Q1 shape (health_api.py:216-236)",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 1).alias("avg_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@declared(
+    "agg_global",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           round(avg(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    """,
+    doc="A2 global aggregates (convert_housing_to_json.py:57-68)",
+)
+def q_agg_global(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+@declared(
+    "distinct_values",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    doc="A3 distinct collect (convert_housing_to_json.py:58-59)",
+)
+def q_distinct_values(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@declared(
+    "conditional_counts",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(count(*) AS BIGINT) AS total
+    FROM orders
+    """,
+    doc="A4 conditional counts (convert_housing_to_json.py:60-63)",
+)
+def q_conditional_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        R.conditional_count(F.col("o_orderstatus") == "F").alias("n_f"),
+        R.conditional_count(F.col("o_orderstatus") == "O").alias("n_o"),
+        F.count("*").cast("bigint").alias("total"),
+    )
+
+
+@declared(
+    "groupby_sum_topk",
+    oracle="""
+    SELECT c_nationkey, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_nationkey
+    ORDER BY total_bal DESC, c_nationkey LIMIT 10
+    """,
+    doc="A6 group-by sum + deterministic top-k (convert_housing_to_json.py:109)",
+)
+def q_groupby_sum_topk(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return R.ordered_limit(
+        c.groupBy("c_nationkey").agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal")),
+        [F.desc("total_bal"), F.col("c_nationkey").asc()],
+        10,
+    )
+
+
+@declared(
+    "status_breakdown",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) * 100.0
+                 / greatest(count(*), 1), 1) AS pct_taken
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+      AND l_shipdate >= TIMESTAMP '1998-05-03 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1998-08-01 00:00:00'
+    """,
+    doc="A7+J1 adherence-style join + status breakdown (health_api.py:517-555)",
+)
+def q_status_breakdown(spark, sf_dir):
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    dim = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    return H.adherence(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        dim,
+        "o_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        T.NOW_ORDERS,
+        90,
+        taken="N",
+        missed="R",
+    )
+
+
+# ===================================================================
+# §2.3 Joins
+# ===================================================================
+
+
+@declared(
+    "join_fk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderdate, l_extendedprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-06-30 00:00:00'
+    """,
+    doc="J1 FK inner join + filters; dim side broadcast (health_api.py:155-163)",
+)
+def q_join_fk(spark, sf_dir):
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    dim = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.to_timestamp(F.lit("1996-01-01 00:00:00")),
+                F.to_timestamp(F.lit("1996-06-30 00:00:00")),
+            )
+        )
+        .join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey, "inner")
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice")
+    )
+
+
+@declared(
+    "join_multi",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="J5 relationship joins customer⋈nation⋈region (models.py:20,34-35)",
+)
+def q_join_multi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@declared(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    doc="J6 left-semi fetch-back join (embeddings.py:185-191)",
+)
+def q_join_semi(spark, sf_dir):
+    c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@declared(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="anti-join: customers with no orders (engine surface beyond reference)",
+)
+def q_join_anti(spark, sf_dir):
+    c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(keys, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+# ===================================================================
+# §2.5 Windows / sorts / limits   §2.6 Set ops
+# ===================================================================
+
+
+@declared(
+    "latest_per_group",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W5 latest-per-group window replacing N queries (health_api.py:285-304)",
+)
+def q_latest_per_group(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return R.latest_per_group(e, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@declared(
+    "topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+    doc="W6 per-group top-k (main.py:467-475 N+1 → one window)",
+)
+def q_topk_per_group(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return R.topk_per_group(
+        li, ["l_orderkey"], [F.desc("l_extendedprice"), F.col("l_linenumber").asc()], 3
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@declared(
+    "ordered_limit",
+    oracle="""
+    SELECT event_id, ts, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 20
+    """,
+    doc="W4 recency sort + limit (health_api.py:60)",
+)
+def q_ordered_limit(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return R.ordered_limit(e, [F.desc("ts"), F.desc("event_id")], 20).select(
+        "event_id", "ts", "value"
+    )
+
+
+@declared(
+    "search_filter_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 50000
+    ORDER BY o_orderkey LIMIT 5
+    """,
+    doc="§7.3 minimum slice: housing-search shape filter→limit (search_housing.py:105-113)",
+)
+def q_search_filter_limit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return R.ordered_limit(
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 50000)),
+        [F.col("o_orderkey").asc()],
+        5,
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@declared(
+    "union_dedup",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000
+    """,
+    doc="U1+A8 union of sources + dedup by key (dataset_search.py:67-101, chatbot.py:313-316)",
+)
+def q_union_dedup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    a = o.filter(F.col("o_orderstatus") == "F")
+    b = o.filter(F.col("o_totalprice") > 150000)
+    return R.dedup_by_key(R.union_datasets([a, b]), ["o_orderkey"], [F.col("o_orderkey").asc()])
+
+
+# ===================================================================
+# §2.7 Scalar functions  §2.9 Generators
+# ===================================================================
+
+
+@declared(
+    "regexp_extract_kw",
+    oracle="""
+    SELECT doc_id, coalesce(regexp_extract(text, '(spark|merge|join)', 1), '') AS first_kw
+    FROM documents
+    """,
+    doc="F4/F5 regex extraction (main.py:490-509, chatbot.py:152-158)",
+)
+def q_regexp_extract_kw(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.regexp_extract(F.col("text"), "(spark|merge|join)", 1).alias("first_kw")
+    )
+
+
+@declared(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE props IS NOT NULL
+    """,
+    doc="F6 JSON decode of a props column (chatbot.py:303-316)",
+)
+def q_json_extract(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@declared(
+    "date_trunc_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-08-01 00:00:00' - INTERVAL 90 DAY
+      AND o_orderdate <= TIMESTAMP '1998-08-01 00:00:00'
+    GROUP BY day
+    """,
+    doc="F8 date arithmetic + truncation (health_api.py:152-153,484-488)",
+)
+def q_date_trunc_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    now = F.to_timestamp(F.lit(T.NOW_ORDERS))
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= now - F.expr("INTERVAL 90 DAYS"))
+            & (F.col("o_orderdate") <= now)
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@declared(
+    "day_name_counts",
+    oracle="""
+    SELECT dayname(ts) AS day_name, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY day_name
+    """,
+    doc="F9 day-name formatting (check_hours_availability.py:36-47)",
+)
+def q_day_name_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "EEEE").alias("day_name")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@declared(
+    "schedule_expand",
+    oracle="""
+    SELECT o_orderkey, day, t AS reminder_time,
+           CAST(strftime(day, '%Y-%m-%d') || ' ' || t || ':00' AS TIMESTAMP) AS scheduled_at
+    FROM (
+      SELECT o_orderkey,
+             unnest(generate_series(o_orderdate, o_orderdate + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS day
+      FROM orders WHERE o_orderkey % 150 = 0
+    ), (SELECT unnest(['08:00', '20:00']) AS t)
+    """,
+    doc="X1 double-explode schedule expansion (health_api.py:478-497)",
+)
+def q_schedule_expand(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 150 == 0)
+    days = o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate"),
+                F.col("o_orderdate") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    times = days.select(
+        "o_orderkey", "day", F.explode(F.array(F.lit("08:00"), F.lit("20:00"))).alias("reminder_time")
+    )
+    return times.withColumn(
+        "scheduled_at",
+        F.to_timestamp(
+            F.concat_ws(" ", F.date_format("day", "yyyy-MM-dd"), F.col("reminder_time"))
+        ),
+    )
+
+
+# ===================================================================
+# §2.8 Geo operators (derived coordinates, pure fn of key)
+# ===================================================================
+
+_GEO_CUST_SQL = f"""
+    SELECT c_custkey, {T.derived_lat_sql('c_custkey')} AS lat,
+           {T.derived_lon_sql('c_custkey')} AS lon
+    FROM customer
+"""
+
+_GEO_SUPP_SQL = f"""
+    SELECT s_suppkey, {T.derived_lat_sql('s_suppkey')} AS lat,
+           {T.derived_lon_sql('s_suppkey')} AS lon
+    FROM supplier
+"""
+
+
+@declared(
+    "geo_radius",
+    oracle=f"""
+    SELECT c_custkey, round(d, 4) AS distance_km FROM (
+      SELECT c_custkey,
+             {G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), 'lat', 'lon')} AS d
+      FROM ({_GEO_CUST_SQL})
+    ) WHERE d <= 15
+    """,
+    doc="P16/G1 radius predicate + distance projection (hybrid_search.py:62-102)",
+)
+def q_geo_radius(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
+    return OG.radius_filter(c, "lat", "lon", PROBE_LAT, PROBE_LON, 15.0).select(
+        "c_custkey", F.round("distance_km", 4).alias("distance_km")
+    )
+
+
+@declared(
+    "geo_radius_topk",
+    oracle=f"""
+    SELECT c_custkey, round(d, 4) AS distance_km FROM (
+      SELECT c_custkey,
+             {G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), 'lat', 'lon')} AS d
+      FROM ({_GEO_CUST_SQL})
+    ) WHERE d <= 50
+    ORDER BY d, c_custkey LIMIT 10
+    """,
+    doc="J3/W1 nearest-k within radius (hybrid_search.py:89-90)",
+)
+def q_geo_radius_topk(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
+    return OG.radius_topk(c, "lat", "lon", PROBE_LAT, PROBE_LON, 50.0, 10, "c_custkey").select(
+        "c_custkey", F.round("distance_km", 4).alias("distance_km")
+    )
+
+
+@declared(
+    "geo_knn_join",
+    oracle=f"""
+    SELECT s_suppkey, nn_c_custkey, distance_km FROM (
+      SELECT s_suppkey, c_custkey AS nn_c_custkey, round(d, 4) AS distance_km,
+             row_number() OVER (PARTITION BY s_suppkey ORDER BY d, c_custkey) AS rn
+      FROM (
+        SELECT s.s_suppkey, c.c_custkey,
+               {G.haversine_sql('s.lat', 's.lon', 'c.lat', 'c.lon')} AS d
+        FROM ({_GEO_SUPP_SQL}) s CROSS JOIN ({_GEO_CUST_SQL}) c
+      ) WHERE d <= 25
+    ) WHERE rn <= 3
+    """,
+    doc="J2/W6 per-group k-NN enrichment join, grid-cell prefilter (main.py:467-475)",
+)
+def q_geo_knn_join(spark, sf_dir):
+    s = T.with_geo(load(spark, sf_dir, "supplier"), "s_suppkey").select("s_suppkey", "lat", "lon")
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey").select("c_custkey", "lat", "lon")
+    out = OG.knn_join(s, c, "s_suppkey", "c_custkey", 25.0, 3)
+    return out.select(
+        "s_suppkey", "nn_c_custkey", F.round("distance_km", 4).alias("distance_km")
+    )
+
+
+# ===================================================================
+# §2.8 Vector operators (embeddings table, 64-dim)
+# ===================================================================
+
+_PROBE_VEC_SQL = "(SELECT embedding AS probe FROM embeddings WHERE vec_id = 1)"
+
+
+def _with_probe(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("probe"))
+    return emb.crossJoin(F.broadcast(probe))
+
+
+@declared(
+    "vec_knn",
+    oracle=f"""
+    SELECT vec_id, round({V.cosine_similarity_sql('embedding', 'probe')}, 6) AS similarity
+    FROM embeddings, {_PROBE_VEC_SQL}
+    WHERE embedding IS NOT NULL
+    ORDER BY similarity DESC, vec_id LIMIT 10
+    """,
+    doc="V2/V3/W8 exact cosine KNN (embeddings.py:138-193)",
+)
+def q_vec_knn(spark, sf_dir):
+    df = _with_probe(spark, sf_dir)
+    return (
+        df.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.round(V.cosine_similarity(F.col("embedding"), F.col("probe")), 6).alias(
+                "similarity"
+            ),
+        )
+        .orderBy(F.desc("similarity"), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@declared(
+    "vec_threshold",
+    oracle=f"""
+    SELECT vec_id, round({V.cosine_similarity_sql('embedding', 'probe')}, 6) AS similarity
+    FROM embeddings, {_PROBE_VEC_SQL}
+    WHERE round({V.cosine_similarity_sql('embedding', 'probe')}, 6) >= 0.2
+    """,
+    doc="P15 similarity-threshold filter (embeddings.py:165-173)",
+)
+def q_vec_threshold(spark, sf_dir):
+    df = _with_probe(spark, sf_dir)
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("probe")), 6)
+    return df.select("vec_id", sim.alias("similarity")).filter(F.col("similarity") >= 0.2)
+
+
+@declared(
+    "vec_euclidean_match",
+    oracle=f"""
+    SELECT vec_id, round({V.euclidean_sql('embedding', 'probe')}, 6) AS distance
+    FROM embeddings, {_PROBE_VEC_SQL}
+    WHERE {V.euclidean_sql('embedding', 'probe')} < 1.0
+    ORDER BY distance, vec_id LIMIT 1
+    """,
+    doc="V8/J4 euclidean encoding probe (auth.py:66-81)",
+)
+def q_vec_euclidean_match(spark, sf_dir):
+    df = _with_probe(spark, sf_dir)
+    dist = V.euclidean(F.col("embedding"), F.col("probe"))
+    return (
+        df.withColumn("distance", F.round(dist, 6))
+        .filter(dist < 1.0)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id", "distance")
+    )
+
+
+@declared(
+    "hybrid_fusion",
+    oracle=f"""
+    SELECT c_custkey, round(similarity, 6) AS similarity,
+           round(distance_score, 6) AS distance_score,
+           round(0.5 * similarity + 0.5 * distance_score, 6) AS combined_score
+    FROM (
+      SELECT g.c_custkey,
+             {V.cosine_similarity_sql('e.embedding', 'p.probe')} AS similarity,
+             1.0 - (g.d / 30.0) AS distance_score
+      FROM (
+        SELECT c_custkey, lat, lon,
+               {G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), 'lat', 'lon')} AS d
+        FROM ({_GEO_CUST_SQL})
+      ) g
+      JOIN embeddings e ON e.vec_id = g.c_custkey % 500
+      CROSS JOIN {_PROBE_VEC_SQL} p
+      WHERE g.d <= 30.0
+    )
+    ORDER BY combined_score DESC, c_custkey LIMIT 10
+    """,
+    doc="V5/V7 two-stage hybrid geo+semantic retrieval (hybrid_search.py:36-197)",
+)
+def q_hybrid_fusion(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("probe"))
+    cands = OG.radius_filter(c, "lat", "lon", PROBE_LAT, PROBE_LON, 30.0)
+    joined = (
+        cands.withColumn("vec_id", F.col("c_custkey") % 500)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(probe))
+    )
+    sim = V.cosine_similarity(F.col("embedding"), F.col("probe"))
+    dscore = V.distance_score(F.col("distance_km"), 30.0)
+    return (
+        joined.withColumn("similarity", sim)
+        .withColumn("distance_score", dscore)
+        .withColumn("combined_score", F.round(V.fuse_scores(sim, dscore, 0.5), 6))
+        .orderBy(F.desc("combined_score"), F.col("c_custkey").asc())
+        .limit(10)
+        .select(
+            "c_custkey",
+            F.round("similarity", 6).alias("similarity"),
+            F.round("distance_score", 6).alias("distance_score"),
+            "combined_score",
+        )
+    )
+
+
+# ===================================================================
+# Text analysis / dedup (documents table)
+# ===================================================================
+
+
+@declared(
+    "doc_token_count",
+    oracle=f"""
+    SELECT doc_id, {X.token_count_sql('text')} AS n_tokens FROM documents
+    """,
+    doc="token counting (north star; tokens = whitespace split of normalized text)",
+)
+def q_doc_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.token_count(F.col("text")).alias("n_tokens"))
+
+
+@declared(
+    "doc_profile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {X.token_count_sql('text')} AS n_tokens,
+           round(CASE WHEN {X.token_count_sql('text')} = 0 THEN 0.0
+                 ELSE CAST(length({X.normalize_ws_sql('text')}) AS DOUBLE)
+                      / {X.token_count_sql('text')} END, 6) AS avg_token_len,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text,
+                      '[.!?,;:''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                      / length(text) END, 6) AS punct_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS DOUBLE) / greatest(CAST(length(text) AS BIGINT), 1), 6) AS digit_ratio
+    FROM documents
+    """,
+    doc="quality-signal text profile (north star)",
+)
+def q_doc_profile(spark, sf_dir):
+    return TO.text_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id, {X.token_count_sql('text')} AS n_tokens,
+           round(least({X.token_count_sql('text')} / 50.0, 1.0)
+                 * greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text) - length(regexp_replace(text,
+                        '[.!?,;:''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END)
+                   * 5.0), 6) AS quality
+    FROM documents
+    """,
+    doc="scalar quality score (north star)",
+)
+def q_doc_quality(spark, sf_dir):
+    return TO.quality_score(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    norm = X.normalize_ws_sql("text")
+    return (
+        f"CAST(CASE WHEN {norm} = '' THEN 0 ELSE "
+        f"len(list_filter(str_split({norm}, ' '), t -> list_contains([{words}], t))) "
+        f"END AS BIGINT)"
+    )
+
+
+@declared(
+    "doc_langid",
+    oracle=f"""
+    SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+           CASE WHEN best > 0 THEN
+             (CASE WHEN hits_en = best THEN 'en'
+                   WHEN hits_es = best THEN 'es'
+                   WHEN hits_fr = best THEN 'fr'
+                   ELSE 'de' END)
+           ELSE 'und' END AS lang_guess
+    FROM (
+      SELECT doc_id,
+             {_stopword_hits_sql('en')} AS hits_en,
+             {_stopword_hits_sql('es')} AS hits_es,
+             {_stopword_hits_sql('fr')} AS hits_fr,
+             {_stopword_hits_sql('de')} AS hits_de,
+             greatest({_stopword_hits_sql('en')}, {_stopword_hits_sql('es')},
+                      {_stopword_hits_sql('fr')}, {_stopword_hits_sql('de')}) AS best
+      FROM documents
+    )
+    """,
+    doc="stopword-evidence language ID (north star)",
+)
+def q_doc_langid(spark, sf_dir):
+    return TO.language_id(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
+    "doc_exact_dedup",
+    oracle=f"""
+    SELECT md5({X.normalize_ws_sql('text')}) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY fingerprint
+    """,
+    doc="exact dedup via content-hash groupBy (north star; A8 analog)",
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({X.normalize_ws_sql('text')}) AS fingerprint FROM documents
+    """,
+    doc="md5 document fingerprint (north star; rolling-hash variant is pytest-checked)",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@declared(
+    "doc_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.1
+    """,
+    doc="exact n-gram Jaccard near-dup pairs (north star; MinHash LSH is the scale path)",
+)
+def q_doc_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.1
+    )
+
+
+@declared(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.cosine_similarity_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({V.cosine_similarity_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+    doc="embedding-cosine near-dup, exact baseline (north star; LSH variant rows-only)",
+)
+def q_embedding_neardup(spark, sf_dir):
+    return D.embedding_neardup_exact(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.4
+    )
+
+
+# -- Spark-only scale-path variants (no SQL twin: xxhash64/LSH) --------------
+
+
+@declared(
+    "minhash_lsh_pairs",
+    oracle=None,
+    doc="MinHash+banded-LSH near-dup candidates (scale path; pytest-verified vs exact Jaccard)",
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, bands=16, threshold=0.3
+    )
+
+
+@declared(
+    "simhash",
+    oracle=None,
+    doc="64-bit SimHash fingerprints (scale path; pytest-verified determinism)",
+)
+def q_simhash(spark, sf_dir):
+    return D.simhash64(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
+    "embedding_neardup_lsh",
+    oracle=None,
+    doc="LSH-bucketed embedding near-dup (scale path; pytest-verified vs exact)",
+)
+def q_embedding_neardup_lsh(spark, sf_dir):
+    return D.embedding_neardup_lsh(
+        load(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        dim=64,
+        threshold=0.4,
+        n_planes=4,
+    )
+
+
+@declared(
+    "ann_lsh",
+    oracle=None,
+    doc="LSH-bucketed approximate KNN (scale path; pytest-verified recall vs exact)",
+)
+def q_ann_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    return OV.lsh_bucket_ann(emb, "embedding", list(probe), 10, "vec_id", dim=64)
+
+
+@declared(
+    "doc_rolling_fingerprint",
+    oracle=None,
+    doc="order-sensitive rolling token hash (xxhash64-based; pytest-verified)",
+)
+def q_doc_rolling_fingerprint(spark, sf_dir):
+    return TO.doc_fingerprints(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ===================================================================
+# Events: streaming-shaped analytics (batch twins of §2.10)
+# ===================================================================
+
+
+@declared(
+    "tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="§2.10 event-time tumbling window agg (batch twin of the streaming path)",
+)
+def q_tumbling_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+@declared(
+    "sessionize",
+    oracle="""
+    SELECT user_id, session_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id, session_id
+    """,
+    doc="§2.10 sessionization via lag+cumsum (conversation sessions, models.py:28-29)",
+)
+def q_sessionize(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast to double (fractional epoch seconds): a long cast truncates
+    # microseconds and would disagree with the oracle's interval compare
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("session_id", F.sum(is_new).over(wsum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@declared(
+    "event_trends",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS occurrences,
+           round(avg(value), 1) AS avg_value, max(value) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+    doc="A1 trailing-window trends (health_api.py:216-236 on the events table)",
+)
+def q_event_trends(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return H.trends(e, "event_type", "value", "ts", T.NOW_EVENTS, 7).withColumnRenamed(
+        "group_col", "event_type"
+    )
+
+
+@declared(
+    "dashboard_counts",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS BIGINT) AS open_orders,
+           CAST((SELECT count(*) FROM events WHERE event_type = 'error') AS BIGINT) AS n_errors,
+           CAST((SELECT count(*) FROM customer WHERE c_acctbal > 0) AS BIGINT) AS positive_customers
+    """,
+    doc="A5 multi-source dashboard counts in one job (health_api.py:421-471)",
+)
+def q_dashboard_counts(spark, sf_dir):
+    return H.dashboard_counts(
+        {
+            "open_orders": (load(spark, sf_dir, "orders"), F.col("o_orderstatus") == "O"),
+            "n_errors": (load(spark, sf_dir, "events"), F.col("event_type") == "error"),
+            "positive_customers": (load(spark, sf_dir, "customer"), F.col("c_acctbal") > 0),
+        }
+    )
+
+
+@declared(
+    "dataset_search_union",
+    oracle=f"""
+    SELECT id, src, round(d, 4) AS distance_miles FROM (
+      SELECT id, src,
+             CASE WHEN lat IS NOT NULL THEN
+               {G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), 'lat', 'lon', G.EARTH_RADIUS_MILES)}
+             END AS d
+      FROM (
+        SELECT c_custkey AS id, 'customer' AS src,
+               CASE WHEN c_custkey % 10 != 0 THEN {T.derived_lat_sql('c_custkey')} END AS lat,
+               CASE WHEN c_custkey % 10 != 0 THEN {T.derived_lon_sql('c_custkey')} END AS lon
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, 'supplier' AS src,
+               {T.derived_lat_sql('s_suppkey')} AS lat,
+               {T.derived_lon_sql('s_suppkey')} AS lon
+        FROM supplier
+      )
+    ) ORDER BY round(d, 4) ASC NULLS LAST, id LIMIT 10
+    """,
+    doc="U1+W3+F2 multi-source union, miles distance, nulls-last sort (dataset_search.py:67-101)",
+)
+def q_dataset_search_union(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("customer").alias("src"),
+        F.when(F.col("c_custkey") % 10 != 0, F.col("lat")).alias("lat"),
+        F.when(F.col("c_custkey") % 10 != 0, F.col("lon")).alias("lon"),
+    )
+    s = T.with_geo(load(spark, sf_dir, "supplier"), "s_suppkey").select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("src"), "lat", "lon"
+    )
+    u = R.union_datasets([c, s])
+    dist = G.haversine_miles(F.lit(PROBE_LAT), F.lit(PROBE_LON), F.col("lat"), F.col("lon"))
+    u = u.withColumn(
+        "distance_miles",
+        F.when(F.col("lat").isNotNull() & F.col("lon").isNotNull(), F.round(dist, 4)),
+    )
+    return R.ordered_limit(
+        u, [F.asc_nulls_last("distance_miles"), F.col("id").asc()], 10
+    ).select("id", "src", "distance_miles")

@@ -1,0 +1,73 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under an sf dir.
+
+Also derives the reference-shaped columns the TPC-H schema lacks
+(lat/lon for geo operators), as pure functions of the primary key so the
+DuckDB oracle can reproduce them exactly (FIXTURES.md discipline).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixed "now" anchors (SURVEY.md §7.4: no wall clock anywhere).
+# events.ts spans 2024-01-01 .. 2024-01-30; orders 1995 .. 2001.
+NOW_EVENTS = "2024-01-15 00:00:00"
+NOW_ORDERS = "1998-08-01 00:00:00"
+
+# San Diego box (FIXTURES.md §1): deterministic lat/lon from an integer key.
+LAT_BASE, LAT_SPAN, LAT_MULT = 32.5, 0.8, 104729
+LON_BASE, LON_SPAN, LON_MULT = -117.6, 0.9, 7919
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark
+        # parquet reader rejects; read it as raw nanos and floor to micros
+        # (matching DuckDB's epoch_us truncation of TIMESTAMP_NS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_lat(key: F.Column) -> F.Column:
+    """lat = 32.5 + (key*104729 % 10000)/10000 * 0.8 — pure fn of key."""
+    return F.lit(LAT_BASE) + ((key * LAT_MULT) % 10000) / 10000.0 * LAT_SPAN
+
+
+def derived_lon(key: F.Column) -> F.Column:
+    return F.lit(LON_BASE) + ((key * LON_MULT) % 10000) / 10000.0 * LON_SPAN
+
+
+def derived_lat_sql(key: str) -> str:
+    return f"(32.5 + (({key} * 104729) % 10000) / 10000.0 * 0.8)"
+
+
+def derived_lon_sql(key: str) -> str:
+    return f"(-117.6 + (({key} * 7919) % 10000) / 10000.0 * 0.9)"
+
+
+def with_geo(df: DataFrame, key: str, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Attach deterministic San-Diego-box coordinates keyed by `key`."""
+    return df.withColumn(lat, derived_lat(F.col(key))).withColumn(lon, derived_lon(F.col(key)))
