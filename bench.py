@@ -1,0 +1,81 @@
+"""Benchmark the headline declared queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full evaluation of every
+column — count() alone would let Catalyst prune projections). Session build
+and JVM warmup are excluded from per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from team_126_spark.queries import REGISTRY  # noqa: E402
+from team_126_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "agg_pricing_summary",
+    "join_fk",
+    "join_multi",
+    "topk_per_group",
+    "latest_per_group",
+    "union_dedup",
+    # geo / vector / hybrid
+    "geo_radius_topk",
+    "geo_knn_join",
+    "vec_knn",
+    "hybrid_fusion",
+    # training-data pipeline
+    "doc_exact_dedup",
+    "doc_langid",
+    "doc_profile",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_neardup",
+    # streaming-shaped
+    "tumbling_window",
+    "sessionize",
+    "schedule_expand",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+
+    # warm the JVM, codegen, and every table's parquet footers once,
+    # outside the timings (first touch of a file pays listing + footer IO)
+    for warm in ("search_filter_limit", "doc_token_count", "vec_threshold", "json_extract"):
+        REGISTRY[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

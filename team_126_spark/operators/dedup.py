@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens, word_shingles
 from ..functions.vector import cosine_similarity
+from ..tables import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -47,7 +48,7 @@ def ngram_jaccard_pairs(
     scale — AQE skew-join splitting handles them, and k>=3 keeps shingle
     frequency low. Exact semantics → DuckDB oracle twin.
     """
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("n_shingles"))
@@ -85,12 +86,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     evaluate); the shuffle key is the doc id, uniformly distributed.
     Docs with fewer than k tokens produce no shingles → no signature row.
     """
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
-    return sh.groupBy("doc").agg(
+    # hash the shingle STRING once; the N_MINHASH family re-mixes the 8-byte
+    # value (xxhash64 of long+seed), which is ~an order of magnitude cheaper
+    # than hashing the string per seed and still a valid min-wise family
+    pre = sh.select("doc", F.xxhash64("shingle").alias("h"))
+    return pre.groupBy("doc").agg(
         F.array(
-            *[F.min(F.xxhash64("shingle", F.lit(seed))) for seed in range(N_MINHASH)]
+            *[F.min(F.xxhash64("h", F.lit(seed))) for seed in range(N_MINHASH)]
         ).alias("signature")
     )
 
@@ -167,7 +172,9 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     long. Same explode+groupBy rationale as minhash_signatures. Docs with
     zero tokens produce no row.
     """
-    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = spread(df, id_col).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
     h = F.xxhash64("t")
     aggs = [
         F.sum(F.shiftright(h, bit).bitwiseAND(F.lit(1))).alias(f"ones_{bit}")
@@ -194,13 +201,26 @@ def embedding_neardup_exact(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:
     """All pairs with cosine >= threshold — exact O(n²) baseline (oracle
-    path; fine to ~10^5 rows on a cluster, used for correctness only)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    path; fine to ~10^5 rows on a cluster, used for correctness only).
+
+    Norms are computed once per ROW before the cross join (not per pair):
+    same expression tree, 3× fewer array folds in the O(n²) hot loop.
+    """
+    from ..functions.vector import dot, norm
+
+    a = spread(df, id_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), norm(F.col(vec_col)).alias("_na")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), norm(F.col(vec_col)).alias("_nb")
+    )
+    sim = F.when((F.col("_na") == 0.0) | (F.col("_nb") == 0.0), F.lit(0.0)).otherwise(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

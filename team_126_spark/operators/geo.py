@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.geo import geohash_cell, haversine_km
+from ..tables import spread
 from .relational import topk_per_group
 
 
@@ -94,7 +95,7 @@ def knn_join(
     neighbors = F.array(
         *[lcell + F.lit(dy * 1_000_000 + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     )
-    l = left.withColumn("_cell", F.explode(neighbors))
+    l = spread(left, left_key).withColumn("_cell", F.explode(neighbors))
     r = right.select(
         rcell.alias("_cell"),
         F.col(right_key).alias("nn_" + right_key),
@@ -148,7 +149,7 @@ def knn_join_exact(
     )
     dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col("_nn_lat"), F.col("_nn_lon"))
     paired = (
-        left.crossJoin(F.broadcast(r))
+        spread(left, left_key).crossJoin(F.broadcast(r))
         .withColumn("distance_km", dist)
         .filter(F.col("distance_km") <= max_km)
         .drop("_nn_lat", "_nn_lon")

@@ -71,3 +71,18 @@ def derived_lon_sql(key: str) -> str:
 def with_geo(df: DataFrame, key: str, lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Attach deterministic San-Diego-box coordinates keyed by `key`."""
     return df.withColumn(lat, derived_lat(F.col(key))).withColumn(lon, derived_lon(F.col(key)))
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism before
+    compute-heavy map-side work (shingling, hashing, cross joins).
+
+    The driver's test tables are single-file/single-row-group parquet, so a
+    scan yields ONE partition and everything downstream of it runs on one
+    core until the first shuffle. On a real cluster the scan is already
+    split; this cheap explicit shuffle is the local-mode equivalent and is
+    harmless at scale (Catalyst drops it into the existing exchange when one
+    is needed anyway).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)
