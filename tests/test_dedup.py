@@ -1,0 +1,79 @@
+"""Property tests for the dedup family: the xxhash64-based paths (MinHash,
+SimHash, LSH) can't be mirrored in DuckDB, so THIS is their correctness
+gate (the driver only row-counts them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from team_126_spark.operators import dedup as D
+
+
+def test_exact_dedup_normalizes_ws_and_case(docs_df):
+    got = {r["canonical_id"]: r["n_dups"] for r in D.exact_dedup(docs_df, "text", "doc_id").collect()}
+    # 1, 2 and 6 collapse to one canonical doc; 3, 4, 5 remain
+    assert got == {1: 3, 3: 1, 4: 1, 5: 1}
+
+
+def test_ngram_jaccard_pairs_values(docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_df, "text", "doc_id", k=3, threshold=0.2).collect()
+    }
+    # exact dups -> jaccard 1.0 in every combination of {1,2,6}
+    assert got[(1, 2)] == 1.0 and got[(1, 6)] == 1.0 and got[(2, 6)] == 1.0
+    # near-dup (one word differs): 9 tokens -> 7 shingles, 6 shared, union 8
+    assert got[(1, 3)] == pytest.approx(6 / 8)
+    # disjoint docs never appear
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_signature_properties(docs_df):
+    sigs = {r["doc"]: r["signature"] for r in D.minhash_signatures(docs_df, "text", "doc_id").collect()}
+    assert len(sigs[1]) == D.N_MINHASH
+    assert sigs[1] == sigs[2] == sigs[6]  # identical text -> identical signature
+    # near-dup: most positions agree, but not all
+    agree = sum(1 for x, y in zip(sigs[1], sigs[3]) if x == y)
+    assert 0 < agree < D.N_MINHASH
+    assert 5 not in sigs  # empty doc produces no signature
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in D.minhash_lsh_pairs(docs_df, "text", "doc_id").collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.4 < got[(1, 3)] <= 1.0
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_hamming_locality(docs_df):
+    sh = {r["doc"]: r["simhash"] for r in D.simhash64(docs_df, "text", "doc_id").collect()}
+    assert sh[1] == sh[2] == sh[6]
+
+    def hamming(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "id int, vec array<double>")
+
+
+def test_embedding_neardup_exact(vecs):
+    got = [(r["id_a"], r["id_b"]) for r in D.embedding_neardup_exact(vecs, "vec", "id", 0.95).collect()]
+    assert got == [(1, 2)]
+
+
+def test_embedding_neardup_lsh_subset_of_exact(vecs):
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_exact(vecs, "vec", "id", 0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(vecs, "vec", "id", dim=4, threshold=0.95).collect()}
+    assert lsh <= exact
+    assert (1, 2) in lsh  # near-identical vectors share every sign bit

@@ -1,0 +1,128 @@
+"""Unit tests for the pure column-expression kernels (functions/*)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from team_126_spark.functions import geo as G
+from team_126_spark.functions import text as X
+from team_126_spark.functions import vector as V
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+# ------------------------------------------------------------------- geo
+
+def py_haversine(lat1, lon1, lat2, lon2, r):
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(math.radians(lat1)) * math.cos(
+        math.radians(lat2)
+    ) * math.sin(dlon / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+@pytest.mark.parametrize(
+    "p1,p2",
+    [
+        ((32.7157, -117.1611), (32.7850, -117.1036)),  # downtown SD -> Kearny Mesa
+        ((0.0, 0.0), (0.0, 0.0)),
+        ((32.5, -117.6), (33.3, -116.7)),
+        ((-45.0, 170.0), (45.0, -170.0)),
+    ],
+)
+def test_haversine_km_matches_python(spark, p1, p2):
+    got = one(spark, G.haversine_km(F.lit(p1[0]), F.lit(p1[1]), F.lit(p2[0]), F.lit(p2[1])))
+    want = py_haversine(*p1, *p2, 6371.0)
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_haversine_miles_radius(spark):
+    km = one(spark, G.haversine_km(F.lit(32.7), F.lit(-117.1), F.lit(32.8), F.lit(-117.2)))
+    mi = one(spark, G.haversine_miles(F.lit(32.7), F.lit(-117.1), F.lit(32.8), F.lit(-117.2)))
+    assert mi == pytest.approx(km * 3959.0 / 6371.0, rel=1e-12)
+
+
+def test_km_to_miles_factor(spark):
+    assert one(spark, G.km_to_miles(F.lit(100.0))) == pytest.approx(62.1371)
+
+
+def test_geohash_cell_neighbors_distinct(spark):
+    # two points 0.2 degrees apart at 0.1-degree cells land in different cells
+    c1 = one(spark, G.geohash_cell(F.lit(32.70), F.lit(-117.10), 0.1))
+    c2 = one(spark, G.geohash_cell(F.lit(32.90), F.lit(-117.10), 0.1))
+    assert c1 != c2 and c2 - c1 == 2 * 1_000_000
+
+
+# ------------------------------------------------------------------- text
+
+def test_normalize_and_tokens(spark):
+    t = F.lit("  The   QUICK\tbrown\n fox ")
+    assert one(spark, X.normalize_ws(t)) == "the quick brown fox"
+    assert one(spark, X.tokens(t)) == ["the", "quick", "brown", "fox"]
+    assert one(spark, X.token_count(t)) == 4
+    assert one(spark, X.token_count(F.lit("   "))) == 0
+    assert one(spark, X.tokens(F.lit(""))) == []
+
+
+def test_punct_ratio(spark):
+    assert one(spark, X.punct_ratio(F.lit("ab,."))) == pytest.approx(0.5)
+    assert one(spark, X.punct_ratio(F.lit(""))) == 0.0
+
+
+def test_stopword_hits(spark):
+    assert one(spark, X.stopword_hits(F.lit("the cat and the dog"), "en")) == 3
+    assert one(spark, X.stopword_hits(F.lit("el perro y la casa"), "es")) == 3
+
+
+def test_fingerprint_is_md5_of_normalized(spark):
+    import hashlib
+
+    got = one(spark, X.fingerprint(F.lit("  Hello   WORLD ")))
+    assert got == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_word_shingles(spark):
+    got = one(spark, X.word_shingles(F.lit("a b c d"), 2))
+    assert sorted(got) == ["a b", "b c", "c d"]
+    # repeated shingles are distinct-ed
+    got = one(spark, X.word_shingles(F.lit("x y x y"), 2))
+    assert sorted(got) == ["x y", "y x"]
+    # fewer tokens than k -> empty
+    assert one(spark, X.word_shingles(F.lit("a b"), 3)) == []
+
+
+# ------------------------------------------------------------------- vector
+
+def test_dot_norm_cosine(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    ca = F.array(*[F.lit(x) for x in a])
+    cb = F.array(*[F.lit(x) for x in b])
+    assert one(spark, V.dot(ca, cb)) == pytest.approx(sum(x * y for x, y in zip(a, b)))
+    assert one(spark, V.norm(ca)) == pytest.approx(math.sqrt(14.0))
+    want = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    assert one(spark, V.cosine_similarity(ca, cb)) == pytest.approx(want, rel=1e-12)
+
+
+def test_cosine_zero_norm_guard(spark):
+    z = F.array(F.lit(0.0), F.lit(0.0))
+    a = F.array(F.lit(1.0), F.lit(2.0))
+    assert one(spark, V.cosine_similarity(z, a)) == 0.0
+
+
+def test_euclidean(spark):
+    a = F.array(F.lit(0.0), F.lit(3.0))
+    b = F.array(F.lit(4.0), F.lit(0.0))
+    assert one(spark, V.euclidean(a, b)) == pytest.approx(5.0)
+
+
+def test_fuse_and_distance_score(spark):
+    assert one(spark, V.fuse_scores(F.lit(1.0), F.lit(0.0), 0.7)) == pytest.approx(0.7)
+    assert one(spark, V.distance_score(F.lit(2.0), 10.0)) == pytest.approx(0.8)

@@ -1,0 +1,31 @@
+"""Smoke: every declared query runs end-to-end at sf0.001 and returns a
+deterministic result (two runs, identical canonical rows). Full value parity
+vs DuckDB is tools/oracle_check.py; this catches schema/runtime breakage
+fast inside pytest."""
+
+from __future__ import annotations
+
+import pytest
+
+from team_126_spark.queries import REGISTRY
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs_and_is_deterministic(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert df.columns, f"{name}: empty schema"
+    # determinism: re-plan + re-run must produce the same multiset of rows
+    again = q.fn(spark, SF_SMOKE).collect()
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again)), f"{name}: nondeterministic"
+
+
+def test_registry_contract():
+    # every query has a doc string and oracle-or-None; names are snake_case
+    for name, q in REGISTRY.items():
+        assert name == name.lower()
+        assert callable(q.fn)

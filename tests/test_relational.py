@@ -1,0 +1,174 @@
+"""Unit tests for relational, health, and search operator compositions."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from team_126_spark.operators import health as H
+from team_126_spark.operators import relational as R
+from team_126_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = [
+        # group, ts, seq, val
+        ("a", "2024-01-01 10:00:00", 1, 10.0),
+        ("a", "2024-01-03 10:00:00", 2, 30.0),
+        ("a", "2024-01-03 10:00:00", 3, 20.0),  # tie on ts, higher seq wins
+        ("b", "2024-01-02 09:00:00", 4, 5.0),
+    ]
+    return spark.createDataFrame(rows, ["g", "ts", "seq", "val"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_latest_per_group(facts):
+    got = {r["g"]: r["seq"] for r in R.latest_per_group(facts, ["g"], "ts", "seq").collect()}
+    assert got == {"a": 3, "b": 4}
+
+
+def test_topk_per_group(facts):
+    got = R.topk_per_group(facts, ["g"], [F.desc("val"), F.asc("seq")], 2)
+    assert sorted((r["g"], r["seq"]) for r in got.collect()) == [("a", 2), ("a", 3), ("b", 4)]
+
+
+def test_ordered_limit_deterministic(facts):
+    got = R.ordered_limit(facts, [F.desc("val"), F.asc("seq")], 2).collect()
+    assert [r["seq"] for r in got] == [2, 3]
+
+
+def test_dedup_by_key(facts):
+    got = R.dedup_by_key(facts, ["g"], [F.asc("seq")])
+    assert sorted(r["seq"] for r in got.collect()) == [1, 4]
+
+
+def test_union_datasets_fills_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2, 9.5)], ["id", "only_b"])
+    got = R.union_datasets([a, b])
+    assert set(got.columns) == {"id", "only_a", "only_b"}
+    assert got.count() == 2
+    row = {r["id"]: r for r in got.collect()}
+    assert row[1]["only_b"] is None and row[2]["only_a"] is None
+
+
+def test_conditional_count(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+    got = df.agg(R.conditional_count(F.col("x") > 1).alias("n")).first()["n"]
+    assert got == 2
+
+
+# ------------------------------------------------------------------ health
+
+def test_trends_window_and_rounding(spark):
+    rows = [
+        ("headache", "2024-01-10 00:00:00", 3.0),
+        ("headache", "2024-01-12 00:00:00", 8.0),
+        ("nausea", "2023-12-01 00:00:00", 9.0),  # outside 30-day window? no — inside
+        ("nausea", "2023-11-01 00:00:00", 2.0),  # outside
+    ]
+    df = spark.createDataFrame(rows, ["symptom", "ts", "severity"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["symptom"]: (r["occurrences"], r["avg_value"], r["max_value"])
+        for r in H.trends(df, "symptom", "severity", "ts", "2024-01-15 00:00:00", 60).collect()
+    }
+    assert got == {"headache": (2, 5.5, 8.0), "nausea": (1, 9.0, 9.0)}
+
+
+def test_adherence_breakdown(spark):
+    dim = spark.createDataFrame([(1, "med-a")], ["med_id", "name"])
+    rows = [
+        (1, "taken", "2024-01-10 08:00:00"),
+        (1, "taken", "2024-01-11 08:00:00"),
+        (1, "missed", "2024-01-12 08:00:00"),
+        (1, "taken", "2020-01-01 08:00:00"),  # outside window
+    ]
+    fact = spark.createDataFrame(rows, ["med_id", "status", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = H.adherence(fact, dim, "med_id", "status", "ts", "2024-01-15 00:00:00", 30, "taken", "missed").first()
+    assert (r["total"], r["n_taken"], r["n_missed"], r["pct_taken"]) == (3, 2, 1, 66.7)
+
+
+def test_expand_schedule_double_explode(spark):
+    df = spark.createDataFrame([(1, ["08:00", "20:00"]), (2, ["12:30"])], ["med", "times"])
+    got = H.expand_schedule(df, "med", "2024-01-01", 3, "times")
+    assert got.count() == 3 * 2 + 3 * 1
+    first = got.filter((F.col("med") == 1) & (F.col("reminder_time") == "08:00")).orderBy("day").first()
+    assert first["scheduled_at"] == datetime(2024, 1, 1, 8, 0)
+
+
+def test_abnormal_flags(spark):
+    rules = {"heart_rate": (60.0, 100.0), "temp": (36.0, 37.5)}
+    rows = [("heart_rate", 120.0), ("heart_rate", 80.0), ("temp", 36.5), ("other", 1e9)]
+    df = spark.createDataFrame(rows, ["mtype", "value"])
+    got = [(r["mtype"], r["value"], r["is_abnormal"]) for r in H.abnormal_flags(df, "mtype", "value", rules).collect()]
+    assert ("heart_rate", 120.0, True) in got
+    assert ("heart_rate", 80.0, False) in got
+    assert ("temp", 36.5, False) in got
+    assert ("other", 1e9, False) in got  # no rule -> never abnormal
+
+
+def test_dashboard_counts_one_row(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,), (2,), (3,)], ["y"])
+    r = H.dashboard_counts(
+        {"n_a": (a, F.col("x") > 0), "n_b": (b, F.col("y") > 1)}
+    ).first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+
+
+# ------------------------------------------------------------------ search
+
+@pytest.fixture(scope="module")
+def housing(spark):
+    rows = [
+        (1, "City of San Diego", "Vacant", "residential", 100, "city of san diego vacant residential"),
+        (2, "City of San Diego", "Occupied", "residential", 60, "city of san diego occupied residential"),
+        (3, "Chula Vista", "Vacant", "commercial", 200, "chula vista vacant commercial"),
+        (4, "City of San Diego", "Vacant", "residential", 10, "city of san diego vacant residential"),
+    ]
+    return spark.createDataFrame(
+        rows, ["objectid", "jurisdiction", "vacancy", "zoning_simplified", "units", "searchable_text"]
+    )
+
+
+def test_housing_search_conjunction(housing):
+    got = S.housing_search(
+        housing, jurisdiction="city of SAN diego", vacancy_status="Vacant", min_units=50, limit=5
+    )
+    assert [r["objectid"] for r in got.collect()] == [1]
+
+
+def test_housing_search_text_and_range(housing):
+    got = S.housing_search(housing, query="VACANT", max_units=150, limit=5)
+    assert [r["objectid"] for r in got.collect()] == [1, 4]
+
+
+def test_route_sources_prunes_and_falls_back(spark):
+    src = {
+        "healthcare": spark.createDataFrame([(1,)], ["id"]),
+        "shelters": spark.createDataFrame([(2,)], ["id"]),
+        "food_banks": spark.createDataFrame([(3,)], ["id"]),
+    }
+    assert len(S.route_sources("need a doctor", src)) == 1
+    assert len(S.route_sources("food and shelter please", src)) == 2
+    assert len(S.route_sources("unrelated query", src)) == 3  # fallback: all
+
+
+def test_dataset_search_distance_sort_nulls_last(spark):
+    hc = spark.createDataFrame(
+        [(1, 32.71, -117.16), (2, 32.90, -117.10), (3, None, None)],
+        "id int, lat double, lon double",
+    )
+    got = S.dataset_search({"healthcare": hc}, "clinic near me", 32.7157, -117.1611, limit=10)
+    rows = got.collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["distance_miles"] < rows[1]["distance_miles"]
+    assert rows[2]["distance_miles"] is None
