@@ -148,3 +148,73 @@ def lsh_bucket_ann(
         probe_bits = probe_bits * 2 + (1 if proj >= 0 else 0)
     cands = bucketed.filter(F.col("lsh_bucket") == probe_bits)
     return knn(cands, vec_col, probe, k, id_col).drop("lsh_bucket")
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
+) -> list[list[float]]:
+    """IVF "training": pick `n_cells` centroids as a deterministic
+    pseudo-random sample of the corpus itself (order by xxhash64 of the id —
+    stable across runs/partitionings). Sampled centroids track the data
+    distribution the way k-means centroids would, without an iterative job;
+    swap in pyspark.ml KMeans(seed=...) when cluster quality matters more
+    than train cost. Driver holds n_cells vectors — O(n_cells * dim), tiny.
+    """
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def with_ivf_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """IVF assignment: nearest centroid by cosine (argmax dot over the
+    normalized centroid directions).
+
+    At 100 TB the cell id is the partition key: `write_parquet(...,
+    partition_by=["ivf_cell"])` makes a probe read only nprobe/n_cells of
+    the corpus (partition pruning) — the IVF inverted-list analog.
+
+    argmax is computed over an ARRAY of independent scores — never a chained
+    when() (chaining re-embeds the running best into every branch, growing
+    the expression tree exponentially with n_cells).
+    """
+    from ..functions.vector import dot
+
+    def unit(c: list[float]) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5 or 1.0
+        return [x / n for x in c]
+
+    scores = F.array(
+        *[dot(F.col(vec_col), F.array(*[F.lit(x) for x in unit(c)])) for c in centroids]
+    )
+    cell = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    return df.withColumn("ivf_cell", cell)
+
+
+def ivf_ann(
+    df: DataFrame,
+    vec_col: str,
+    probe: list[float],
+    k: int,
+    id_col: str,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate KNN: exact cosine top-k restricted to the `nprobe` cells
+    whose centroids are closest to the probe. Recall/cost dial = nprobe
+    (nprobe == n_cells -> exact search)."""
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+
+    def unit(c: list[float]) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5 or 1.0
+        return [x / n for x in c]
+
+    scored = [(i, sum(a * b for a, b in zip(probe, unit(c)))) for i, c in enumerate(cents)]
+    probe_cells = [i for i, _ in sorted(scored, key=lambda t: -t[1])[:nprobe]]
+    cands = with_ivf_cell(df, vec_col, cents).filter(F.col("ivf_cell").isin(probe_cells))
+    return knn(cands, vec_col, probe, k, id_col).drop("ivf_cell")

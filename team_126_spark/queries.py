@@ -1241,3 +1241,180 @@ def q_dataset_search_union(spark, sf_dir):
     return R.ordered_limit(
         u, [F.asc_nulls_last("distance_miles"), F.col("id").asc()], 10
     ).select("id", "src", "distance_miles")
+
+
+# ===================================================================
+# §2.10 streaming-shaped (batch twins of streaming/pipeline.py) + V1 +
+# multimodal north-star surface
+# ===================================================================
+
+
+@declared(
+    "session_window_native",
+    oracle="""
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id, session_id
+    """,
+    doc="§2.10 F.session_window batch twin == lag+cumsum sessionization "
+    "(streaming/pipeline.py session_windows; conversations started/ended_at)",
+)
+def q_session_window_native(spark, sf_dir):
+    from .streaming.pipeline import session_windows
+
+    e = load(spark, sf_dir, "events")
+    # batch path: session_window works without watermark on static frames
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@declared(
+    "media_resize",
+    oracle="""
+    SELECT p_partkey AS media_id, w AS width, h AS height,
+           round(scale, 6) AS resize_scale,
+           CAST(floor(w * scale) AS INT) AS resized_width,
+           CAST(floor(h * scale) AS INT) AS resized_height
+    FROM (
+      SELECT p_partkey, w, h,
+             CASE WHEN greatest(w, h) <= 1000 THEN 1.0
+                  ELSE 1000.0 / greatest(w, h) END AS scale
+      FROM (
+        SELECT p_partkey,
+               CAST((p_partkey * 37) % 4000 + 1 AS INT) AS w,
+               CAST((p_partkey * 53) % 3000 + 1 AS INT) AS h
+        FROM part
+      )
+    )
+    """,
+    doc="multimodal resize geometry (operators/multimodal.resize_meta) on "
+    "key-derived image dims — pure column arithmetic, oracle-checked",
+)
+def q_media_resize(spark, sf_dir):
+    from .operators.multimodal import resize_meta
+
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("media_id"),
+        F.struct(
+            ((F.col("p_partkey") * 37) % 4000 + 1).cast("int").alias("width"),
+            ((F.col("p_partkey") * 53) % 3000 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    return resize_meta(p, 1000).select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "resize_scale",
+        F.col("resized.width").alias("resized_width"),
+        F.col("resized.height").alias("resized_height"),
+    )
+
+
+@declared(
+    "frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(unnest(range(0, nf, 10)) AS BIGINT) AS frame_idx
+    FROM (
+      SELECT doc_id, doc_id % 120 AS nf FROM documents WHERE doc_id % 3 = 0
+    )
+    """,
+    doc="multimodal frame sampling: explode(sequence(0, n_frames-1, 10)) — "
+    "generator-only plan (operators/multimodal.sample_frames)",
+)
+def q_frame_sample(spark, sf_dir):
+    from .operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video")).otherwise(F.lit("image")).alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % 120).cast("int").alias("n_frames"),
+            F.lit(None).cast("string").alias("mime"),
+        ).alias("meta"),
+    )
+    return sample_frames(d, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
+@declared(
+    "doc_embed",
+    oracle=None,  # md5-scatter embedding has no SQL twin; gate = pytest determinism
+    doc="V1 batched Arrow embedder (functions/embed.HashEmbedder pandas_udf) "
+    "over documents — the reference's per-row Vertex AI loop, vectorized",
+)
+def q_doc_embed(spark, sf_dir):
+    from .functions.embed import embed
+
+    d = T.spread(load(spark, sf_dir, "documents"), "doc_id")
+    e = d.withColumn("embedding", embed(F.col("text")))
+    return e.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+@declared(
+    "ann_ivf",
+    oracle=None,  # approximate by construction; pytest checks subset-of-exact
+    doc="IVF-style ANN: coarse-quantize to nearest deterministic centroid, "
+    "probe top-4 cells, exact cosine within (operators/vector.ivf_ann)",
+)
+def q_ann_ivf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probe = [(0.5 - ((7 * i) % 13) / 13.0) for i in range(64)]
+    return OV.ivf_ann(emb, "embedding", probe, k=10, id_col="vec_id").select(
+        "vec_id", "label", F.round("similarity", 6).alias("similarity")
+    )
+
+
+@declared(
+    "multimodal_features",
+    oracle=None,  # mapInPandas md5 featurizer; gate = pytest determinism
+    doc="multimodal decode→featurize plumbing over binary content "
+    "(operators/multimodal.extract_features via mapInPandas)",
+)
+def q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import MEDIA_META, extract_features
+
+    d = T.spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast(MEDIA_META).alias("meta"),
+    )
+    out = extract_features(d)
+    return out.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )

@@ -1,0 +1,203 @@
+"""Structured Streaming slice (SURVEY.md §2.10).
+
+The reference's WebSocket chat loop (reference: backend/main.py:512-610) is a
+per-record incremental pipeline: receive → regex location parse → embed →
+append → per-conversation state. Re-expressed Spark-first:
+
+  - source: file stream over the append-only events/messages table
+    (`stream_events`) — stands in for a Kafka topic; swapping the source
+    format string is the only cluster change,
+  - per-message transform: `message_pipeline` = regexp coordinate extraction
+    (F4, main.py:490-509) + Arrow-batched embedder (V1) as a withColumn
+    chain — map-only, no shuffle, scales with input rate,
+  - event-time analytics: `windowed_counts` (tumbling window + watermark —
+    the late-data policy the reference lacks, SURVEY §2.10) and
+    `session_windows` (F.session_window ↔ conversation started_at/ended_at,
+    models.py:28-29),
+  - per-key state: `user_running_state` via applyInPandasWithState —
+    bounded per-user accumulator replacing the reference's unbounded Python
+    history lists (main.py:571-597).
+
+Every transformation here is also valid on a batch DataFrame (Spark's
+unified model); tests run each with trigger=availableNow into a memory sink
+and diff against the batch run of the same expression — the streaming twin
+of the DuckDB oracle discipline.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.embed import Embedder, embed
+from ..tables import table
+
+# Regex the reference uses to pull coordinates out of message text
+# (backend/main.py:495-497), anchored the same way.
+COORD_PATTERN = r"Latitude\s+([-+]?\d+\.?\d*),\s*Longitude\s+([-+]?\d+\.?\d*)"
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, stream_dir: str, schema_from: str = "events"
+) -> DataFrame:
+    """File-stream source with the events table's schema (append-only log
+    analog). `stream_dir` is the watched directory — tests stage parquet
+    files there incrementally; on a cluster this is `format("kafka")` +
+    the same downstream plan.
+
+    maxFilesPerTrigger=1 keeps micro-batches bounded.
+    """
+    schema = table(spark, sf_dir, schema_from).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+
+def message_pipeline(
+    df: DataFrame, text_col: str, embedder: Embedder | None = None
+) -> DataFrame:
+    """Per-message transform chain: coordinate regex parse + embedding.
+
+    Pure map (withColumn) — no shuffle, no state; Catalyst fuses it into
+    the source projection in both batch and streaming plans.
+    """
+    return (
+        df.withColumn("lat", F.regexp_extract(F.col(text_col), COORD_PATTERN, 1).try_cast("double"))
+        .withColumn("lon", F.regexp_extract(F.col(text_col), COORD_PATTERN, 2).try_cast("double"))
+        .withColumn("embedding", embed(F.col(text_col), embedder))
+    )
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling event-time window agg with a late-data watermark.
+
+    Watermark bounds state: the store drops windows older than max(event
+    time) - watermark, so state size is O(active windows), independent of
+    stream length — the §2.10 design decision the reference never makes.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "total")
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows (conversation sessionization): events of one user
+    closer than `gap` merge into one session row."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_messages", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_messages", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded per-user accumulator: count + sum + latest event. O(1) state
+    per key — the reference's unbounded history list, made safe."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    last_ts, last_type = None, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_ts = pdf["ts"].iloc[-1]
+        last_type = pdf["event_type"].iloc[-1]
+    state.update((n, total))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_messages": n,
+                "total_value": round(total, 2),
+                "last_ts": last_ts,
+                "last_event_type": last_type,
+            }
+        ]
+    )
+
+
+def user_running_state(df: DataFrame) -> DataFrame:
+    """applyInPandasWithState over user_id: emits one updated summary row
+    per user per micro-batch (conversation-state analog, main.py:571-597)."""
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drain a stream with trigger=availableNow into a memory sink; returns
+    the result as a batch DataFrame (test/verification harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

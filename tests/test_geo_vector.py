@@ -130,3 +130,25 @@ def test_lsh_ann_subset_of_exact_topk(spark):
     # every ANN hit must score >= the worst of... (recall isn't guaranteed,
     # but returned sims must be genuine cosine values in [-1, 1])
     assert all(-1.0001 <= r["similarity"] <= 1.0001 for r in rows)
+
+
+def test_ivf_ann_subset_and_recall(spark):
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    probe = [(0.5 - ((7 * i) % 13) / 13.0) for i in range(64)]
+    exact = [r["vec_id"] for r in OV.knn(emb, "embedding", probe, 10, "vec_id").collect()]
+    approx = [
+        r["vec_id"]
+        for r in OV.ivf_ann(emb, "embedding", probe, 10, "vec_id", nprobe=4).collect()
+    ]
+    # ANN hits are genuine rows and ordering is by true cosine; with 4/16
+    # cells probed, recall@10 should be substantial on clustered data
+    assert len(approx) == 10
+    assert len(set(approx) & set(exact)) >= 5
+    # nprobe == n_cells -> exact
+    full = [
+        r["vec_id"]
+        for r in OV.ivf_ann(emb, "embedding", probe, 10, "vec_id", n_cells=16, nprobe=16).collect()
+    ]
+    assert full == exact

@@ -1,0 +1,121 @@
+"""Sources/sinks (S1–S5) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from team_126_spark import sources as IO
+from team_126_spark.operators import multimodal as MM
+
+
+def test_read_csv_bom_strips_header_bom(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_bytes("﻿id, name \n1,alice\n2,bob\n".encode("utf-8"))
+    df = IO.read_csv_bom(spark, str(p))
+    assert df.columns == ["id", "name"]
+    assert df.count() == 2
+
+
+def test_read_csv_bom_with_explicit_schema(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_bytes("﻿id,name\n1,alice\n".encode("utf-8"))
+    schema = StructType([StructField("id", IntegerType()), StructField("name", StringType())])
+    df = IO.read_csv_bom(spark, str(p), schema)
+    r = df.first()
+    assert r["id"] == 1 and r["name"] == "alice"
+    assert dict(df.dtypes)["id"] == "int"  # explicit schema, no inference
+
+
+def test_read_json_records_and_envelope(spark, tmp_path):
+    records = [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    flat = tmp_path / "flat.json"
+    flat.write_text(json.dumps(records))
+    assert IO.read_json_records(spark, str(flat)).count() == 2
+
+    env = tmp_path / "env.json"
+    env.write_text(
+        json.dumps({"metadata": {"generated": "x"}, "summary": {"n": 2}, "data": records})
+    )
+    df = IO.read_json_envelope(spark, str(env))
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    assert set(df.columns) == {"id", "v"}
+
+
+def test_json_roundtrip_and_partitioned_parquet(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", "a"), (2, "y", "b"), (3, "z", "a")], ["id", "v", "part"])
+    jdir = str(tmp_path / "j")
+    IO.write_json(df, jdir)
+    back = spark.read.json(jdir)
+    assert back.count() == 3
+
+    pdir = str(tmp_path / "p")
+    IO.write_parquet(df, pdir, partition_by=["part"], sort_by=["id"])
+    back = spark.read.parquet(pdir)
+    assert back.count() == 3
+    # partition pruning: the partition filter appears in the scan's
+    # PartitionFilters, not as a post-scan Filter
+    pruned = spark.read.parquet(pdir).filter(F.col("part") == "a")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert pruned.count() == 2
+
+
+# ----------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        Row(
+            media_id=1,
+            kind="image",
+            content=bytes(b"\x89PNG fake image bytes"),
+            meta=Row(width=4000, height=2000, sample_rate=None, n_frames=None, mime="image/png"),
+        ),
+        Row(
+            media_id=2,
+            kind="video",
+            content=bytes(b"fake video"),
+            meta=Row(width=1920, height=1080, sample_rate=None, n_frames=25, mime="video/mp4"),
+        ),
+        Row(media_id=3, kind="audio", content=None, meta=None),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_shape_and_determinism(media_df):
+    got = {r["media_id"]: r for r in MM.extract_features(media_df).collect()}
+    assert len(got) == 3
+    f1 = got[1]["feature"]
+    assert len(f1) == MM.FEATURE_DIM
+    assert abs(sum(x * x for x in f1) - 1.0) < 1e-5
+    assert got[1]["n_bytes"] == 21
+    assert got[3]["feature"] is None and got[3]["n_bytes"] == 0
+    # determinism across runs
+    again = {r["media_id"]: r["feature"] for r in MM.extract_features(media_df).collect()}
+    assert again[1] == f1
+
+
+def test_extract_features_real_backend_is_stubbed(media_df):
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media_df, decode_backend="real")
+
+
+def test_sample_frames(media_df):
+    got = MM.sample_frames(media_df, every_n=10).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in got] == [(2, 0), (2, 10), (2, 20)]
+
+
+def test_resize_meta(media_df):
+    got = {r["media_id"]: r for r in MM.resize_meta(media_df, 1000).collect()}
+    assert got[1]["resized"]["width"] == 1000 and got[1]["resized"]["height"] == 500
+    assert got[2]["resized"]["width"] == 1000 and got[2]["resized"]["height"] == 562
+    assert got[3]["resize_scale"] == 1.0 and got[3]["resized"]["width"] is None

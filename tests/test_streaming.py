@@ -1,0 +1,104 @@
+"""Streaming slice tests: drain each streaming query with
+trigger=availableNow into a memory sink and diff against the batch run of
+the same expression over the same rows (unified-model oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from team_126_spark import streaming as STR
+from team_126_spark.functions.embed import HashEmbedder
+from team_126_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return table(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, events_batch, tmp_path_factory):
+    """Stage the events table as TWO parquet files so availableNow replays
+    at least two micro-batches (maxFilesPerTrigger=1)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    half = events_batch.count() // 2
+    events_batch.filter(F.col("event_id") < half).coalesce(1).write.mode("append").parquet(d)
+    events_batch.filter(F.col("event_id") >= half).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def canon(df, cols=None):
+    rows = df.select(*(cols or df.columns)).collect()
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_batch, stream_dir):
+    """Append mode only emits FINALIZED windows (watermark passed); windows
+    inside the final watermark horizon stay in state when the stream drains.
+    So: stream output == batch output restricted to finalized windows, and
+    nothing emitted is wrong."""
+    src = STR.stream_events(spark, SF, stream_dir)
+    got = STR.run_to_memory(STR.windowed_counts(src), "t_win", output_mode="append")
+    want = STR.windowed_counts(events_batch)
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 1 DAY")
+    finalized = want.filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= horizon)
+    assert canon(got) == canon(finalized) and got.count() > 0
+    assert set(canon(got)) <= set(canon(want))
+
+
+def test_session_windows_stream_equals_batch(spark, events_batch, stream_dir):
+    src = STR.stream_events(spark, SF, stream_dir)
+    got = STR.run_to_memory(STR.session_windows(src), "t_sess", output_mode="append")
+    want = STR.session_windows(events_batch)
+    # every emitted session is a true batch session; only horizon-trailing
+    # sessions may be withheld
+    assert set(canon(got)) <= set(canon(want))
+    assert got.count() > 0.8 * want.count()
+
+
+def test_message_pipeline_extracts_coords_and_embeds(spark):
+    rows = [
+        (1, "I'm at Latitude 32.7157, Longitude -117.1611 right now"),
+        (2, "no coordinates in this one"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, content string")
+    got = {r["id"]: r for r in STR.message_pipeline(df, "content").collect()}
+    assert got[1]["lat"] == pytest.approx(32.7157)
+    assert got[1]["lon"] == pytest.approx(-117.1611)
+    assert got[2]["lat"] is None and got[2]["lon"] is None
+    emb = got[1]["embedding"]
+    assert len(emb) == 64 and abs(sum(x * x for x in emb) - 1.0) < 1e-5
+    assert got[3]["embedding"] is None
+    # deterministic: identical to the pure-python embedder
+    want = HashEmbedder().embed_batch(__import__("pandas").Series([rows[0][1]]))[0]
+    assert emb == pytest.approx(want, abs=1e-6)
+
+
+def test_message_pipeline_on_stream(spark, stream_dir):
+    src = STR.stream_events(spark, SF, stream_dir)
+    piped = STR.message_pipeline(src, "props")  # props has no coords -> nulls, but runs
+    got = STR.run_to_memory(piped.select("event_id", "lat", "embedding"), "t_pipe")
+    n = got.count()
+    assert n == table(spark, SF, "events").count()
+    assert got.filter(F.col("embedding").isNotNull()).count() == n
+
+
+def test_user_running_state_final_totals(spark, events_batch, stream_dir):
+    """Stateful accumulator across micro-batches: the LAST emitted row per
+    user must equal the batch groupBy totals."""
+    src = STR.stream_events(spark, SF, stream_dir)
+    got = STR.run_to_memory(STR.user_running_state(src), "t_state", output_mode="update")
+    # memory sink in update mode appends each emission; keep the max per user
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_messages").alias("n"), F.max("total_value").alias("total"))
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    assert canon(final) == canon(want)
