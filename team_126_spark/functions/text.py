@@ -88,3 +88,40 @@ def word_shingles(text: Column, k: int) -> Column:
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, shingle))
     )
+
+
+def classify_hours(hours: Column) -> Column:
+    """Classify an operating-hours string into a typed struct
+    (kind, open_time, close_time) — the reference's hours parser
+    (backend/tools/check_hours_availability.py:50-86):
+      "24/7" / anything containing "24"  → always_open
+      anything containing "closed"       → closed
+      "H:MM AM - H:MM PM"                → scheduled with split times
+    """
+    lowered = F.lower(hours)
+    parts = F.split(hours, " - ")
+    return (
+        F.when(
+            lowered.contains("24"),
+            F.struct(
+                F.lit("always_open").alias("kind"),
+                F.lit(None).cast("string").alias("open_time"),
+                F.lit(None).cast("string").alias("close_time"),
+            ),
+        )
+        .when(
+            lowered.contains("closed"),
+            F.struct(
+                F.lit("closed").alias("kind"),
+                F.lit(None).cast("string").alias("open_time"),
+                F.lit(None).cast("string").alias("close_time"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit("scheduled").alias("kind"),
+                parts.getItem(0).alias("open_time"),
+                F.element_at(parts, -1).alias("close_time"),
+            )
+        )
+    )

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
+from ..functions.sketch import minhash_from_hashes, simhash_from_hashes
 from ..functions.text import fingerprint, tokens, word_shingles
 from ..functions.vector import cosine_similarity
 from ..tables import spread
@@ -76,27 +78,23 @@ N_MINHASH = 64  # signature length; 16 bands × 4 rows
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """MinHash signature per document: for each of N_MINHASH seeded hash
-    functions, the min of xxhash64(shingle, seed) over the doc's shingles.
+    """MinHash signature per document: for each of N_MINHASH multiply-add
+    remixes of the shingle's xxhash64, the min over the doc's shingles.
 
-    Plan shape: explode shingles → N_MINHASH narrow min() aggregates →
-    re-assemble the signature array. The explode+groupBy form keeps every
-    hash inside whole-stage codegen and vectorized hash aggregation (a
-    transform-per-seed nested expression tree is ~30× slower to compile and
-    evaluate); the shuffle key is the doc id, uniformly distributed.
-    Docs with fewer than k tokens produce no shingles → no signature row.
+    Plan shape: explode shingles → xxhash64 per shingle (whole-stage
+    codegen) → one collect_list shuffle keyed by doc id (uniform,
+    skew-free) → Arrow-batched numpy remix+min (functions/sketch.py). The
+    64-parallel-min-aggregates formulation stays in the repo history as the
+    pure-SQL fallback but overflows codegen method limits and runs ~10×
+    slower interpreted. Docs with fewer than k tokens produce no shingles →
+    no signature row.
     """
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
-    # hash the shingle STRING once; the N_MINHASH family re-mixes the 8-byte
-    # value (xxhash64 of long+seed), which is ~an order of magnitude cheaper
-    # than hashing the string per seed and still a valid min-wise family
     pre = sh.select("doc", F.xxhash64("shingle").alias("h"))
     return pre.groupBy("doc").agg(
-        F.array(
-            *[F.min(F.xxhash64("h", F.lit(seed))) for seed in range(N_MINHASH)]
-        ).alias("signature")
+        minhash_from_hashes(F.collect_list("h")).alias("signature")
     )
 
 
@@ -116,10 +114,18 @@ def minhash_lsh_pairs(
     corpus². rows-per-band = N_MINHASH // bands sets the S-curve.
     """
     rows_per_band = N_MINHASH // bands
-    sigs = minhash_signatures(df, text_col, id_col, k).filter(F.col("signature").isNotNull())
+    sigs = (
+        minhash_signatures(df, text_col, id_col, k)
+        .filter(F.col("signature").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Candidate generation joins on SLIM (doc, band, bhash) rows — 24 bytes/row
+    # instead of dragging the 64-long signature through a 16×-exploded shuffle.
+    # Signatures are re-attached once per side afterwards from the persisted
+    # (signature-sized, ~520 B/doc) table; at 100 TB that persist is the
+    # standard LSH trade: signatures ≪ raw text, reused by three consumers.
     banded = sigs.select(
         "doc",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -133,7 +139,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "signature", "bk.band", "bk.bhash")
+    ).select("doc", "bk.band", "bk.bhash")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -142,14 +148,11 @@ def minhash_lsh_pairs(
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
@@ -157,7 +160,9 @@ def minhash_lsh_pairs(
         )
     ) / float(N_MINHASH)
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -167,34 +172,16 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sign of the summed
     ±1 contributions of each token's xxhash64 bit.
 
-    Plan shape: explode tokens → one xxhash64 per token → 64 vectorized
-    sum() aggregates (bit balance = 2*ones - n) → assemble the fingerprint
-    long. Same explode+groupBy rationale as minhash_signatures. Docs with
-    zero tokens produce no row.
+    Plan shape: explode tokens → one xxhash64 per token (codegen) → one
+    collect_list shuffle keyed by doc id → Arrow-batched numpy bit
+    counting (functions/sketch.py) — same rationale as minhash_signatures.
+    Docs with zero tokens produce no row.
     """
     tok = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
     )
-    h = F.xxhash64("t")
-    aggs = [
-        F.sum(F.shiftright(h, bit).bitwiseAND(F.lit(1))).alias(f"ones_{bit}")
-        for bit in range(64)
-    ] + [F.count("*").alias("n_tok")]
-    balances = tok.groupBy("doc").agg(*aggs)
-    # shiftleft, not lit(2**bit): 2**63 does not fit a signed long; the sign
-    # bit arrives as min-long and plain addition assembles the two's-
-    # complement pattern without overflow (distinct bits → no carry).
-    pieces = [
-        F.when(2 * F.col(f"ones_{bit}") - F.col("n_tok") > 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        * F.shiftleft(F.lit(1).cast("long"), bit)
-        for bit in range(64)
-    ]
-    simhash = pieces[0]
-    for piece in pieces[1:]:
-        simhash = simhash + piece
-    return balances.select("doc", simhash.alias("simhash"))
+    pre = tok.select("doc", F.xxhash64("t").alias("h"))
+    return pre.groupBy("doc").agg(simhash_from_hashes(F.collect_list("h")).alias("simhash"))
 
 
 def embedding_neardup_exact(

@@ -1418,3 +1418,97 @@ def q_multimodal_features(spark, sf_dir):
     return out.select(
         "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+@declared(
+    "hours_classify",
+    oracle="""
+    WITH h AS (
+      SELECT event_id,
+             CASE CAST(event_id % 4 AS INT)
+               WHEN 0 THEN 'Open 24/7'
+               WHEN 1 THEN 'Closed'
+               WHEN 2 THEN '9:00 AM - 5:00 PM'
+               ELSE '10:00 AM - 6:00 PM' END AS hours
+      FROM events)
+    SELECT event_id, hours,
+           CASE WHEN lower(hours) LIKE '%24%' THEN 'always_open'
+                WHEN lower(hours) LIKE '%closed%' THEN 'closed'
+                ELSE 'scheduled' END AS kind,
+           CASE WHEN lower(hours) LIKE '%24%' OR lower(hours) LIKE '%closed%'
+                THEN NULL ELSE str_split(hours, ' - ')[1] END AS open_time,
+           CASE WHEN lower(hours) LIKE '%24%' OR lower(hours) LIKE '%closed%'
+                THEN NULL ELSE str_split(hours, ' - ')[-1] END AS close_time
+    FROM h
+    """,
+    doc="F10 operating-hours classifier (check_hours_availability.py:50-86); "
+    "hours strings derived deterministically from event_id",
+)
+def q_hours_classify(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    hours = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("Open 24/7"))
+        .when(F.col("event_id") % 4 == 1, F.lit("Closed"))
+        .when(F.col("event_id") % 4 == 2, F.lit("9:00 AM - 5:00 PM"))
+        .otherwise(F.lit("10:00 AM - 6:00 PM"))
+    )
+    c = X.classify_hours(F.col("hours"))
+    return (
+        e.select("event_id", hours.alias("hours"))
+        .withColumn("parsed", c)
+        .select(
+            "event_id",
+            "hours",
+            F.col("parsed.kind").alias("kind"),
+            F.col("parsed.open_time").alias("open_time"),
+            F.col("parsed.close_time").alias("close_time"),
+        )
+    )
+
+
+@declared(
+    "resource_format",
+    oracle="""
+    SELECT event_type,
+           string_agg(printf('%d. event %d (%.2f)', rn, event_id, value),
+                      chr(10) ORDER BY rn) AS resource_block
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    GROUP BY event_type
+    """,
+    doc="X2 per-group numbered resource block for the LLM prompt "
+    "(dataset_search.py:104-134): top-3 per type -> collect_list + "
+    "format_string + array_join",
+)
+def q_resource_format(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    top = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    items = top.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "event_id", "value"))).alias("items")
+    )
+    line = lambda s: F.format_string("%d. event %d (%.2f)", s["rn"], s["event_id"], s["value"])  # noqa: E731
+    return items.select(
+        "event_type",
+        F.array_join(F.transform("items", line), "\n").alias("resource_block"),
+    )
+
+
+@declared(
+    "profile_approx",
+    oracle=None,  # HLL sketches differ across engines; gate = pytest bounds check
+    doc="north-star table profiling with approx_count_distinct (HLL++): "
+    "one pass, mergeable sketches — the 100 TB cardinality path where "
+    "exact distinct would shuffle every key",
+)
+def q_profile_approx(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.approx_count_distinct("o_custkey").cast("bigint").alias("approx_custkeys"),
+        F.approx_count_distinct("o_orderpriority").cast("bigint").alias("approx_priorities"),
+    )

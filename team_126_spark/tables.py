@@ -40,7 +40,36 @@ LAT_BASE, LAT_SPAN, LAT_MULT = 32.5, 0.8, 104729
 LON_BASE, LON_SPAN, LON_MULT = -117.6, 0.9, 7919
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `team_126_spark` importable on executor Python workers.
+
+    Module-level pandas UDFs (functions/sketch.py, functions/embed.py,
+    operators/multimodal.py) are cloudpickled BY REFERENCE, so workers must
+    import this package — which fails when the driver's cwd is not the repo
+    root (the driver contract imports __spark_entry__ from an arbitrary
+    cwd). Shipping a zip via addPyFile is the standard mechanism and is
+    exactly what a real cluster deployment would do (--py-files).
+    Idempotent per SparkContext.
+    """
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    app = sc.applicationId or "app"
+    if app in _SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(tempfile.gettempdir(), f"team_126_spark_pkg_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip", root_dir=pkg_root, base_dir="team_126_spark")
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ship_package(spark)
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark
         # parquet reader rejects; read it as raw nanos and floor to micros

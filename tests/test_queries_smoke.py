@@ -29,3 +29,17 @@ def test_registry_contract():
     for name, q in REGISTRY.items():
         assert name == name.lower()
         assert callable(q.fn)
+
+
+def test_profile_approx_within_hll_error(spark):
+    import duckdb
+
+    row = REGISTRY["profile_approx"].fn(spark, SF_SMOKE).collect()[0]
+    exact = duckdb.sql(
+        "SELECT count(*), count(DISTINCT o_custkey), count(DISTINCT o_orderpriority) "
+        f"FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()
+    assert row["n_rows"] == exact[0]
+    # HLL++ default rsd is 5%; allow 3 sigma
+    assert abs(row["approx_custkeys"] - exact[1]) <= max(3, 0.15 * exact[1])
+    assert abs(row["approx_priorities"] - exact[2]) <= max(3, 0.15 * exact[2])
