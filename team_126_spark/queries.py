@@ -1512,3 +1512,86 @@ def q_profile_approx(spark, sf_dir):
         F.approx_count_distinct("o_custkey").cast("bigint").alias("approx_custkeys"),
         F.approx_count_distinct("o_orderpriority").cast("bigint").alias("approx_priorities"),
     )
+
+
+_BPE_PAT = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@declared(
+    "doc_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           COALESCE(len(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '{_BPE_PAT_SQL}')), 0)::BIGINT AS n_bpe_tokens,
+           (CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = '' THEN 0
+                 ELSE len(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) END)::BIGINT AS n_ws_tokens
+    FROM documents
+    """,
+    doc="north-star token counting: whitespace + BPE-ish regex segmentation "
+    "(GPT-2-style contraction/letter-run/digit-run/punct-run classes), "
+    "both as pure column expressions",
+)
+def q_doc_token_bpe(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    norm = X.normalize_ws(F.col("text"))
+    bpe = F.coalesce(
+        F.size(F.regexp_extract_all(norm, F.lit(_BPE_PAT), 0)), F.lit(0)
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@declared(
+    "doc_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+      FROM documents
+      WHERE lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) <> ''),
+    tf AS (
+      SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, t),
+    dfreq AS (
+      SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t AS term,
+             round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+      FROM tf, dfreq, n WHERE tf.t = dfreq.t),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+    """,
+    doc="north-star TF-IDF: tokenize -> per-doc term counts -> smoothed idf "
+    "(broadcast scalar, no driver collect) -> top-5 terms per doc by window; "
+    "shuffles on (doc, term) then term — both uniform keys",
+)
+def q_doc_tfidf(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = T.spread(d, "doc_id").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
