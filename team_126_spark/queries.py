@@ -1595,3 +1595,59 @@ def q_doc_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@declared(
+    "split_flags",
+    oracle="""
+    SELECT o_orderkey,
+           str_split(o_orderpriority, '-')[1] AS prio_code,
+           str_split(o_orderpriority, '-')[2] AS prio_name,
+           (str_split(o_orderpriority, '-')[1] = '1') AS is_urgent,
+           substr(o_orderpriority, 1, 3) AS prio_trunc
+    FROM orders
+    """,
+    doc="P4 string->array split + P5 boolean derivation ('1' flag, "
+    "convert_csv_to_json.py:93) + F12 defensive truncation "
+    "(import_datasets.py:51-61)",
+)
+def q_split_flags(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.element_at(parts, 1).alias("prio_code"),
+        F.element_at(parts, 2).alias("prio_name"),
+        (F.element_at(parts, 1) == "1").alias("is_urgent"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_trunc"),
+    )
+
+
+@declared(
+    "goal_transition",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value * 5 >= 100 AND event_type = 'click'
+                THEN 'achieved' ELSE 'in_progress' END AS status,
+           CASE WHEN value * 5 >= 100 AND event_type = 'click'
+                THEN ts ELSE NULL END AS completed_at,
+           CAST(str_split(CASE WHEN event_id % 2 = 0 THEN '08:00' ELSE '20:30' END, ':')[1] AS INT) AS reminder_hour,
+           CAST(str_split(CASE WHEN event_id % 2 = 0 THEN '08:00' ELSE '20:30' END, ':')[2] AS INT) AS reminder_minute
+    FROM events
+    """,
+    doc="P19 goal-completion transition (health_api.py:407-410) + F13 "
+    "time-string components (health_api.py:487); progress derived from "
+    "events.value, reminder times from event_id parity",
+)
+def q_goal_transition(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    achieved = (F.col("value") * 5 >= 100) & (F.col("event_type") == "click")
+    tstr = F.when(F.col("event_id") % 2 == 0, F.lit("08:00")).otherwise(F.lit("20:30"))
+    tparts = F.split(tstr, ":")
+    return e.select(
+        "event_id",
+        F.when(achieved, F.lit("achieved")).otherwise(F.lit("in_progress")).alias("status"),
+        F.when(achieved, F.col("ts")).alias("completed_at"),
+        F.element_at(tparts, 1).cast("int").alias("reminder_hour"),
+        F.element_at(tparts, 2).cast("int").alias("reminder_minute"),
+    )

@@ -119,3 +119,19 @@ def test_resize_meta(media_df):
     assert got[1]["resized"]["width"] == 1000 and got[1]["resized"]["height"] == 500
     assert got[2]["resized"]["width"] == 1000 and got[2]["resized"]["height"] == 562
     assert got[3]["resize_scale"] == 1.0 and got[3]["resized"]["width"] is None
+
+
+def test_external_lookup_stub_deterministic(spark):
+    from team_126_spark.sources.external import lookup
+
+    df = spark.createDataFrame(
+        [(1, "food bank downtown"), (2, None), (3, "Food Bank Downtown ")],
+        "id int, q string",
+    ).repartition(2)
+    out = {r["id"]: r["geo"] for r in df.select("id", lookup(F.col("q")).alias("geo")).collect()}
+    # normalization: same query modulo case/trim -> same coordinates
+    assert out[1] == out[3]
+    assert out[1]["display_name"] == "stub:food bank downtown"
+    assert 32.5 <= out[1]["lat"] <= 33.3 and -117.6 <= out[1]["lon"] <= -116.7
+    # null query -> all-null struct (reference returns None on failure)
+    assert out[2]["lat"] is None and out[2]["display_name"] is None
