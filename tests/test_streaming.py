@@ -102,3 +102,50 @@ def test_user_running_state_final_totals(spark, events_batch, stream_dir):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     assert canon(final) == canon(want)
+
+
+def test_watermark_drops_late_data_across_restart(spark, tmp_path):
+    """Late-data policy end-to-end: an event older than the watermark is
+    DROPPED, and the watermark itself survives a query restart via the
+    checkpoint (exactly what a production deploy/upgrade relies on)."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 10, h, m), 1, "click", 1.0, "{}") for i, (h, m) in enumerate(specs)],
+            schema,
+        )
+
+    def drain():
+        # file sink: the only append sink that supports checkpoint recovery
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        out = STR.windowed_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.read.schema(
+            "window_start timestamp, event_type string, n bigint, total double"
+        ).parquet(sink)
+        return {str(r["window_start"]): r["n"] for r in emitted.collect()}
+
+    # batch 1: 10:00, 10:30, 11:30 -> watermark becomes 10:30, nothing final
+    rows((10, 0), (10, 30), (11, 30)).coalesce(1).write.mode("append").parquet(src)
+    assert drain() == {}
+
+    # batch 2 (restarted query, same checkpoint): 09:15 is BELOW the restored
+    # 10:30 watermark -> dropped; 13:30 advances the watermark to 12:30 ->
+    # the 10:00 and 11:00 windows finalize. No 09:00 window appears.
+    rows((9, 15), (13, 30)).coalesce(1).write.mode("append").parquet(src)
+    got = drain()
+    assert got == {"2024-01-10 10:00:00": 2, "2024-01-10 11:00:00": 1}, got
