@@ -61,3 +61,29 @@ def union_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
 def conditional_count(cond: Column) -> Column:
     """COUNT(*) FILTER (WHERE cond) as a composable aggregate (A4/A7)."""
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: split each hot key of `left` across `n_salts`
+    shuffle partitions and replicate `right` once per salt.
+
+    `salt_from` must be a column that varies WITHIN a join key (a row id),
+    so the salt is deterministic (xxhash64 — no RNG, repeatable plans) yet
+    spreads a hot key's rows evenly. Use when one side has pathological key
+    skew that AQE's skew-join splitting can't fix (e.g. the skewed side is
+    the output of an aggregation AQE can't re-split). Cost: right side
+    × n_salts — keep `right` the smaller input.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.crossJoin(
+        F.broadcast(left.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("_salt")))
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")

@@ -1651,3 +1651,62 @@ def q_goal_transition(spark, sf_dir):
         F.element_at(tparts, 1).cast("int").alias("reminder_hour"),
         F.element_at(tparts, 2).cast("int").alias("reminder_minute"),
     )
+
+
+@declared(
+    "hybrid_fusion_fast",
+    oracle=f"""
+    SELECT c_custkey, round(similarity, 6) AS similarity,
+           round(distance_score, 6) AS distance_score,
+           round(0.5 * similarity + 0.5 * distance_score, 6) AS combined_score
+    FROM (
+      SELECT g.c_custkey,
+             {V.cosine_similarity_sql('e.embedding', 'p.probe')} AS similarity,
+             1.0 - (g.d / 30.0) AS distance_score
+      FROM (
+        SELECT c_custkey, lat, lon, d FROM (
+          SELECT c_custkey, lat, lon,
+                 {G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), 'lat', 'lon')} AS d
+          FROM ({_GEO_CUST_SQL})
+        ) WHERE d <= 30.0
+        ORDER BY d, c_custkey LIMIT 30
+      ) g
+      JOIN embeddings e ON e.vec_id = g.c_custkey % 500
+      CROSS JOIN {_PROBE_VEC_SQL} p
+    )
+    ORDER BY combined_score DESC, c_custkey LIMIT 10
+    """,
+    doc="V7 two-stage perf path: candidate_factor=3 over-fetch by distance "
+    "(hybrid_search.py:100) before the expensive semantic rescore — "
+    "deterministic via the (distance, key) total order, so oracle-checkable "
+    "unlike the reference's unordered LIMIT",
+)
+def q_hybrid_fusion_fast(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("probe"))
+    cands = (
+        OG.radius_filter(c, "lat", "lon", PROBE_LAT, PROBE_LON, 30.0)
+        .orderBy(F.col("distance_km").asc(), F.col("c_custkey").asc())
+        .limit(30)
+    )
+    joined = (
+        cands.withColumn("vec_id", F.col("c_custkey") % 500)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(probe))
+    )
+    sim = V.cosine_similarity(F.col("embedding"), F.col("probe"))
+    dscore = V.distance_score(F.col("distance_km"), 30.0)
+    return (
+        joined.withColumn("similarity", sim)
+        .withColumn("distance_score", dscore)
+        .withColumn("combined_score", F.round(V.fuse_scores(sim, dscore, 0.5), 6))
+        .orderBy(F.desc("combined_score"), F.col("c_custkey").asc())
+        .limit(10)
+        .select(
+            "c_custkey",
+            F.round("similarity", 6).alias("similarity"),
+            F.round("distance_score", 6).alias("distance_score"),
+            "combined_score",
+        )
+    )

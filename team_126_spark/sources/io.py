@@ -93,3 +93,22 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (S7 index substitute, scale path): two tables
+    bucketed by the same key into the same bucket count join WITHOUT a
+    shuffle — the planner aligns bucket files instead of exchanging rows.
+    This is the co-located-join layout for repeated FK joins at 100 TB
+    (pre-pay one shuffle at write time, reuse it on every read)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -71,12 +71,19 @@ def ship_package(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark
-        # parquet reader rejects; read it as raw nanos and floor to micros
-        # (matching DuckDB's epoch_us truncation of TIMESTAMP_NS).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS)
+        # which the Spark parquet reader rejects; read it as raw nanos and
+        # floor to micros (matching DuckDB's epoch_us truncation of
+        # TIMESTAMP_NS). Derived copies (scale probe) store normal micros —
+        # detect which flavor this file is from the resolved schema.
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

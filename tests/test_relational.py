@@ -172,3 +172,50 @@ def test_dataset_search_distance_sort_nulls_last(spark):
     assert [r["id"] for r in rows] == [1, 2, 3]
     assert rows[0]["distance_miles"] < rows[1]["distance_miles"]
     assert rows[2]["distance_miles"] is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    from team_126_spark.operators.relational import salted_join
+
+    # skewed left: 90% of rows share key 1
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, f"v{i}") for i in range(200)], "row_id long, k long, v string"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], "k long, tag string")
+    got = salted_join(left, right, "k", salt_from="row_id", n_salts=4)
+    want = left.join(right, "k")
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import contextlib, io as _io
+
+    from team_126_spark.sources.io import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+    orders = spark.createDataFrame(
+        [(i, i % 50, 10.0 * i) for i in range(1000)], "o_id long, custkey long, total double"
+    )
+    cust = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(50)], "custkey long, name string"
+    )
+    write_bucketed(orders, "orders_b", ["custkey"], n_buckets=8)
+    write_bucketed(cust, "cust_b", ["custkey"], n_buckets=8)
+    joined = (
+        spark.table("orders_b")
+        .hint("merge")
+        .join(spark.table("cust_b").hint("merge"), "custkey")
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    # bucket-aligned sort-merge join: no Exchange on either side
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    n = joined.count()
+    assert n == 1000
+    spark.sql("DROP TABLE orders_b")
+    spark.sql("DROP TABLE cust_b")
