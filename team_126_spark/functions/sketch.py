@@ -69,6 +69,51 @@ def minhash_from_hashes(hs: pd.Series) -> pd.Series:
     return pd.Series(list(out))
 
 
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (pure fn of index)."""
+    # xorshift-ish integer mix, no RNG state: component in [-1, 1)
+    comps = []
+    for i in range(dim):
+        h = (plane_idx * 1_000_003 + i * 7919 + 12345) * 2_654_435_761 % (2**32)
+        comps.append((h / 2**31) - 1.0)
+    return comps
+
+
+def lsh_bucket_kernel(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched sign-hash LSH buckets: one (batch × dim) @ (dim × T·P)
+    matmul replaces T·P interpreted zip_with/aggregate folds (each of which
+    also drags a dim-length literal array through the plan — measured ~7s of
+    fixed plan-compile/eval overhead at 32 projections before this kernel).
+
+    Returns a pandas_udf: array<float> -> array<long> of `n_tables` bucket
+    ids, where bucket t = (t << n_planes) | sign bits under table t's
+    planes — the table tag is embedded in the id so a single explode +
+    equi-join covers all tables. Null/zero vectors land in the all-ones
+    bucket; the caller's exact verify discards them.
+    """
+    planes = np.array(
+        [_hyperplane(dim, i) for i in range(n_tables * n_planes)], dtype=np.float64
+    ).T  # (dim, T*P)
+    weights = 1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+    offsets = np.arange(n_tables, dtype=np.int64) << n_planes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(
+            [
+                np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+                for v in vs
+            ]
+        )
+        bits = (mat @ planes) >= 0  # (n, T*P)
+        packed = bits.reshape(len(vs), n_tables, n_planes).astype(np.int64) @ weights + offsets
+        return pd.Series(list(packed))
+
+    return buckets
+
+
 @F.pandas_udf(LongType())
 def simhash_from_hashes(hs: pd.Series) -> pd.Series:
     """Per-row 64-bit SimHash from a list of 64-bit token hashes: bit b of

@@ -214,22 +214,62 @@ def embedding_neardup_exact(
 
 
 def embedding_neardup_lsh(
-    df: DataFrame, vec_col: str, id_col: str, dim: int, threshold: float = 0.95, n_planes: int = 8
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Scale path: candidate pairs only within an LSH bucket (equi-join on
-    the sign-hash bucket), then exact cosine verify. Approximate recall."""
-    from .vector import with_lsh_bucket
+    """Scale path: sign-hash LSH candidates, then exact cosine verify.
 
-    bucketed = with_lsh_bucket(df, vec_col, dim, n_planes).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
+    OR-amplified across `n_tables` independent hyperplane sets: a pair is a
+    candidate if it collides in ANY table, so recall at a given threshold is
+    1-(1-p^planes)^tables instead of p^planes — more planes (smaller
+    buckets, less quadratic pair work) without giving up recall.
+
+    Plan shape, in the order that matters at 100 TB:
+    1. one projection pass computes all n_tables bucket ids per row, then
+       explodes to slim (table-bucket, id) rows — VECTORS ARE NOT CARRIED
+       into the bucket join, so the pair-generating shuffle moves ~16 bytes
+       a row, not the embedding payload;
+    2. the self-join emits id pairs only; `dropDuplicates` both removes the
+       multi-table double-counting and re-shuffles BY PAIR HASH, so the
+       expensive verify step parallelizes by candidate count even when a
+       few hot buckets produced most pairs (a bucket-keyed plan would pin
+       each hot bucket's whole pair explosion to one task — observed 100×
+       slower at 10× data before this shape);
+    3. vectors join back by id (equi joins Catalyst can broadcast or
+       shuffle as sizes dictate) and the exact cosine runs once per
+       surviving pair, with norms precomputed per row, not per pair.
+    """
+    from ..functions.sketch import lsh_bucket_kernel
+    from ..functions.vector import dot, norm
+
+    base = spread(df, id_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    kernel = lsh_bucket_kernel(dim, n_planes, n_tables)
+    keyed = base.select("id", F.explode(kernel(F.col("vec"))).alias("tbucket"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "tbucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("_va"), norm(F.col("vec")).alias("_na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("_vb"), norm(F.col("vec")).alias("_nb")
+    )
+    sim = F.when((F.col("_na") == 0.0) | (F.col("_nb") == 0.0), F.lit(0.0)).otherwise(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+        .select("id_a", "id_b", "cos_sim")
     )

@@ -102,14 +102,7 @@ def hybrid_search(
 
 # --------------------------------------------------------------- scale path
 
-def _hyperplane(dim: int, plane_idx: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane (pure fn of index)."""
-    # xorshift-ish integer mix, no RNG state: component in [-1, 1)
-    comps = []
-    for i in range(dim):
-        h = (plane_idx * 1_000_003 + i * 7919 + 12345) * 2_654_435_761 % (2**32)
-        comps.append((h / 2**31) - 1.0)
-    return comps
+from ..functions.sketch import _hyperplane  # noqa: E402 — shared plane family
 
 
 def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8) -> DataFrame:

@@ -1076,7 +1076,8 @@ def q_embedding_neardup_lsh(spark, sf_dir):
         "vec_id",
         dim=64,
         threshold=0.4,
-        n_planes=4,
+        n_planes=8,
+        n_tables=4,
     )
 
 

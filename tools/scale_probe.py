@@ -3,7 +3,15 @@ replicated copy (~sf1) and report the time ratio per query.
 
 A plan that is linear in input should show a ratio near the data ratio
 (modulo fixed overheads); a quadratic candidate explosion or a
-driver-side bottleneck shows up as a much larger ratio. The 10× copy
+driver-side bottleneck shows up as a much larger ratio.
+
+Interpretation caveats: replicating n× into the SAME geographic area
+multiplies spatial density, so radius-join candidate pairs grow n² by
+construction — geo_knn_join's ratio measures pairs processed per
+second, not rows scanned (a ratio well under n² is the win). The
+text/embedding perturbations below exist for the same reason: without
+them every row gains n-1 near-duplicates and the dedup queries'
+OUTPUT grows n², which benchmarks the data, not the engine. The 10× copy
 keeps key distributions and join fan-outs honest: every key k becomes
 k*10+copy, so FK joins match only within a copy (result = 10× original),
 and document texts get a per-copy suffix token so the corpus is not a
@@ -77,8 +85,36 @@ def build_scaled(spark, out_dir: str, n: int) -> None:
         for k in keys:
             scaled = scaled.withColumn(k, F.col(k) * n + F.col("_copy"))
         if name == "documents":
+            # Suffix EVERY word with the copy number: every shingle/ngram
+            # differs across copies, so MinHash/SimHash see n independent
+            # corpora of the original's dup-rate. A single appended token is
+            # NOT enough — signatures stay near-identical across copies and
+            # every document gains n-1 near-duplicates, which makes candidate
+            # pairs grow ~n^2 (a property of that corpus, not of the engine).
             scaled = scaled.withColumn(
-                "text", F.concat_ws(" ", F.col("text"), F.concat(F.lit("copytok"), F.col("_copy")))
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.col("_copy").cast("string")),
+                    ),
+                    " ",
+                ),
+            )
+        if name == "embeddings":
+            # Rotate each vector by _copy positions: rotations of the same
+            # vector are uncorrelated in expectation, so cosine-LSH buckets
+            # don't collapse all n copies of a vector into one mega-bucket.
+            d = F.size(F.col("embedding"))
+            r = F.col("_copy")
+            scaled = scaled.withColumn(
+                "embedding",
+                F.when(r == 0, F.col("embedding")).otherwise(
+                    F.concat(
+                        F.slice(F.col("embedding"), r + 1, d - r),
+                        F.slice(F.col("embedding"), 1, r),
+                    )
+                ),
             )
         scaled.drop("_copy").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
