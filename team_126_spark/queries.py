@@ -724,9 +724,7 @@ def q_geo_radius_topk(spark, sf_dir):
     )
 
 
-@declared(
-    "geo_knn_join",
-    oracle=f"""
+_GEO_KNN_SQL = f"""
     SELECT s_suppkey, nn_c_custkey, distance_km FROM (
       SELECT s_suppkey, c_custkey AS nn_c_custkey, round(d, 4) AS distance_km,
              row_number() OVER (PARTITION BY s_suppkey ORDER BY d, c_custkey) AS rn
@@ -736,13 +734,35 @@ def q_geo_radius_topk(spark, sf_dir):
         FROM ({_GEO_SUPP_SQL}) s CROSS JOIN ({_GEO_CUST_SQL}) c
       ) WHERE d <= 25
     ) WHERE rn <= 3
-    """,
+    """
+
+
+@declared(
+    "geo_knn_join",
+    oracle=_GEO_KNN_SQL,
     doc="J2/W6 per-group k-NN enrichment join, grid-cell prefilter (main.py:467-475)",
 )
 def q_geo_knn_join(spark, sf_dir):
     s = T.with_geo(load(spark, sf_dir, "supplier"), "s_suppkey").select("s_suppkey", "lat", "lon")
     c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey").select("c_custkey", "lat", "lon")
     out = OG.knn_join(s, c, "s_suppkey", "c_custkey", 25.0, 3)
+    return out.select(
+        "s_suppkey", "nn_c_custkey", F.round("distance_km", 4).alias("distance_km")
+    )
+
+
+@declared(
+    "geo_knn_join_adaptive",
+    oracle=_GEO_KNN_SQL,
+    doc="J2/W6 k-NN join, density-adaptive two-phase grid (exact; the 100 TB "
+    "path — phase-1 ring sized to the k-neighbor distance keeps candidate "
+    "pairs ~constant per row as density grows, vs density×radius² for the "
+    "single-ring plan)",
+)
+def q_geo_knn_join_adaptive(spark, sf_dir):
+    s = T.with_geo(load(spark, sf_dir, "supplier"), "s_suppkey").select("s_suppkey", "lat", "lon")
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey").select("c_custkey", "lat", "lon")
+    out = OG.knn_join_adaptive(s, c, "s_suppkey", "c_custkey", 25.0, 3)
     return out.select(
         "s_suppkey", "nn_c_custkey", F.round("distance_km", 4).alias("distance_km")
     )

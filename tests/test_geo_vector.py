@@ -56,6 +56,20 @@ def test_knn_join_agrees_with_exact(points, stops):
     assert f == e and len(f) > 0
 
 
+def test_knn_join_adaptive_agrees_with_exact(points, stops):
+    """Two-phase pruning must not change results — including rows resolved
+    in phase 1, rows that fall through to phase 2, and rows with < k
+    neighbors even at the full radius."""
+    for frac in (0.25, 0.9):
+        fast = OG.knn_join_adaptive(
+            points, stops, "sid", "stop_id", max_km=5.0, k=3, phase1_fraction=frac
+        )
+        exact = OG.knn_join_exact(points, stops, "sid", "stop_id", max_km=5.0, k=3)
+        f = sorted((r["sid"], r["nn_stop_id"]) for r in fast.collect())
+        e = sorted((r["sid"], r["nn_stop_id"]) for r in exact.collect())
+        assert f == e and len(f) > 0
+
+
 def test_knn_join_respects_k_and_radius(points, stops):
     got = OG.knn_join(points, stops, "sid", "stop_id", max_km=2.0, k=3).collect()
     per_left = {}

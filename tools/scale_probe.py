@@ -63,7 +63,7 @@ PROBE_QUERIES = [
     "join_multi",
     "topk_per_group",
     "latest_per_group",
-    "geo_knn_join",
+    "geo_knn_join_adaptive",
     "doc_exact_dedup",
     "doc_tfidf",
     "minhash_lsh_pairs",
