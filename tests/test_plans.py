@@ -39,7 +39,9 @@ def test_column_pruning_reaches_scan(spark):
     assert read and "o_orderdate" not in read[0] and "o_orderpriority" not in read[0]
 
 
-@pytest.mark.parametrize("name", ["join_fk", "join_multi", "geo_knn_join"])
+@pytest.mark.parametrize(
+    "name", ["join_fk", "join_multi", "geo_knn_join", "geo_knn_join_adaptive"]
+)
 def test_small_sides_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
