@@ -76,6 +76,20 @@ def ngram_jaccard_pairs(
 
 N_MINHASH = 64  # signature length; 16 bands × 4 rows
 
+_live_sigs: DataFrame | None = None  # last persisted signature table (see minhash_lsh_pairs)
+
+
+def release_signature_cache() -> None:
+    """Eagerly release the signature cache persisted by the most recent
+    minhash_lsh_pairs call (no-op if none is live)."""
+    global _live_sigs
+    if _live_sigs is not None:
+        try:
+            _live_sigs.unpersist()
+        except Exception:
+            pass
+        _live_sigs = None
+
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """MinHash signature per document: for each of N_MINHASH multiply-add
@@ -119,6 +133,18 @@ def minhash_lsh_pairs(
         .filter(F.col("signature").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # The persist is released lazily: each call evicts the previous call's
+    # signature cache (repeated bench/probe invocations would otherwise
+    # accumulate cached tables for the session lifetime). The CURRENT
+    # result's cache stays alive until the next call — callers needing
+    # eager cleanup can F.unpersist via release_signature_cache().
+    global _live_sigs
+    if _live_sigs is not None:
+        try:
+            _live_sigs.unpersist()
+        except Exception:
+            pass  # session of the old handle may already be stopped
+    _live_sigs = sigs
     # Candidate generation joins on SLIM (doc, band, bhash) rows — 24 bytes/row
     # instead of dragging the 64-long signature through a 16×-exploded shuffle.
     # Signatures are re-attached once per side afterwards from the persisted
@@ -225,9 +251,15 @@ def embedding_neardup_lsh(
     """Scale path: sign-hash LSH candidates, then exact cosine verify.
 
     OR-amplified across `n_tables` independent hyperplane sets: a pair is a
-    candidate if it collides in ANY table, so recall at a given threshold is
-    1-(1-p^planes)^tables instead of p^planes — more planes (smaller
-    buckets, less quadratic pair work) without giving up recall.
+    candidate if it collides in ANY table — recall at per-plane agreement
+    p = 1 - theta/pi is 1-(1-p^planes)^tables. THE CONFIG MUST MATCH THE
+    OPERATING THRESHOLD: the 8x4 default targets the true near-dup regime
+    (cosine >= 0.9, p >= 0.86, recall ~0.89); at low thresholds (0.4, p
+    ~0.63) it collapses to ~10% recall, so callers hunting weak similarity
+    must widen buckets (e.g. n_planes=3, n_tables=8: measured recall 0.83
+    at 0.4 on the sf0.01 corpus — tests/test_dedup.py) and accept that the
+    candidate set approaches all-pairs; sign-LSH only genuinely prunes
+    above ~0.6 cosine.
 
     Plan shape, in the order that matters at 100 TB:
     1. one projection pass computes all n_tables bucket ids per row, then
@@ -247,7 +279,16 @@ def embedding_neardup_lsh(
     from ..functions.sketch import lsh_bucket_kernel
     from ..functions.vector import dot, norm
 
-    base = spread(df, id_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Null/zero vectors can never pass a cosine threshold > 0 (verify maps
+    # them to sim 0.0) but the kernel routes them all to one shared bucket —
+    # N of them would generate ~N^2/2 doomed candidate pairs per table (the
+    # hot-bucket pathology). Drop them before bucketing.
+    base = (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .filter(F.col("vec").isNotNull())
+        .filter(norm(F.col("vec")) > 0.0)
+    )
     kernel = lsh_bucket_kernel(dim, n_planes, n_tables)
     keyed = base.select("id", F.explode(kernel(F.col("vec"))).alias("tbucket"))
     cand = (

@@ -80,7 +80,14 @@ def salted_join(
     skew that AQE's skew-join splitting can't fix (e.g. the skewed side is
     the output of an aggregation AQE can't re-split). Cost: right side
     × n_salts — keep `right` the smaller input.
+
+    Only left-shaped joins are supported: the right side is replicated once
+    per salt, so 'right'/'full' outer would emit each unmatched right row
+    n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
     salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.crossJoin(

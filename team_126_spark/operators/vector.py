@@ -102,20 +102,54 @@ def hybrid_search(
 
 # --------------------------------------------------------------- scale path
 
-from ..functions.sketch import _hyperplane  # noqa: E402 — shared plane family
+from ..functions.sketch import _hyperplane, lsh_bucket_kernel  # noqa: E402 — shared plane family
 
 
-def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8) -> DataFrame:
-    """Random-hyperplane (SimHash) bucket id for cosine ANN: sign bits of
-    `n_planes` fixed hyperplane projections packed into a long."""
-    from ..functions.vector import dot
+def with_lsh_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, n_tables: int = 4
+) -> DataFrame:
+    """Adds `lsh_buckets array<long>` — the row's sign-hash bucket id under
+    each of `n_tables` independent hyperplane sets (table tag embedded in
+    the id; same kernel/plane family as embedding_neardup_lsh, so buckets
+    computed for dedup are reusable for ANN).
 
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return df.withColumn("lsh_bucket", bucket)
+    At 100 TB this column is computed ONCE at ingest, exploded, and written
+    `partitionBy("lsh_bucket")` — a probe then reads only its probed
+    buckets' files (partition pruning), not the corpus."""
+    kernel = lsh_bucket_kernel(dim, n_planes, n_tables)
+    return df.withColumn("lsh_buckets", kernel(F.col(vec_col)))
+
+
+def probe_buckets(
+    probe: list[float], dim: int, n_planes: int = 8, n_tables: int = 4, n_probe_bits: int = 4
+) -> list[int]:
+    """Bucket ids a probe should inspect: per table, its exact bucket plus
+    every bucket reachable by flipping any subset of the `n_probe_bits`
+    LOWEST-MARGIN planes (smallest |projection|) — margin-ordered
+    multi-probe LSH (Lv et al., VLDB 2007): a true neighbor that lands on
+    the other side of a hyperplane almost always does so on a plane the
+    probe itself barely clears, so flipping those planes first buys recall
+    at a fraction of the uniform-flip candidate cost.
+
+    Driver-side integer math over the fixed plane family;
+    O(T * (P*dim + 2^n_probe_bits)) — microseconds, no data touched."""
+    out: set[int] = set()
+    for t in range(n_tables):
+        projs = []
+        bits = 0
+        for p in range(n_planes):
+            plane = _hyperplane(dim, t * n_planes + p)
+            proj = sum(a * b for a, b in zip(probe, plane))
+            projs.append(proj)
+            bits = bits * 2 + (1 if proj >= 0 else 0)
+        # plane p contributes bit weight 2^(n_planes-1-p)
+        by_margin = sorted(range(n_planes), key=lambda p: abs(projs[p]))[:n_probe_bits]
+        masks = [1 << (n_planes - 1 - p) for p in by_margin]
+        tags = {bits}
+        for m in masks:
+            tags |= {b ^ m for b in tags}
+        out |= {(t << n_planes) | b for b in tags}
+    return sorted(out)
 
 
 def lsh_bucket_ann(
@@ -126,21 +160,34 @@ def lsh_bucket_ann(
     id_col: str,
     dim: int,
     n_planes: int = 8,
+    n_tables: int = 4,
+    n_probe_bits: int = 4,
 ) -> DataFrame:
-    """Approximate KNN: score only vectors sharing the probe's LSH bucket.
+    """Approximate KNN: exact cosine top-k over the union of the probe's
+    buckets across `n_tables` OR-amplified hyperplane tables, margin-ordered
+    multi-probed to 2^`n_probe_bits` buckets per table (V3 scale path; see
+    `with_lsh_buckets` for the partition-pruned layout at scale).
 
-    At scale the bucket column is a partition/sort key, so a probe touches
-    one bucket's files instead of the full corpus. Recall is tunable via
-    n_planes (fewer planes → bigger buckets → higher recall, more work).
-    """
-    bucketed = with_lsh_bucket(df, vec_col, dim, n_planes)
-    probe_bits = 0
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        proj = sum(a * b for a, b in zip(probe, plane))
-        probe_bits = probe_bits * 2 + (1 if proj >= 0 else 0)
-    cands = bucketed.filter(F.col("lsh_bucket") == probe_bits)
-    return knn(cands, vec_col, probe, k, id_col).drop("lsh_bucket")
+    Recall/cost is corpus-dependent: on near-dup workloads (neighbor cosine
+    >= 0.7, per-plane agreement p = 1 - theta/pi >= 0.75) the defaults prune
+    to a few % of the corpus at recall ~1 (tests/test_geo_vector.py::
+    test_lsh_ann_prunes_planted_cluster). The sf0.1 embeddings corpus is
+    uniform-random (top-10 cosine ~0.31-0.39, p ~0.6) — the worst case for
+    any sublinear ANN — so hitting recall@10 >= 0.8 there takes the wider
+    config n_tables=8, n_probe_bits=6, measured mean recall 0.86 at ~0.64
+    candidate fraction (test_lsh_ann_recall_sf01). Same code, different
+    dial: the structure (bucket equi-probe, partition pruning) is what
+    survives the 1000× scale-up, and it degrades to a guarded scan, never
+    a crash, when the corpus has no cluster structure to exploit."""
+    targets = probe_buckets(probe, dim, n_planes, n_tables, n_probe_bits)
+    target_arr = F.array(*[F.lit(b) for b in targets])
+    cands = (
+        with_lsh_buckets(
+            df.filter(F.col(vec_col).isNotNull()), vec_col, dim, n_planes, n_tables
+        )
+        .filter(F.arrays_overlap(F.col("lsh_buckets"), target_arr))
+    )
+    return knn(cands, vec_col, probe, k, id_col).drop("lsh_buckets")
 
 
 def ivf_centroids(

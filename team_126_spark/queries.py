@@ -1090,14 +1090,18 @@ def q_simhash(spark, sf_dir):
     doc="LSH-bucketed embedding near-dup (scale path; pytest-verified vs exact)",
 )
 def q_embedding_neardup_lsh(spark, sf_dir):
+    # 3 planes x 8 tables is the measured recall>=0.8 config AT THIS QUERY'S
+    # 0.4 threshold (near-orthogonal corpus; see embedding_neardup_lsh
+    # docstring — the 8x4 default targets the 0.9+ near-dup regime and
+    # would recall ~10% here).
     return D.embedding_neardup_lsh(
         load(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
         dim=64,
         threshold=0.4,
-        n_planes=8,
-        n_tables=4,
+        n_planes=3,
+        n_tables=8,
     )
 
 
@@ -1109,7 +1113,13 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 1).first()["embedding"]
-    return OV.lsh_bucket_ann(emb, "embedding", list(probe), 10, "vec_id", dim=64)
+    # Scalar columns only: the driver canonicalizer cannot sort raw array
+    # columns (round-1 harness abort) — project like vec_knn does.
+    # n_tables=8/n_probe_bits=6: the measured recall@10>=0.8 operating point
+    # for this uniform-random corpus (see lsh_bucket_ann docstring).
+    return OV.lsh_bucket_ann(
+        emb, "embedding", list(probe), 10, "vec_id", dim=64, n_tables=8, n_probe_bits=6
+    ).select("vec_id", F.round("similarity", 6).alias("similarity"))
 
 
 @declared(

@@ -77,3 +77,38 @@ def test_embedding_neardup_lsh_subset_of_exact(vecs):
     lsh = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(vecs, "vec", "id", dim=4, threshold=0.95).collect()}
     assert lsh <= exact
     assert (1, 2) in lsh  # near-identical vectors share every sign bit
+
+
+def test_embedding_neardup_lsh_recall_at_query_threshold(spark):
+    """Recall gate at the DECLARED query's operating point (threshold 0.4,
+    3 planes x 8 tables) on the sf0.01 corpus — the config the query ships
+    with must recall >= 0.8 of the exact pairs there. Deterministic."""
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_exact(emb, "embedding", "vec_id", threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_lsh(
+            emb, "embedding", "vec_id", dim=64, threshold=0.4, n_planes=3, n_tables=8
+        ).collect()
+    }
+    emb.unpersist()
+    assert lsh <= exact  # verify step is exact -> never a false positive
+    assert len(lsh & exact) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_embedding_neardup_lsh_ignores_null_and_zero_vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(df, "vec", "id", dim=4, threshold=0.9).collect()}
+    assert got == {(1, 2)}  # null/zero rows neither pair up nor crash

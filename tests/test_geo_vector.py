@@ -146,6 +146,56 @@ def test_lsh_ann_subset_of_exact_topk(spark):
     assert all(-1.0001 <= r["similarity"] <= 1.0001 for r in rows)
 
 
+def test_lsh_ann_recall_sf01(spark):
+    """Judge bound: mean recall@10 >= 0.8 vs exact KNN at sf0.1 with the
+    declared query's config (8 tables, 6 probe bits). Deterministic: fixed
+    plane family, fixed corpus."""
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    recalls = []
+    for vid in (1, 100, 1234):
+        probe = list(emb.filter(F.col("vec_id") == vid).first()["embedding"])
+        exact = {r["vec_id"] for r in OV.knn(emb, "embedding", probe, 10, "vec_id").collect()}
+        ann = {
+            r["vec_id"]
+            for r in OV.lsh_bucket_ann(
+                emb, "embedding", probe, 10, "vec_id", dim=64, n_tables=8, n_probe_bits=6
+            ).collect()
+        }
+        recalls.append(len(ann & exact) / 10)
+    emb.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_lsh_ann_prunes_planted_cluster(spark):
+    """On near-dup-regime data (cluster at cosine ~0.99 inside uniform
+    noise) the DEFAULT config must both find the whole cluster and prune
+    hard — the property that matters at 100 TB."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    for i in range(1, 21):  # planted cluster: tiny perturbations of base
+        rows.append((i, [b + rng.gauss(0, 0.02) for b in base]))
+    for i in range(21, 2001):  # uniform noise
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "id int, emb array<double>").cache()
+    probe = rows[0][1]
+    out = OV.lsh_bucket_ann(df, "emb", probe, 20, "id", dim=16)
+    got = {r["id"] for r in out.collect()}
+    assert got == set(range(1, 21))  # recall 1.0 on the cluster
+    targets = OV.probe_buckets(probe, 16)
+    cand_n = (
+        OV.with_lsh_buckets(df, "emb", 16)
+        .filter(F.arrays_overlap("lsh_buckets", F.array(*[F.lit(b) for b in targets])))
+        .count()
+    )
+    df.unpersist()
+    assert cand_n < 2000 * 0.35, cand_n  # pruned, not a scan
+
+
 def test_ivf_ann_subset_and_recall(spark):
     from team_126_spark.tables import table
 
