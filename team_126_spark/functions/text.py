@@ -79,6 +79,27 @@ def fingerprint_sql(text: str) -> str:
     return f"md5({normalize_ws_sql(text)})"
 
 
+def md5_low60(s: Column) -> Column:
+    """Low 60 bits of md5 as a non-negative bigint — the oracle-checkable
+    hash family: DuckDB computes the identical value from the same hex
+    (15 hex chars keep it under 2^60, safely inside int64 for BOTH
+    engines; xxhash64 has no DuckDB twin, md5 does)."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 18, 15), 16, 10).cast("bigint")
+
+
+def md5_low60_sql(s: str) -> str:
+    return f"('0x' || substr(md5({s}), 18, 15))::BIGINT"
+
+
+def md5_low32(s: Column) -> Column:
+    """Low 32 bits of md5 as bigint (rolling-hash base, oracle-checkable)."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 25, 8), 16, 10).cast("bigint")
+
+
+def md5_low32_sql(s: str) -> str:
+    return f"('0x' || substr(md5({s}), 25, 8))::BIGINT"
+
+
 def word_shingles(text: Column, k: int) -> Column:
     """Distinct k-word shingles as strings ("w1 w2 ... wk")."""
     toks = tokens(text)

@@ -18,10 +18,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pyspark.sql import Column
+
 from ..functions.sketch import minhash_from_hashes, simhash_from_hashes
-from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.text import fingerprint, md5_low60, tokens, word_shingles
 from ..functions.vector import cosine_similarity
 from ..tables import spread
+
+
+def _token_hash(col: Column, hash_fn: str) -> Column:
+    """The shingle/token hash feeding MinHash/SimHash kernels.
+
+    'xxhash64' (default): fastest, JVM codegen — the production family.
+    'md5': low-60-bit md5 — ~2× more scan CPU, but DuckDB reproduces it
+    exactly, so the full sketch pipeline becomes oracle-checkable
+    (VERDICT r1 item 5). Both are deterministic and uniform; the kernels
+    downstream are family-agnostic.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return md5_low60(col)
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -91,7 +109,9 @@ def release_signature_cache() -> None:
         _live_sigs = None
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """MinHash signature per document: for each of N_MINHASH multiply-add
     remixes of the shingle's xxhash64, the min over the doc's shingles.
 
@@ -106,7 +126,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
-    pre = sh.select("doc", F.xxhash64("shingle").alias("h"))
+    pre = sh.select("doc", _token_hash(F.col("shingle"), hash_fn).alias("h"))
     return pre.groupBy("doc").agg(
         minhash_from_hashes(F.collect_list("h")).alias("signature")
     )
@@ -119,17 +139,21 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified with the
     estimated Jaccard (fraction of matching signature positions).
 
-    Scale path: each doc emits `bands` (band_idx, band_hash) keys; candidate
+    Scale path: each doc emits `bands` (band_idx, band_slice) keys; candidate
     generation is a self-equi-join on that key — shuffle ∝ corpus size, not
-    corpus². rows-per-band = N_MINHASH // bands sets the S-curve.
+    corpus². rows-per-band = N_MINHASH // bands sets the S-curve. The band
+    key is the EXACT slice of signature values (no band-hash): ~40 B/row vs
+    16 — still slim — and it removes the last xxhash64 from the pair
+    pipeline, so with hash_fn='md5' the whole operator has a DuckDB twin.
     """
     rows_per_band = N_MINHASH // bands
     sigs = (
-        minhash_signatures(df, text_col, id_col, k)
+        minhash_signatures(df, text_col, id_col, k, hash_fn)
         .filter(F.col("signature").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -157,21 +181,21 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
+                        F.array(
                             *[F.col("signature")[i * rows_per_band + j] for j in range(rows_per_band)]
-                        ).alias("bhash"),
+                        ).alias("bkey"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bhash")
+    ).select("doc", "bk.band", "bk.bkey")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
@@ -194,11 +218,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sign of the summed
-    ±1 contributions of each token's xxhash64 bit.
+def simhash64(df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint over whitespace tokens: per bit, sign of the
+    summed ±1 contributions of each token's hash bit (64 effective bits
+    with xxhash64; 60 with the oracle-checkable md5 family).
 
-    Plan shape: explode tokens → one xxhash64 per token (codegen) → one
+    Plan shape: explode tokens → one hash per token (codegen) → one
     collect_list shuffle keyed by doc id → Arrow-batched numpy bit
     counting (functions/sketch.py) — same rationale as minhash_signatures.
     Docs with zero tokens produce no row.
@@ -206,7 +231,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
     )
-    pre = tok.select("doc", F.xxhash64("t").alias("h"))
+    pre = tok.select("doc", _token_hash(F.col("t"), hash_fn).alias("h"))
     return pre.groupBy("doc").agg(simhash_from_hashes(F.collect_list("h")).alias("simhash"))
 
 

@@ -125,6 +125,40 @@ def knn_join(
     )
 
 
+def knn_join_nested(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_km: float,
+    k: int,
+    out_col: str = "nearby",
+    **kw,
+) -> DataFrame:
+    """Per-left-row k-NN with the neighbors NESTED as an array of structs
+    ordered by distance — the shape the reference actually serves: each
+    service row carries its `nearby_transit` list
+    (backend/main.py:475; consumed by frontend ServiceMap.tsx:19-48;
+    committed in SURVEY §7.4).
+
+    Output: all left columns + `out_col` = array<struct<distance_km,
+    nn_*>> sorted (distance asc, right key asc — struct field order makes
+    array_sort's lexicographic comparison implement exactly that). Left
+    rows with zero in-radius neighbors are absent, matching `knn_join`.
+
+    Scale: one groupBy(left_key) after the k-NN window. Both stages hash
+    by left_key, so AQE/exchange-reuse coalesces them into one shuffle;
+    the array is bounded by k — no skew risk from hot groups.
+    """
+    flat = knn_join(left, right, left_key, right_key, max_km, k, **kw)
+    nn_cols = [c for c in flat.columns if c.startswith("nn_")]
+    keep = [c for c in flat.columns if c not in nn_cols and c != "distance_km"]
+    item = F.struct(F.col("distance_km"), *[F.col(c) for c in nn_cols])
+    return flat.groupBy(*[F.col(c) for c in keep]).agg(
+        F.array_sort(F.collect_list(item)).alias(out_col)
+    )
+
+
 def knn_join_adaptive(
     left: DataFrame,
     right: DataFrame,

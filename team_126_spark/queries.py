@@ -768,6 +768,74 @@ def q_geo_knn_join_adaptive(spark, sf_dir):
     )
 
 
+@declared(
+    "geo_knn_join_nested",
+    oracle=f"""
+    SELECT s_suppkey, CAST(len(nearby) AS BIGINT) AS n_nearby, to_json(nearby) AS nearby
+    FROM (
+      SELECT s_suppkey,
+             list(struct_pack(distance_km := round(d, 4), nn_c_custkey := c_custkey)
+                  ORDER BY d, c_custkey) AS nearby
+      FROM (
+        SELECT s_suppkey, c_custkey, d,
+               row_number() OVER (PARTITION BY s_suppkey ORDER BY d, c_custkey) AS rn
+        FROM (
+          SELECT s.s_suppkey, c.c_custkey,
+                 {G.haversine_sql('s.lat', 's.lon', 'c.lat', 'c.lon')} AS d
+          FROM ({_GEO_SUPP_SQL}) s CROSS JOIN ({_GEO_CUST_SQL}) c
+        ) WHERE d <= 25
+      ) WHERE rn <= 3
+      GROUP BY s_suppkey
+    )
+    """,
+    doc="J2 nested per-group enrichment — each left row carries its neighbor "
+    "list as an ordered array<struct> (main.py:475 nearby_transit shape, "
+    "SURVEY §7.4; serialized to_json for the scalar-only harness)",
+)
+def q_geo_knn_join_nested(spark, sf_dir):
+    s = T.with_geo(load(spark, sf_dir, "supplier"), "s_suppkey").select("s_suppkey", "lat", "lon")
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey").select("c_custkey", "lat", "lon")
+    nested = OG.knn_join_nested(s, c, "s_suppkey", "c_custkey", 25.0, 3)
+    # Round INSIDE the already-sorted array (order fixed at full precision on
+    # both sides), then serialize: Spark's and DuckDB's shortest-round-trip
+    # double JSON formats agree, so the string hashes match.
+    rounded = F.transform(
+        F.col("nearby"),
+        lambda x: F.struct(
+            F.round(x["distance_km"], 4).alias("distance_km"),
+            x["nn_c_custkey"].alias("nn_c_custkey"),
+        ),
+    )
+    return nested.select(
+        "s_suppkey",
+        F.size("nearby").cast("bigint").alias("n_nearby"),
+        F.to_json(rounded).alias("nearby"),
+    )
+
+
+@declared(
+    "km_to_miles",
+    oracle=f"""
+    SELECT c_custkey, round(d, 4) AS distance_km,
+           round(d * {G.KM_TO_MILES}, 4) AS distance_miles
+    FROM (
+      SELECT c_custkey, {G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), 'lat', 'lon')} AS d
+      FROM ({_GEO_CUST_SQL})
+    ) WHERE d <= 50
+    """,
+    doc="F3 km→miles conversion applied to radius distances "
+    "(reference units factor 0.621371)",
+)
+def q_km_to_miles(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
+    r = OG.radius_filter(c, "lat", "lon", PROBE_LAT, PROBE_LON, 50.0)
+    return r.select(
+        "c_custkey",
+        F.round("distance_km", 4).alias("distance_km"),
+        F.round(G.km_to_miles(F.col("distance_km")), 4).alias("distance_miles"),
+    )
+
+
 # ===================================================================
 # §2.8 Vector operators (embeddings table, 64-dim)
 # ===================================================================
@@ -804,6 +872,29 @@ def q_vec_knn(spark, sf_dir):
         .orderBy(F.desc("similarity"), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@declared(
+    "vec_knn_scoped",
+    oracle=f"""
+    SELECT vec_id, label, round({V.cosine_similarity_sql('embedding', 'probe')}, 6) AS similarity
+    FROM embeddings, {_PROBE_VEC_SQL}
+    WHERE embedding IS NOT NULL
+      AND label = (SELECT label FROM embeddings WHERE vec_id = 1)
+    ORDER BY similarity DESC, vec_id LIMIT 10
+    """,
+    doc="V3 conversation-scoped KNN: restrict candidates to the probe's "
+    "group before ranking (embeddings.py:169 conversation_id filter; at "
+    "scale the scope column is the partition key, so the filter is "
+    "partition pruning, not a scan)",
+)
+def q_vec_knn_scoped(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 1).first()
+    probe, scope = list(row["embedding"]), row["label"]
+    return OV.knn(
+        emb.filter(F.col("label") == scope), "embedding", probe, 10, "vec_id"
+    ).select("vec_id", "label", F.round("similarity", 6).alias("similarity"))
 
 
 @declared(
@@ -1061,27 +1152,107 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
-# -- Spark-only scale-path variants (no SQL twin: xxhash64/LSH) --------------
+# -- Sketch pipelines with the md5 hash family: fully oracle-checked ---------
+# (xxhash64 is the faster production default; the declared queries run the
+#  md5 family so DuckDB mirrors every intermediate value — VERDICT r1 #5.)
+
+
+def _minhash_oracle_sql(bands: int = 16, threshold: float = 0.3) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn='md5'): identical shingles,
+    identical low-60-bit md5 hashes, identical splitmix64 multiply-add remix
+    (HUGEINT arithmetic mod 2^64 == the kernel's uint64 wraparound), same
+    banding and estimate."""
+    from .functions.sketch import _PARAMS
+
+    rpb = 64 // bands
+    M = "18446744073709551616"  # 2^64
+    remixes = ", ".join(
+        f"list_min(list_transform(hl, h -> ({a}::HUGEINT * h + {b}) % {M}))"
+        for a, b in _PARAMS
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bkey := [{vals}])".format(
+            i=i, vals=", ".join(f"sig[{i * rpb + j + 1}]" for j in range(rpb))
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT doc, list({X.md5_low60_sql('shingle')}::HUGEINT) AS hl
+      FROM sh GROUP BY doc
+    ),
+    sig_t AS (SELECT doc, [{remixes}] AS sig FROM hs),
+    bands_t AS (
+      SELECT doc, unnest([{band_structs}]) AS bk FROM sig_t
+    ),
+    b2 AS (SELECT doc, bk.band AS band, bk.bkey AS bkey FROM bands_t),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / 64.0, 6)
+             AS est_jaccard
+    FROM cand
+    JOIN sig_t sa ON sa.doc = id_a
+    JOIN sig_t sb ON sb.doc = id_b
+    WHERE round(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / 64.0, 6)
+          >= {threshold}
+    """
 
 
 @declared(
     "minhash_lsh_pairs",
-    oracle=None,
-    doc="MinHash+banded-LSH near-dup candidates (scale path; pytest-verified vs exact Jaccard)",
+    oracle=_minhash_oracle_sql(bands=16, threshold=0.3),
+    doc="MinHash+banded-LSH near-dup candidates (scale path; md5 hash family "
+    "→ full DuckDB twin incl. signatures, banding, and estimate)",
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, bands=16, threshold=0.3
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        bands=16,
+        threshold=0.3,
+        hash_fn="md5",
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash64(hash_fn='md5'): per bit b, 1 iff more than
+    half the doc's token hashes have bit b set (60 effective md5 bits)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hl, h -> (h >> {b}) & 1 = 1)) > len(hl) "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(str_split(norm, ' ')) AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ),
+    hs AS (SELECT doc, list({X.md5_low60_sql('t')}) AS hl FROM tok GROUP BY doc)
+    SELECT doc, ({bit_terms}) AS simhash FROM hs
+    """
 
 
 @declared(
     "simhash",
-    oracle=None,
-    doc="64-bit SimHash fingerprints (scale path; pytest-verified determinism)",
+    oracle=_simhash_oracle_sql(),
+    doc="SimHash fingerprints (scale path; md5 hash family → full DuckDB twin)",
 )
 def q_simhash(spark, sf_dir):
-    return D.simhash64(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return D.simhash64(load(spark, sf_dir, "documents"), "text", "doc_id", hash_fn="md5")
 
 
 @declared(
@@ -1124,11 +1295,19 @@ def q_ann_lsh(spark, sf_dir):
 
 @declared(
     "doc_rolling_fingerprint",
-    oracle=None,
-    doc="order-sensitive rolling token hash (xxhash64-based; pytest-verified)",
+    oracle=f"""
+    SELECT doc_id, md5(norm) AS fingerprint,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               CASE WHEN norm = '' THEN []::BIGINT[]
+                    ELSE list_transform(str_split(norm, ' '), t -> {X.md5_low32_sql('t')}) END),
+             (acc, h) -> (acc * 31 + h) % 4294967296) AS rolling_hash
+    FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+    """,
+    doc="order-sensitive rolling token hash (md5 family → full DuckDB twin)",
 )
 def q_doc_rolling_fingerprint(spark, sf_dir):
-    return TO.doc_fingerprints(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return TO.doc_fingerprints(load(spark, sf_dir, "documents"), "text", "doc_id", hash_fn="md5")
 
 
 # ===================================================================

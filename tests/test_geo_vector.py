@@ -70,6 +70,22 @@ def test_knn_join_adaptive_agrees_with_exact(points, stops):
         assert f == e and len(f) > 0
 
 
+def test_knn_join_nested_shape_and_order(points, stops):
+    """SURVEY §7.4 committed shape: one row per left key, neighbors nested
+    as array<struct> ordered by (distance asc, right key asc), content
+    identical to the flat join."""
+    flat = OG.knn_join(points, stops, "sid", "stop_id", max_km=5.0, k=3)
+    nested = OG.knn_join_nested(points, stops, "sid", "stop_id", max_km=5.0, k=3)
+    flat_by_sid = {}
+    for r in flat.collect():
+        flat_by_sid.setdefault(r["sid"], []).append((r["distance_km"], r["nn_stop_id"]))
+    rows = nested.collect()
+    assert {r["sid"] for r in rows} == set(flat_by_sid)
+    for r in rows:
+        got = [(x["distance_km"], x["nn_stop_id"]) for x in r["nearby"]]
+        assert got == sorted(flat_by_sid[r["sid"]])  # ordered by (dist, key)
+
+
 def test_knn_join_respects_k_and_radius(points, stops):
     got = OG.knn_join(points, stops, "sid", "stop_id", max_km=2.0, k=3).collect()
     per_left = {}
