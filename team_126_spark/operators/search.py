@@ -13,8 +13,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geo import haversine_miles
+from ..functions.geo import KM_TO_MILES, haversine_miles
 from .relational import ordered_limit, union_datasets
+from .vector import hybrid_search
 
 
 def housing_search(
@@ -50,6 +51,121 @@ def housing_search(
     if max_units is not None:
         cond &= F.col("units") <= max_units
     return ordered_limit(df.filter(cond), [F.col(order_key).asc()], limit)
+
+
+def hybrid_search_response(
+    services: DataFrame,
+    stops: DataFrame,
+    query_vec: list[float],
+    latitude: float,
+    longitude: float,
+    *,
+    query: str = "",
+    max_distance_km: float = 10.0,
+    limit: int = 5,
+    semantic_weight: float = 0.7,
+    candidate_factor: int | None = 3,
+    transit_k: int = 3,
+    transit_max_km: float = 1.0,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    detail_cols: tuple[str, ...] = ("program", "address", "phone"),
+) -> dict:
+    """The full /search/health-services response (HYBRID_SEARCH_SETUP.md:
+    311-348; endpoint backend/main.py:428-480): hybrid geo+semantic top-k
+    over services, each result carrying its nearby_transit list, distances
+    in km AND miles, all assembled into the golden JSON shape.
+
+    One Catalyst plan end-to-end — hybrid_search (radius → over-fetch
+    limit*candidate_factor → rescore → fused top-k) feeds knn_join_nested
+    (grid equi-join, per-service top-transit_k) — then ONE bounded driver
+    collect of `limit` rows to build the response document, exactly the
+    role of the reference's HTTP serializer.
+    """
+    from .geo import knn_join_nested
+
+    top = hybrid_search(
+        services,
+        vec_col,
+        query_vec,
+        latitude,
+        longitude,
+        max_distance_km,
+        limit,
+        id_col,
+        lat=lat_col,
+        lon=lon_col,
+        weight=semantic_weight,
+        candidate_factor=candidate_factor,
+    )
+    # Keep stop lat/lon in the output payload (knn_join consumes the join
+    # coords): expose them as plain columns under their golden names.
+    stops_payload = stops.select(
+        F.col("stop_uid"),
+        F.col("stop_name").alias("name"),
+        F.col("stop_lat"),
+        F.col("stop_lon"),
+        F.col("stop_lat").alias("s_latitude"),
+        F.col("stop_lon").alias("s_longitude"),
+        F.col("stop_agency").alias("agency"),
+        (F.col("wheelchair_boarding") == "1").alias("wheelchair_accessible"),
+    )
+    nested = knn_join_nested(
+        top.select(id_col, lat_col, lon_col),
+        stops_payload,
+        id_col,
+        "stop_uid",
+        transit_max_km,
+        transit_k,
+        left_lat=lat_col,
+        left_lon=lon_col,
+        right_lat="stop_lat",
+        right_lon="stop_lon",
+    ).select(id_col, "nearby")
+    enriched = top.join(nested, id_col, "left")
+
+    rows = enriched.orderBy(F.desc("combined_score"), F.col(id_col).asc()).collect()
+    results = []
+    for r in rows:
+        results.append(
+            {
+                "id": r[id_col],
+                "latitude": r[lat_col],
+                "longitude": r[lon_col],
+                **{c: r[c] for c in detail_cols},
+                "distance_km": round(r["distance_km"], 2),
+                "distance_miles": round(r["distance_km"] * KM_TO_MILES, 2),
+                "similarity_score": round(r["similarity"], 4),
+                "combined_score": round(r["combined_score"], 4),
+                "nearby_transit": [
+                    {
+                        "name": t["nn_name"],
+                        "latitude": t["nn_s_latitude"],
+                        "longitude": t["nn_s_longitude"],
+                        "agency": t["nn_agency"],
+                        "wheelchair_accessible": t["nn_wheelchair_accessible"],
+                        "distance_km": round(t["distance_km"], 2),
+                        "distance_miles": round(t["distance_km"] * KM_TO_MILES, 2),
+                    }
+                    for t in (r["nearby"] or [])
+                ],
+            }
+        )
+    return {
+        "user_location": {"latitude": latitude, "longitude": longitude},
+        "query": query,
+        "search_radius_km": max_distance_km,
+        "search_radius_miles": round(km_to_miles_f(max_distance_km), 2),
+        "results": results,
+        "count": len(results),
+    }
+
+
+def km_to_miles_f(km: float) -> float:
+    """Scalar km→miles (F3) for driver-side response fields."""
+    return km * KM_TO_MILES
 
 
 KEYWORD_ROUTES = {

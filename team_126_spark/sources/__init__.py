@@ -3,7 +3,9 @@ from .io import (  # noqa: F401
     read_csv_bom,
     read_json_envelope,
     read_json_records,
+    summarize_envelope,
     write_json,
+    write_json_envelope,
     write_jdbc,
     write_parquet,
 )

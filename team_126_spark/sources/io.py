@@ -60,6 +60,92 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def summarize_envelope(
+    df: DataFrame,
+    unit_col: str = "units",
+    vacancy_col: str = "vacancy_status",
+    jurisdiction_col: str = "jurisdiction",
+    zoning_col: str = "zoning_simplified",
+) -> dict:
+    """The housing envelope's summary block (S5 twin of
+    convert_housing_to_json.py:55-70): total_records, total_units, distinct
+    jurisdictions/zoning types, vacant-vs-other counts, unit min/max/avg.
+
+    ONE distributed aggregation job → one driver row (bounded: a dozen
+    scalars + two distinct-value lists that are category-sized by schema).
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.coalesce(F.sum(unit_col), F.lit(0)).cast("bigint").alias("total_units"),
+        F.sort_array(F.collect_set(jurisdiction_col)).alias("jurisdictions"),
+        F.sort_array(F.collect_set(zoning_col)).alias("zoning_types"),
+        F.sum(F.when(F.col(vacancy_col) == "Vacant", 1).otherwise(0)).cast("bigint").alias("vacant"),
+        F.sum(F.when(F.col(vacancy_col) != "Vacant", 1).otherwise(0)).cast("bigint").alias("other"),
+        F.min(unit_col).alias("min_units"),
+        F.max(unit_col).alias("max_units"),
+        F.avg(unit_col).alias("avg_units"),
+    ).first()
+    return {
+        "total_records": row["total_records"],
+        "total_units": row["total_units"],
+        "jurisdictions": list(row["jurisdictions"]),
+        "zoning_types": list(row["zoning_types"]),
+        "vacancy_counts": {"vacant": row["vacant"], "other": row["other"]},
+        "unit_statistics": {
+            "min_units": row["min_units"],
+            "max_units": row["max_units"],
+            "avg_units": float(row["avg_units"]) if row["avg_units"] is not None else None,
+        },
+    }
+
+
+def write_json_envelope(
+    df: DataFrame,
+    path: str,
+    dataset_name: str,
+    source_file: str = "",
+    description: str = "",
+    created_at: str = "1970-01-01T00:00:00",
+    max_records: int = 100_000,
+    **summary_cols,
+) -> dict:
+    """S5 envelope writer: one {metadata, summary, data} JSON document
+    (convert_housing_to_json.py:72-86; readable back via read_json_envelope).
+
+    The summary aggregates run distributed (summarize_envelope); only then
+    are the data records brought to the driver, because an envelope is BY
+    DESIGN a single self-describing document for dataset-sized exports
+    (the reference's files are ~4k records). The `max_records` guard makes
+    that bound explicit — beyond it, write write_json (JSON-lines, fully
+    distributed) plus a summarize_envelope sidecar instead of one document.
+    `created_at` is caller-supplied, never the wall clock (§7.4 determinism).
+
+    Returns the envelope dict (also written to `path`).
+    """
+    import json
+
+    summary = summarize_envelope(df, **summary_cols)
+    if summary["total_records"] > max_records:
+        raise ValueError(
+            f"envelope holds {summary['total_records']} records > max_records="
+            f"{max_records}; use write_json + summarize_envelope for large exports"
+        )
+    records = [json.loads(s) for s in df.toJSON().collect()]
+    envelope = {
+        "metadata": {
+            "dataset_name": dataset_name,
+            "source_file": source_file,
+            "description": description,
+            "created_at": created_at,
+        },
+        "summary": summary,
+        "data": records,
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(envelope, f, indent=2, ensure_ascii=False)
+    return envelope
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -50,6 +50,49 @@ def test_read_json_records_and_envelope(spark, tmp_path):
     assert set(df.columns) == {"id", "v"}
 
 
+def test_write_json_envelope_roundtrip_exact_summary(spark, tmp_path):
+    """S5 envelope writer (convert_housing_to_json.py:55-86 twin): summary
+    values exact, data records roundtrip through read_json_envelope."""
+    rows = [
+        (1, "Carlsbad", "Vacant", 10, "Residential"),
+        (2, "Carlsbad", "Occupied", 0, "Mixed"),
+        (3, "San Diego", "Vacant", 35, "Residential"),
+        (4, "San Diego", "Unknown", 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, jurisdiction string, vacancy_status string, units int, zoning_simplified string"
+    )
+    path = str(tmp_path / "env.json")
+    env = IO.write_json_envelope(
+        df, path, dataset_name="housing", source_file="x.csv", created_at="2021-01-01T00:00:00"
+    )
+    s = env["summary"]
+    assert s["total_records"] == 4 and s["total_units"] == 48
+    assert s["jurisdictions"] == ["Carlsbad", "San Diego"]
+    assert s["zoning_types"] == ["Mixed", "Residential"]  # null dropped by collect_set
+    assert s["vacancy_counts"] == {"vacant": 2, "other": 2}
+    assert s["unit_statistics"] == {"min_units": 0, "max_units": 35, "avg_units": 12.0}
+    assert env["metadata"]["dataset_name"] == "housing"
+    # identical document on disk
+    assert json.load(open(path)) == env
+    # readable back through the S3b envelope reader
+    back = IO.read_json_envelope(spark, path)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3, 4]
+    assert set(back.columns) == {"id", "jurisdiction", "vacancy_status", "units", "zoning_simplified"}
+
+
+def test_write_json_envelope_guards_oversized_export(spark, tmp_path):
+    df = spark.range(5).select(
+        F.col("id"),
+        F.lit("j").alias("jurisdiction"),
+        F.lit("Vacant").alias("vacancy_status"),
+        F.lit(1).alias("units"),
+        F.lit("z").alias("zoning_simplified"),
+    )
+    with pytest.raises(ValueError, match="max_records"):
+        IO.write_json_envelope(df, str(tmp_path / "e.json"), "d", max_records=3)
+
+
 def test_json_roundtrip_and_partitioned_parquet(spark, tmp_path):
     df = spark.createDataFrame([(1, "x", "a"), (2, "y", "b"), (3, "z", "a")], ["id", "v", "part"])
     jdir = str(tmp_path / "j")
