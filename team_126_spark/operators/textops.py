@@ -120,6 +120,75 @@ def doc_fingerprints(
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition quality signal: fraction of tokens that are repeats of an
+    earlier token (1 - distinct/total), and the most-frequent-token share —
+    the standard boilerplate/spam filters in pre-training pipelines (high
+    values flag keyword-stuffed or template pages).
+
+    Pure column expressions over one tokenization — no shuffle, no UDF."""
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    n_distinct = F.size(F.array_distinct(F.col("_toks")))
+    # max token frequency = longest equal-run in the SORTED array: one
+    # O(n log n) sort + one linear fold per row (the per-distinct-token
+    # scan would be O(n²) on pathological docs — exactly the ones this
+    # signal exists to catch).
+    max_freq = F.aggregate(
+        F.array_sort(F.col("_toks")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(acc["prev"] == t, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"] == t, acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_share = F.when(n == 0, F.lit(0.0)).otherwise(max_freq.cast("double") / n)
+    return toks_df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(1.0 - n_distinct.cast("double") / n), 6
+        ).alias("repetition_ratio"),
+        F.round(top_share, 6).alias("top_token_share"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5 of the id maps each row
+    to a bucket in [0,100); `weights` name→percent intervals partition the
+    range ({'train': 90, 'val': 5, 'test': 5} default).
+
+    The split is a PURE FUNCTION of the id — stable under reruns, joins,
+    repartitioning, and incremental appends (new rows never move old rows
+    between splits), which is the property that matters when the corpus is
+    100 TB and the split must be reproducible across pipeline versions.
+    No shuffle: one hash + one CASE per row."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    from ..functions.text import md5_low60
+
+    bucket = F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(100))
+    expr = F.lit(None).cast("string")
+    hi = 100
+    for name, pct in reversed(list(weights.items())):
+        lo = hi - pct
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+        hi = lo
+    return df.withColumn("split", expr)
+
+
 def extract_coordinates(df: DataFrame, text_col: str) -> DataFrame:
     """Regex lat/lon extraction from message text (F4; main.py:490-509)."""
     pat_lat = r"Latitude\s+([-+]?\d+\.?\d*)"

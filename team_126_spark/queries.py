@@ -1079,6 +1079,55 @@ def q_doc_langid(spark, sf_dir):
 
 
 @declared(
+    "doc_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(str_split(norm, ' ')) AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ),
+    stats AS (
+      SELECT doc, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             max(cnt) AS max_freq
+      FROM (SELECT doc, t, count(*) AS cnt FROM tok GROUP BY doc, t)
+      GROUP BY doc
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(round(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens, 6), 0.0)
+             AS repetition_ratio,
+           coalesce(round(CAST(s.max_freq AS DOUBLE) / s.n_tokens, 6), 0.0)
+             AS top_token_share
+    FROM documents d LEFT JOIN stats s ON s.doc = d.doc_id
+    """,
+    doc="repetition quality signal: repeated-token fraction + top-token share "
+    "(boilerplate/spam filter; sorted-run fold, O(n log n) per row, no UDF)",
+)
+def q_doc_repetition(spark, sf_dir):
+    return TO.repetition_ratio(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
+    "hash_split",
+    oracle=f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT {X.md5_low60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS b FROM documents)
+    ) GROUP BY split
+    """,
+    doc="deterministic train/val/test split: md5(id) bucket in [0,100) — "
+    "stable under reruns and appends (pure function of the id), no shuffle",
+)
+def q_hash_split(spark, sf_dir):
+    return (
+        TO.hash_split(load(spark, sf_dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@declared(
     "doc_exact_dedup",
     oracle=f"""
     SELECT md5({X.normalize_ws_sql('text')}) AS fingerprint,

@@ -126,3 +126,51 @@ def test_euclidean(spark):
 def test_fuse_and_distance_score(spark):
     assert one(spark, V.fuse_scores(F.lit(1.0), F.lit(0.0), 0.7)) == pytest.approx(0.7)
     assert one(spark, V.distance_score(F.lit(2.0), 10.0)) == pytest.approx(0.8)
+
+
+# ------------------------------------------------------- pipeline operators
+
+def test_repetition_ratio_values(spark):
+    from team_126_spark.operators.textops import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 4 tokens, 1 distinct
+            (2, "all tokens here are distinct"),  # 5 tokens, 5 distinct
+            (3, ""),                               # empty -> zeros
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_ratio(df, "text", "doc_id").collect()}
+    assert got[1]["repetition_ratio"] == 0.75 and got[1]["top_token_share"] == 1.0
+    assert got[2]["repetition_ratio"] == 0.0 and got[2]["top_token_share"] == 0.2
+    assert got[3]["n_tokens"] == 0 and got[3]["repetition_ratio"] == 0.0
+    assert got[3]["top_token_share"] == 0.0
+
+
+def test_hash_split_stable_under_append(spark):
+    """The property hash_split exists for: appending rows never reassigns
+    existing rows, and weights land near their targets."""
+    from team_126_spark.operators.textops import hash_split
+
+    base = spark.range(1, 1001).withColumnRenamed("id", "doc_id")
+    first = {r["doc_id"]: r["split"] for r in hash_split(base, "doc_id").collect()}
+    more = spark.range(1, 3001).withColumnRenamed("id", "doc_id")
+    second = {r["doc_id"]: r["split"] for r in hash_split(more, "doc_id").collect()}
+    assert all(second[k] == v for k, v in first.items())  # no reassignment
+    from collections import Counter
+
+    c = Counter(second.values())
+    assert 0.85 <= c["train"] / 3000 <= 0.95
+    assert 0.02 <= c["val"] / 3000 <= 0.08
+    assert 0.02 <= c["test"] / 3000 <= 0.08
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from team_126_spark.operators.textops import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="sum to 100"):
+        hash_split(df, "doc_id", {"train": 50, "val": 10})
