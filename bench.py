@@ -42,6 +42,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_neardup",
+    "decontaminate",
+    "doc_chunk",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

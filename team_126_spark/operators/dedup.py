@@ -220,6 +220,66 @@ def minhash_lsh_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark-contamination check: for each eval document, the fraction of
+    its distinct k-word shingles that appear ANYWHERE in the training corpus
+    (the n-gram-overlap decontamination step every pre-training pipeline runs
+    before evaluating on held-out benchmarks).
+
+    Output: one row per eval doc — (id, n_shingles, n_overlap, overlap_ratio,
+    contaminated >= threshold). Eval docs with < k tokens have no shingles →
+    ratio 0.0, never flagged.
+
+    Plan shape for 100 TB of train against a small eval set:
+    1. both sides reduce to DISTINCT shingle HASHES (8-byte keys via
+       `hash_fn`, never the shingle strings) — the train side is one
+       map-side-combined distinct, shuffle ∝ distinct n-grams, not corpus;
+    2. the membership probe is a left-semi equi-join on the hash — Catalyst
+       broadcasts the (tiny) eval side automatically when sizes allow, and
+       hot shingles cannot explode output (semi join emits each eval row at
+       most once);
+    3. per-doc totals and hits are two partial-aggregated groupBys on the
+       uniform doc id.
+    """
+    tr = (
+        spread(train, id_col)
+        .select(F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .select(_token_hash(F.col("shingle"), hash_fn).alias("sh"))
+        .distinct()
+    )
+    ev = spread(eval_df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("doc", _token_hash(F.col("shingle"), hash_fn).alias("sh"))
+    tot = ev.groupBy("doc").agg(F.count("*").cast("bigint").alias("n_shingles"))
+    hits = (
+        ev.join(tr, "sh", "left_semi")
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        eval_df.select(F.col(id_col).alias("doc"))
+        .join(tot, "doc", "left")
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.round(F.coalesce(ratio, F.lit(0.0)), 6).alias("overlap_ratio"),
+            (F.coalesce(ratio, F.lit(0.0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint over whitespace tokens: per bit, sign of the
     summed ±1 contributions of each token's hash bit (64 effective bits

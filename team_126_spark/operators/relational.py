@@ -63,6 +63,30 @@ def conditional_count(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
 
+def stratified_sample(
+    df: DataFrame, group_col: str, id_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives iff
+    md5(id) mod 10000 falls under its group's fraction × 10000. Groups
+    absent from `fractions` are dropped (fraction 0.0).
+
+    Unlike df.sample()/sampleBy() (seeded RNG over partition order — not
+    stable under repartitioning), this is a PURE per-row predicate of the
+    id: reruns, appends, and any physical layout give the same sample, and
+    disjoint fraction intervals would give nested samples. No shuffle; the
+    filter sits in the scan."""
+    from ..functions.text import md5_low60
+
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1], got {frac}")
+    bucket = F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(10_000))
+    keep = F.lit(False)
+    for g, frac in fractions.items():
+        keep = keep | ((F.col(group_col) == g) & (bucket < int(round(frac * 10_000))))
+    return df.filter(keep)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

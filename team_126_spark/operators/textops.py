@@ -189,6 +189,62 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def chunk_documents(
+    df: DataFrame, text_col: str, id_col: str, chunk_size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Sliding-window token chunking: overlapping windows of `chunk_size`
+    tokens every `stride` tokens — the standard context-window preparation
+    step for training/RAG corpora. Docs with zero tokens emit no chunks;
+    the final chunk may be shorter than `chunk_size`.
+
+    Generator op (§2.9 family): one tokenization, one explode over the
+    start offsets — row expansion is ~n_tokens/stride per doc, no shuffle,
+    no UDF. Output rows carry (doc, chunk_id, n_tokens, chunk_text)."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError(f"chunk_size and stride must be positive, got {chunk_size}, {stride}")
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    exploded = toks_df.filter(n > 0).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(stride))).alias("_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# PII categories → (regex, placeholder). Patterns restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repeats, \b word boundaries — no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses with typed
+    placeholders and count each category (counts over the ORIGINAL text;
+    redaction applies email → phone → ip, so an earlier replacement cannot
+    manufacture a later match). Pure regexp_count/regexp_replace column
+    expressions — whole-stage codegen, no shuffle."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for name, (pat, placeholder) in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, placeholder)
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
 def extract_coordinates(df: DataFrame, text_col: str) -> DataFrame:
     """Regex lat/lon extraction from message text (F4; main.py:490-509)."""
     pat_lat = r"Latitude\s+([-+]?\d+\.?\d*)"

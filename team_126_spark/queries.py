@@ -1128,6 +1128,171 @@ def q_hash_split(spark, sf_dir):
 
 
 @declared(
+    "decontaminate",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {X.md5_low60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS b
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id AS doc, b, {X.md5_low60_sql('shingle')} AS shash
+      FROM (
+        SELECT doc_id, b, unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        FROM (SELECT doc_id, b, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+              FROM split)
+        WHERE len(toks) >= 3
+      )
+    ),
+    tr AS (SELECT DISTINCT shash FROM sh WHERE b < 90),
+    ev AS (SELECT doc, shash FROM sh WHERE b >= 95),
+    tot AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY doc),
+    hit AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM ev WHERE shash IN (SELECT shash FROM tr) GROUP BY doc)
+    SELECT s.doc_id,
+           coalesce(t.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(round(CAST(h.n_overlap AS DOUBLE) / t.n_shingles, 6), 0.0)
+             AS overlap_ratio,
+           coalesce(CAST(h.n_overlap AS DOUBLE) / t.n_shingles >= 0.5, false)
+             AS contaminated
+    FROM (SELECT doc_id FROM split WHERE b >= 95) s
+    LEFT JOIN tot t ON t.doc = s.doc_id
+    LEFT JOIN hit h ON h.doc = s.doc_id
+    """,
+    doc="benchmark decontamination: per eval doc, fraction of its 3-gram "
+    "shingles present anywhere in the train split (distinct-hash semi-join; "
+    "shuffle ∝ distinct n-grams, never corpus²)",
+)
+def q_decontaminate(spark, sf_dir):
+    docs = TO.hash_split(load(spark, sf_dir, "documents"), "doc_id")
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "test")
+    return D.decontaminate(train, ev, "text", "doc_id", k=3, threshold=0.5, hash_fn="md5")
+
+
+@declared(
+    "doc_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(norm, ' ') AS toks
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+    FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM toks)
+    """,
+    doc="sliding-window token chunking (32-token windows, stride 24) — "
+    "context-window prep as a generator op: one explode, no shuffle, no UDF",
+)
+def q_doc_chunk(spark, sf_dir):
+    return TO.chunk_documents(
+        load(spark, sf_dir, "documents"), "text", "doc_id", chunk_size=32, stride=24
+    )
+
+
+@declared(
+    "stratified_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_orderstatus,
+             {X.md5_low60_sql('CAST(o_orderkey AS VARCHAR)')} % 10000 AS b
+      FROM orders
+    )
+    WHERE (o_orderstatus = 'F' AND b < 2000)
+       OR (o_orderstatus = 'O' AND b < 1000)
+       OR (o_orderstatus = 'P' AND b < 10000)
+    """,
+    doc="deterministic stratified sampling: per-group md5-bucket predicate "
+    "(stable under reruns/appends/repartitioning, unlike seeded sampleBy); "
+    "filter sits in the scan, no shuffle",
+)
+def q_stratified_sample(spark, sf_dir):
+    return R.stratified_sample(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderstatus",
+        "o_orderkey",
+        {"F": 0.2, "O": 0.1, "P": 1.0},
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from .operators.textops import PII_PATTERNS
+
+    email, phone, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ip"))
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(txt, '{email}', '[EMAIL]', 'g'),"
+        f" '{phone}', '[PHONE]', 'g'), '{ip}', '[IP]', 'g')"
+    )
+    return f"""
+    WITH t AS (
+      SELECT c_custkey,
+             c_name || ' (' || c_mktsegment || ') reach user'
+             || CAST(c_custkey AS VARCHAR) || '@example.com'
+             || CASE WHEN c_custkey % 2 = 0
+                     THEN ' or ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                          || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+                          || '-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)
+                          || '-' || CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN c_custkey % 3 = 0
+                     THEN ' at 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1'
+                     ELSE '' END AS txt
+      FROM customer
+    )
+    SELECT c_custkey, {scrub} AS scrubbed,
+           CAST(len(regexp_extract_all(txt, '{email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '{phone}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt, '{ip}')) AS BIGINT) AS n_ip
+    FROM t
+    """
+
+
+@declared(
+    "pii_scrub",
+    oracle=_pii_oracle_sql(),
+    doc="PII redaction: email/phone/IPv4 regex scrub with typed placeholders "
+    "+ per-category counts, over customer contact text (patterns restricted "
+    "to Java-regex/RE2-common syntax so the oracle matches byte-for-byte)",
+)
+def q_pii_scrub(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        (k % 900 + 100).cast("string"),
+        ((k * 7) % 900 + 100).cast("string"),
+        ((k * 13) % 9000 + 1000).cast("string"),
+    )
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" ("),
+        F.col("c_mktsegment"),
+        F.lit(") reach user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.concat(F.lit(" or "), phone)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit(" at 10.0."), (F.col("c_custkey") % 256).cast("string"), F.lit(".1")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return TO.pii_scrub(
+        c.select("c_custkey", txt.alias("contact_text")), "contact_text", "c_custkey"
+    )
+
+
+@declared(
     "doc_exact_dedup",
     oracle=f"""
     SELECT md5({X.normalize_ws_sql('text')}) AS fingerprint,

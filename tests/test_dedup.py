@@ -112,3 +112,39 @@ def test_embedding_neardup_lsh_ignores_null_and_zero_vectors(spark):
     df = spark.createDataFrame(rows, "id int, vec array<double>")
     got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(df, "vec", "id", dim=4, threshold=0.9).collect()}
     assert got == {(1, 2)}  # null/zero rows neither pair up nor crash
+
+
+def test_decontaminate_flags_overlapping_eval_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),        # both shingles in train
+            (11, "totally novel held out words"),  # zero overlap
+            (12, "three four five nine ten"),      # partial: 1 of 3 shingles
+            (13, "ab"),                            # < k tokens -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.decontaminate(train, ev, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    assert got[10]["n_shingles"] == 2 and got[10]["n_overlap"] == 2
+    assert got[10]["overlap_ratio"] == 1.0 and got[10]["contaminated"]
+    assert got[11]["n_overlap"] == 0 and not got[11]["contaminated"]
+    assert got[12]["n_shingles"] == 3 and got[12]["n_overlap"] == 1
+    assert not got[12]["contaminated"]
+    assert got[13]["n_shingles"] == 0 and got[13]["overlap_ratio"] == 0.0
+    assert not got[13]["contaminated"]
+    # md5 family agrees with the default on overlap counts (family-agnostic op)
+    md5 = {
+        r["doc_id"]: r["n_overlap"]
+        for r in D.decontaminate(train, ev, "text", "doc_id", k=3, hash_fn="md5").collect()
+    }
+    assert md5 == {d: got[d]["n_overlap"] for d in got}

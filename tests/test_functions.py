@@ -174,3 +174,66 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError, match="sum to 100"):
         hash_split(df, "doc_id", {"train": 50, "val": 10})
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from team_126_spark.operators.textops import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "solo"), (3, "")], ["doc_id", "text"])
+    got = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_size=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 -> last chunk is the single trailing token
+    assert [r["chunk_id"] for r in by_doc[1]] == [0, 1, 2, 3]
+    assert by_doc[1][0]["chunk_text"] == "w0 w1 w2 w3"
+    assert by_doc[1][1]["chunk_text"] == "w3 w4 w5 w6"
+    assert by_doc[1][3]["chunk_text"] == "w9" and by_doc[1][3]["n_tokens"] == 1
+    assert by_doc[2][0]["chunk_text"] == "solo"
+    assert 3 not in by_doc  # empty doc emits no chunks
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, "text", "doc_id", chunk_size=4, stride=0)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from team_126_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org or x@y.io, call 25-989-741-2988 from 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r for r in pii_scrub(df, "text", "id").collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 1 and got[1]["n_ip"] == 1
+    assert got[1]["scrubbed"] == "mail [EMAIL] or [EMAIL], call [PHONE] from [IP]"
+    assert got[2]["scrubbed"] == "nothing sensitive here"
+    assert got[2]["n_email"] == got[2]["n_phone"] == got[2]["n_ip"] == 0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from team_126_spark.operators.relational import stratified_sample
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    frac = {"a": 0.3, "b": 1.0}
+    first = {r["k"] for r in stratified_sample(df, "g", "k", frac).collect()}
+    again = {r["k"] for r in stratified_sample(df.repartition(13), "g", "k", frac).collect()}
+    assert first == again  # layout-independent
+    n_a = sum(1 for k in first if k % 2 == 0)
+    n_b = sum(1 for k in first if k % 2 == 1)
+    assert n_b == 5_000  # fraction 1.0 keeps everything
+    assert 0.25 <= n_a / 5_000 <= 0.35
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"in \[0,1\]"):
+        stratified_sample(df, "g", "k", {"a": 1.5})

@@ -69,6 +69,7 @@ PROBE_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_neardup_lsh",
+    "decontaminate",
 ]
 
 
