@@ -7,7 +7,7 @@ codegen; nothing here shuffles except the explicit groupBys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -216,6 +216,75 @@ def chunk_documents(
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, id_col: str, min_df: int = 2, top_k: int = 1000
+) -> DataFrame:
+    """Vocabulary construction (tokenizer-training prep): per token, document
+    frequency and total occurrences; tokens seen in >= `min_df` docs ranked
+    by occurrences (ties broken by token text) and cut to `top_k`.
+
+    Plan shape: explode tokens → ONE groupBy(token) computing both counts
+    (count_distinct gets its own expand, both partially aggregated map-side;
+    shuffle carries per-token partial state, uniform token-hash keys) →
+    min_df filter → global top-k via TakeOrderedAndProject. The final rank
+    window runs on <= top_k rows — bounded, documented single task."""
+    from ..tables import spread
+
+    tok = spread(df, id_col).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count_distinct("doc").cast("bigint").alias("doc_freq"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+    )
+    top = (
+        agg.filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn("vocab_rank", F.row_number().over(w).cast("bigint"))
+
+
+def pack_sequences(
+    df: DataFrame, text_col: str, id_col: str, budget: int = 64, n_shards: int = 8
+) -> DataFrame:
+    """Greedy next-fit sequence packing: within deterministic md5 shards,
+    stream docs in id order and append each to the current bin unless its
+    tokens would push the bin past `budget` — then open a new bin. A doc
+    longer than `budget` gets a bin of its own. The packing every training
+    pipeline runs to fill fixed context windows without splitting documents.
+
+    The scan-with-reset state (running bin total) is not expressible as a
+    plain window function, so each shard packs in one `applyInPandas` call —
+    the canonical stateful escape hatch. Shards are the parallelism unit:
+    at 100 TB, n_shards scales with the cluster and each shard's pack is a
+    linear scan over (id, n_tokens) pairs only — no text moves through the
+    shuffle. Output: (id, shard, bin_id, n_tokens)."""
+    from ..functions.text import md5_low60, token_count
+
+    base = df.select(
+        F.col(id_col),
+        F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(n_shards)).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    schema = f"{id_col} bigint, shard bigint, bin_id bigint, n_tokens bigint"
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bin_ids, cur_bin, cur_tokens = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if cur_tokens > 0 and cur_tokens + n > budget:
+                cur_bin += 1
+                cur_tokens = 0
+            bin_ids.append(cur_bin)
+            cur_tokens += n
+        pdf["bin_id"] = bin_ids
+        return pdf[[id_col, "shard", "bin_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(pack, schema)
 
 
 # PII categories → (regex, placeholder). Patterns restricted to syntax with

@@ -1128,6 +1128,77 @@ def q_hash_split(spark, sf_dir):
 
 
 @declared(
+    "build_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(str_split(norm, ' ')) AS token
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ),
+    agg AS (
+      SELECT token, CAST(count(DISTINCT doc) AS BIGINT) AS doc_freq,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY token
+    ),
+    top AS (
+      SELECT * FROM agg WHERE doc_freq >= 2
+      ORDER BY n_occurrences DESC, token LIMIT 100
+    )
+    SELECT token, doc_freq, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+             AS vocab_rank
+    FROM top
+    """,
+    doc="vocabulary construction: token doc-frequency + occurrence counts, "
+    "min_df filter, global top-k by occurrences (one groupBy shuffle, "
+    "TakeOrderedAndProject top-k, rank window on <= top_k rows)",
+)
+def q_build_vocab(spark, sf_dir):
+    return TO.build_vocab(
+        load(spark, sf_dir, "documents"), "text", "doc_id", min_df=2, top_k=100
+    )
+
+
+@declared(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             {X.md5_low60_sql('CAST(doc_id AS VARCHAR)')} % 8 AS shard,
+             {X.token_count_sql('text')} AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_tokens
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+             CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.n_tokens > 64
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.n_tokens > 64
+                  THEN o.n_tokens ELSE p.bin_tokens + o.n_tokens END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM packed
+    """,
+    doc="greedy next-fit sequence packing into 64-token context windows, "
+    "8 md5 shards — stateful scan via applyInPandas (shards are the "
+    "parallelism unit; only (id, n_tokens) pairs shuffle); DuckDB twin is "
+    "a recursive CTE advancing all shards in rank lockstep",
+)
+def q_pack_sequences(spark, sf_dir):
+    return TO.pack_sequences(
+        load(spark, sf_dir, "documents"), "text", "doc_id", budget=64, n_shards=8
+    )
+
+
+@declared(
     "decontaminate",
     oracle=f"""
     WITH split AS (

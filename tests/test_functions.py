@@ -237,3 +237,79 @@ def test_stratified_sample_deterministic_and_proportional(spark):
 
     with _pytest.raises(ValueError, match=r"in \[0,1\]"):
         stratified_sample(df, "g", "k", {"a": 1.5})
+
+
+def test_build_vocab_ranks_and_min_df(spark):
+    from team_126_spark.operators.textops import build_vocab
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "apple banana banana"),
+            (3, "apple date"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = build_vocab(df, "text", "doc_id", min_df=2, top_k=10).collect()
+    by_token = {r["token"]: r for r in got}
+    # cherry/date appear in only 1 doc -> filtered by min_df
+    assert set(by_token) == {"apple", "banana"}
+    assert by_token["apple"]["doc_freq"] == 3 and by_token["apple"]["n_occurrences"] == 4
+    assert by_token["banana"]["doc_freq"] == 2 and by_token["banana"]["n_occurrences"] == 3
+    assert by_token["apple"]["vocab_rank"] == 1 and by_token["banana"]["vocab_rank"] == 2
+    # top_k cut keeps the highest-occurrence tokens
+    assert len(build_vocab(df, "text", "doc_id", min_df=1, top_k=1).collect()) == 1
+
+
+def test_pack_sequences_invariants(spark):
+    from team_126_spark.operators.textops import pack_sequences
+
+    texts = [(i, " ".join(["w"] * n)) for i, n in enumerate([10, 20, 30, 40, 50, 5, 64, 70])]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    rows = pack_sequences(df, "text", "doc_id", budget=64, n_shards=2).collect()
+    assert len(rows) == len(texts)  # every doc lands in exactly one bin
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        # replay greedy next-fit: bins are dense, in doc order, and only a
+        # doc longer than the budget may overflow its (dedicated) bin
+        cur_bin, cur_tokens = 0, 0
+        for r in shard_rows:
+            n = r["n_tokens"]
+            if cur_tokens > 0 and cur_tokens + n > 64:
+                cur_bin += 1
+                cur_tokens = 0
+            assert r["bin_id"] == cur_bin
+            cur_tokens += n
+            assert cur_tokens <= 64 or (cur_tokens == n and n > 64)
+    # determinism under layout change
+    again = pack_sequences(df.repartition(7), "text", "doc_id", budget=64, n_shards=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_cosine_kernel_matches_fold_and_handles_nulls(spark):
+    from team_126_spark.functions.sketch import cosine_kernel
+    from team_126_spark.functions import vector as VF
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, [1.0, 0.0], [0.0, 1.0]),
+        (3, [1.0, 2.0], [2.0, 4.0]),
+        (4, None, [1.0, 0.0]),
+        (5, [0.0, 0.0], [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
+    kern = {r["id"]: r["k"] for r in df.select("id", cosine_kernel("a", "b").alias("k")).collect()}
+    assert kern[1] == pytest.approx(1.0) and kern[2] == pytest.approx(0.0)
+    assert kern[3] == pytest.approx(1.0)
+    assert kern[4] == 0.0 and kern[5] == 0.0  # null / zero-norm -> 0.0 like the fold
+    fold = {
+        r["id"]: r["k"]
+        for r in df.filter("a is not null")
+        .select("id", VF.cosine_similarity(F.col("a"), F.col("b")).alias("k"))
+        .collect()
+    }
+    for i in fold:
+        assert kern[i] == pytest.approx(fold[i], abs=1e-12)
