@@ -1,6 +1,7 @@
 from .io import (  # noqa: F401
     clean_headers,
     read_csv_bom,
+    read_jdbc,
     read_json_envelope,
     read_json_records,
     summarize_envelope,

@@ -125,6 +125,26 @@ def session_windows(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact-dedup: first arrival per key wins, duplicates within
+    the watermark horizon are dropped — the ingest-time twin of
+    operators/dedup.py:exact_dedup for a continuously arriving corpus.
+
+    dropDuplicatesWithinWatermark bounds the state store to keys seen in
+    the last `watermark` of event time (a plain dropDuplicates on a stream
+    retains EVERY key forever — unusable on an unbounded corpus). A dup
+    arriving later than the horizon is re-emitted: at 100 TB the horizon is
+    the dedup SLA, and the batch exact_dedup over the sink is the
+    reconciliation path.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_messages", LongType()),

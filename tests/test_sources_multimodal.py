@@ -178,3 +178,26 @@ def test_external_lookup_stub_deterministic(spark):
     assert 32.5 <= out[1]["lat"] <= 33.3 and -117.6 <= out[1]["lon"] <= -116.7
     # null query -> all-null struct (reference returns None on failure)
     assert out[2]["lat"] is None and out[2]["display_name"] is None
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S4 roundtrip against the Derby that ships with Spark's JVM: write a
+    DataFrame through the batched JDBC sink, read it back partitioned (4
+    range queries on the key), verify content and pushdown-ready plan."""
+    url = f"jdbc:derby:{tmp_path}/s4db;create=true"
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("row"), F.col("id").cast("string")).alias("name"),
+    )
+    IO.write_jdbc(df, url, "t_s4", mode="overwrite", batchsize=32)
+    back = IO.read_jdbc(
+        spark, url, "t_s4", partition_column="k", lower_bound=0, upper_bound=100,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4  # parallel range reads, not 1 connection
+    got = {r["k"]: (r["v"], r["name"]) for r in back.collect()}
+    assert len(got) == 100 and got[7] == (14, "row7")
+    # predicate pushdown reaches the remote scan
+    plan = back.filter(F.col("k") > 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan

@@ -149,3 +149,38 @@ def test_watermark_drops_late_data_across_restart(spark, tmp_path):
     rows((9, 15), (13, 30)).coalesce(1).write.mode("append").parquet(src)
     got = drain()
     assert got == {"2024-01-10 10:00:00": 2, "2024-01-10 11:00:00": 1}, got
+
+
+def test_stream_dedup_drops_duplicates_within_watermark(spark, tmp_path):
+    """First arrival per key wins; a duplicate arriving in a later
+    micro-batch (inside the watermark) is dropped. Diffed against batch
+    dropDuplicates over the same rows."""
+    import datetime as dt
+
+    d = str(tmp_path / "docs_stream")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [(1, "alpha", t0), (2, "beta", t0 + dt.timedelta(minutes=1))]
+    rows2 = [
+        (3, "alpha", t0 + dt.timedelta(minutes=2)),   # dup fingerprint of id 1
+        (4, "gamma", t0 + dt.timedelta(minutes=3)),
+        (5, "beta", t0 + dt.timedelta(minutes=4)),    # dup of id 2
+    ]
+    schema = "id long, fingerprint string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = STR.run_to_memory(
+        STR.stream_dedup(stream, ["fingerprint"], ts_col="ts", watermark="1 hour"),
+        "dedup_sink",
+    )
+    kept = {r["fingerprint"]: r["id"] for r in got.collect()}
+    assert set(kept) == {"alpha", "beta", "gamma"}
+    assert kept["gamma"] == 4
+    # batch twin keeps one row per fingerprint too
+    batch = spark.read.parquet(d).dropDuplicates(["fingerprint"])
+    assert batch.count() == 3
