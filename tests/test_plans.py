@@ -69,3 +69,42 @@ def test_lsh_join_is_equi_not_cross(spark):
     # never a nested-loop over doc pairs
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_semi_join_no_cartesian(spark):
+    plan = plan_of(spark, "decontaminate")
+    # membership probe is a semi join on the shingle hash — per-eval-row
+    # output bound; a regression to inner would re-emit per matching train row
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_build_vocab_partial_aggregation(spark):
+    plan = plan_of(spark, "build_vocab")
+    # both counts partially aggregated map-side; top-k must not global-sort
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_filter_is_scan_side(spark):
+    plan = plan_of(spark, "stratified_sample")
+    # pure per-row predicate: no shuffle at all in the plan
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_shuffles_counts_not_text(spark):
+    plan = plan_of(spark, "pack_sequences")
+    # only (id, shard, n_tokens) cross the shuffle into applyInPandas — the
+    # text column must be projected away before the exchange
+    assert "FlatMapGroupsInPandas" in plan
+    lines = plan.splitlines()
+    blocks = []
+    for i, ln in enumerate(lines):
+        if ln.startswith("(") and ") Exchange" in ln:
+            j = i + 1
+            block = []
+            while j < len(lines) and lines[j].strip():
+                block.append(lines[j])
+                j += 1
+            blocks.append("\n".join(block))
+    assert blocks and all("text#" not in b for b in blocks)
