@@ -63,6 +63,30 @@ def conditional_count(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
 
+def column_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group exact quantiles (linear interpolation — Spark `percentile`,
+    identical to DuckDB quantile_cont) of a numeric column, plus the group
+    count. Output one scalar column per quantile (`p50`, `p90`, ...).
+
+    Exact percentile buffers each group's values in the aggregation state —
+    fine for per-group cardinalities in the millions; at 100 TB corpus-wide
+    tails, swap `F.percentile` for `F.percentile_approx` (mergeable
+    KLL-style sketch, bounded state) and drop the oracle to a bounds check
+    (the profile_approx pattern)."""
+    aggs = [
+        F.round(F.percentile(value_col, F.lit(q)), 6).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return df.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"), *aggs
+    )
+
+
 def stratified_sample(
     df: DataFrame, group_col: str, id_col: str, fractions: dict[str, float]
 ) -> DataFrame:

@@ -190,6 +190,31 @@ def lsh_bucket_ann(
     return knn(cands, vec_col, probe, k, id_col).drop("lsh_buckets")
 
 
+def embedding_centroids(
+    df: DataFrame, vec_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Per-group embedding centroid as (group, pos, c, n_vecs) rows — the
+    vector-average aggregate behind cluster summaries, IVF re-training, and
+    drift monitors. Rows, not an array column: every value is a scalar, so
+    the result is oracle-comparable and safe through any canonicalizer.
+
+    Plan shape: posexplode → groupBy(group, pos) with map-side partial avg —
+    the shuffle carries (group × dim) partial sums, not vectors. `pos` is
+    1-based to match SQL generate_subscripts."""
+    exploded = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "val"),
+    )
+    return (
+        exploded.groupBy("grp", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("c"),
+            F.count_distinct("_id").cast("bigint").alias("n_vecs"),
+        )
+    )
+
+
 def ivf_centroids(
     df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
 ) -> list[list[float]]:

@@ -1128,6 +1128,52 @@ def q_hash_split(spark, sf_dir):
 
 
 @declared(
+    "doc_len_quantiles",
+    oracle=f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(nt, 0.5), 6) AS p50,
+           round(quantile_cont(nt, 0.9), 6) AS p90,
+           round(quantile_cont(nt, 0.99), 6) AS p99
+    FROM (SELECT source, CAST({X.token_count_sql('text')} AS DOUBLE) AS nt
+          FROM documents)
+    GROUP BY source
+    """,
+    doc="per-source token-length quantiles via exact linear-interpolation "
+    "percentile (== DuckDB quantile_cont); percentile_approx is the "
+    "documented 100 TB swap (mergeable sketch, bounded state)",
+)
+def q_doc_len_quantiles(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "source", X.token_count(F.col("text")).cast("double").alias("nt")
+    )
+    return R.column_quantiles(d, "nt", ["source"], qs=(0.5, 0.9, 0.99))
+
+
+@declared(
+    "vec_centroids",
+    oracle=f"""
+    SELECT grp, pos, round(avg(val), 6) AS c,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+    FROM (
+      SELECT vec_id % 4 AS grp, vec_id,
+             unnest(embedding)::DOUBLE AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    GROUP BY grp, pos
+    """,
+    doc="per-group embedding centroids as (group, pos, c) scalar rows — "
+    "posexplode + partial-aggregated avg; shuffle carries group×dim partial "
+    "sums, not vectors",
+)
+def q_vec_centroids(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "grp", F.pmod(F.col("vec_id"), F.lit(4))
+    )
+    return OV.embedding_centroids(e, "embedding", "grp", "vec_id")
+
+
+@declared(
     "build_vocab",
     oracle=f"""
     WITH tok AS (

@@ -313,3 +313,34 @@ def test_cosine_kernel_matches_fold_and_handles_nulls(spark):
     }
     for i in fold:
         assert kern[i] == pytest.approx(fold[i], abs=1e-12)
+
+
+def test_column_quantiles_known_values(spark):
+    from team_126_spark.operators.relational import column_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 5.0), ("b", 15.0)],
+        ["g", "x"],
+    )
+    got = {r["g"]: r for r in column_quantiles(df, "x", ["g"], qs=(0.5, 0.9)).collect()}
+    assert got["a"]["n"] == 10 and got["a"]["p50"] == 5.5 and got["a"]["p90"] == 9.1
+    assert got["b"]["p50"] == 10.0  # midpoint interpolation of 5 and 15
+
+
+def test_embedding_centroids_known_vectors(spark):
+    from team_126_spark.operators.vector import embedding_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, "g1", [1.0, 3.0]),
+            (2, "g1", [3.0, 5.0]),
+            (3, "g2", [2.0, 2.0]),
+            (4, "g2", None),  # null vectors excluded, not zero-filled
+        ],
+        "id long, grp string, v array<double>",
+    )
+    got = {(r["grp"], r["pos"]): r for r in embedding_centroids(df, "v", "grp", "id").collect()}
+    assert got[("g1", 1)]["c"] == 2.0 and got[("g1", 2)]["c"] == 4.0
+    assert got[("g1", 1)]["n_vecs"] == 2
+    assert got[("g2", 1)]["c"] == 2.0 and got[("g2", 1)]["n_vecs"] == 1
+    assert len(got) == 4  # 2 groups x dim 2; the null row adds nothing
