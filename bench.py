@@ -44,6 +44,7 @@ HEADLINE = [
     "embedding_neardup",
     "decontaminate",
     "doc_chunk",
+    "corpus_curate",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

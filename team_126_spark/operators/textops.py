@@ -287,6 +287,71 @@ def pack_sequences(
     return base.groupBy("shard").applyInPandas(pack, schema)
 
 
+def curate_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """The end-to-end curation pipeline every pre-training corpus runs,
+    composed from this module's signals in ONE scan: quality gate →
+    language filter → exact dedup (canonical = min id per fingerprint) →
+    deterministic train/val/test split.
+
+    Single-pass design: all per-row signals (quality, language evidence,
+    fingerprint) come from one staged projection over one read — chaining
+    the individual operators would re-scan the corpus once per signal
+    (three joins Catalyst cannot fuse, since common-subexpression
+    elimination does not cross self-join scans). The only shuffles are the
+    dedup window (keyed by uniform md5) and nothing else; the split is a
+    pure hash predicate."""
+    from ..functions.text import STOPWORDS, punct_ratio
+
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
+    staged = df.select(
+        F.col(id_col),
+        tokens(t).alias("_toks"),
+        F.round(len_score * punct_penalty, 6).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+    def hit(lang: str):
+        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(words, x))).cast(
+            "bigint"
+        )
+
+    hits_df = staged.select(
+        F.col(id_col),
+        "quality",
+        "fingerprint",
+        *[hit(lang).alias(f"_h_{lang}") for lang in STOPWORDS],
+    )
+    hits = {lang: F.col(f"_h_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    guess = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    signals = hits_df.select(
+        F.col(id_col), "quality", "fingerprint", guess.alias("lang_guess")
+    )
+    kept = signals.filter(
+        (F.col("quality") >= min_quality) & F.col("lang_guess").isin(*langs)
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return hash_split(deduped, id_col, weights).select(
+        id_col, "quality", "lang_guess", "fingerprint", "split"
+    )
+
+
 # PII categories → (regex, placeholder). Patterns restricted to syntax with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB): character
 # classes, bounded repeats, \b word boundaries — no backrefs, no lookaround.

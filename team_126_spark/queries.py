@@ -1127,6 +1127,58 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def _quality_sql() -> str:
+    return (
+        f"round(least({X.token_count_sql('text')} / 50.0, 1.0)"
+        " * greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0"
+        " ELSE CAST(length(text) - length(regexp_replace(text,"
+        " '[.!?,;:''\"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END)"
+        " * 5.0), 6)"
+    )
+
+
+@declared(
+    "corpus_curate",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_quality_sql()} AS quality,
+             md5({X.normalize_ws_sql('text')}) AS fingerprint,
+             {_stopword_hits_sql('en')} AS hits_en, {_stopword_hits_sql('es')} AS hits_es,
+             {_stopword_hits_sql('fr')} AS hits_fr, {_stopword_hits_sql('de')} AS hits_de
+      FROM documents
+    ),
+    guessed AS (
+      SELECT doc_id, quality, fingerprint,
+             CASE WHEN best > 0 THEN
+               (CASE WHEN hits_en = best THEN 'en'
+                     WHEN hits_es = best THEN 'es'
+                     WHEN hits_fr = best THEN 'fr'
+                     ELSE 'de' END)
+             ELSE 'und' END AS lang_guess
+      FROM (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM sig)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM guessed WHERE quality >= 0.3 AND lang_guess IN ('en')
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, quality, lang_guess, fingerprint,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT *, {X.md5_low60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS b FROM deduped)
+    """,
+    doc="end-to-end corpus curation: quality gate -> language filter -> "
+    "exact dedup (min-id canonical) -> deterministic split, all signals "
+    "from ONE scan (chained operators would re-scan per signal); only "
+    "shuffle is the dedup window on the uniform md5 key",
+)
+def q_corpus_curate(spark, sf_dir):
+    return TO.curate_corpus(
+        load(spark, sf_dir, "documents"), "text", "doc_id", min_quality=0.3, langs=("en",)
+    )
+
+
 @declared(
     "doc_len_quantiles",
     oracle=f"""

@@ -344,3 +344,23 @@ def test_embedding_centroids_known_vectors(spark):
     assert got[("g1", 1)]["n_vecs"] == 2
     assert got[("g2", 1)]["c"] == 2.0 and got[("g2", 1)]["n_vecs"] == 1
     assert len(got) == 4  # 2 groups x dim 2; the null row adds nothing
+
+
+def test_curate_corpus_filters_dedups_and_splits(spark):
+    from team_126_spark.operators.textops import curate_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house for a while and it was good"),
+            (2, "the cat and the dog sat in the house for a while and it was good"),
+            (3, "el gato y el perro en la casa que se queda y no sale un dia"),
+            (4, "x"),  # too short -> quality below gate
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in curate_corpus(df, "text", "doc_id", min_quality=0.1).collect()}
+    assert 1 in got and got[1]["lang_guess"] == "en"
+    assert 2 not in got  # exact dup of 1, min-id canonical wins
+    assert 3 not in got  # spanish filtered by langs=('en',)
+    assert 4 not in got  # quality gate
+    assert got[1]["split"] in {"train", "val", "test"}

@@ -108,3 +108,15 @@ def test_pack_sequences_shuffles_counts_not_text(spark):
                 j += 1
             blocks.append("\n".join(block))
     assert blocks and all("text#" not in b for b in blocks)
+
+
+def test_corpus_curate_single_scan(spark):
+    # all signals (quality, language evidence, fingerprint) must come from
+    # ONE read of documents — chaining the standalone operators would plan
+    # one scan per signal plus joins
+    import re
+
+    plan = plan_of(spark, "corpus_curate")
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count distinct scan node ids
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
