@@ -232,3 +232,32 @@ def test_ivf_ann_subset_and_recall(spark):
         for r in OV.ivf_ann(emb, "embedding", probe, 10, "vec_id", n_cells=16, nprobe=16).collect()
     ]
     assert full == exact
+
+
+def test_lsh_bucket_layout_partition_pruning(spark, tmp_path):
+    """The SCALING.md ingest layout: bucket ids computed once, exploded,
+    written partitionBy(lsh_bucket) — a probe's read plans with a partition
+    filter and touches only its probed buckets' directories."""
+    import random
+
+    from team_126_spark.sources.io import write_parquet
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(500)],
+        "id int, emb array<double>",
+    )
+    laid_out = OV.with_lsh_buckets(df, "emb", 16).select(
+        "id", "emb", F.explode("lsh_buckets").alias("lsh_bucket")
+    )
+    path = str(tmp_path / "ann_layout")
+    write_parquet(laid_out, path, partition_by=["lsh_bucket"])
+
+    probe = [rng.gauss(0, 1) for _ in range(16)]
+    targets = OV.probe_buckets(probe, 16)
+    back = spark.read.parquet(path).filter(F.col("lsh_bucket").isin(targets))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lsh_bucket" in plan.split("PartitionFilters")[1][:120]
+    n_read = back.select("lsh_bucket").distinct().count()
+    n_total = spark.read.parquet(path).select("lsh_bucket").distinct().count()
+    assert n_read <= len(targets) < n_total  # probe touches a strict subset
