@@ -35,9 +35,13 @@ def normalize_ws_sql(text: str) -> str:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of the normalized text (empty string → empty array)."""
+    """Whitespace tokens of the normalized text (NULL or empty → empty
+    array, so every token-derived signal sees 0 tokens rather than NULL/-1
+    — matching the oracles' WHERE norm <> '' + LEFT JOIN COALESCE shape)."""
     t = normalize_ws(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+    return F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -46,7 +50,10 @@ def token_count(text: Column) -> Column:
 
 def token_count_sql(text: str) -> str:
     n = normalize_ws_sql(text)
-    return f"(CASE WHEN {n} = '' THEN 0 ELSE len(str_split({n}, ' ')) END)::BIGINT"
+    return (
+        f"(CASE WHEN {n} IS NULL OR {n} = '' THEN 0"
+        f" ELSE len(str_split({n}, ' ')) END)::BIGINT"
+    )
 
 
 def char_count(text: Column) -> Column:

@@ -44,18 +44,41 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def quality_expr(t) -> "F.Column":
+    """The quality formula in ONE place (quality_score, curate_corpus, and
+    their oracles must agree): length sweet-spot × low punctuation, rounded."""
+    n_tokens = token_count(t)
+    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
+    return F.round(len_score * punct_penalty, 6)
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Scalar quality score in [0,1]: length sweet-spot × low punctuation.
     Deterministic arithmetic only → oracle-checkable."""
     t = F.col(text_col)
-    n_tokens = token_count(t)
-    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(len_score * punct_penalty, 6).alias("quality"),
+        token_count(t).alias("n_tokens"),
+        quality_expr(t).alias("quality"),
     )
+
+
+def lang_hit_expr(toks_col: "F.Column", lang: str) -> "F.Column":
+    """Stopword-hit count for `lang` over an already-materialized token
+    array (shared by language_id and curate_corpus)."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks_col, lambda t: F.array_contains(words, t))).cast("bigint")
+
+
+def lang_guess_expr(hits: dict) -> "F.Column":
+    """Greatest-hits argmax with deterministic tie order en>es>fr>de; 'und'
+    when no evidence. `hits` maps lang -> its hit-count Column."""
+    best = F.greatest(*hits.values())
+    guess = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # reversed → earlier langs win ties
+        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return guess
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -69,25 +92,15 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     consumer (SPARK-36718). The round-1 formulation inlined stopword_hits
     over the raw text 8×; this one measured ~3× faster at sf0.1."""
     toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-
-    def hit(lang: str):
-        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(words, t))).cast(
-            "bigint"
-        )
-
     hits_df = toks_df.select(
-        F.col(id_col), *[hit(lang).alias(f"hits_{lang}") for lang in STOPWORDS]
+        F.col(id_col),
+        *[lang_hit_expr(F.col("_toks"), lang).alias(f"hits_{lang}") for lang in STOPWORDS],
     )
     hits = {lang: F.col(f"hits_{lang}") for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    guess = F.lit("und")
-    for lang in reversed(list(STOPWORDS)):  # reversed → earlier langs win ties
-        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
     return hits_df.select(
         F.col(id_col),
         *[hits[lang] for lang in STOPWORDS],
-        guess.alias("lang_guess"),
+        lang_guess_expr(hits).alias("lang_guess"),
     )
 
 
@@ -270,7 +283,9 @@ def pack_sequences(
         F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(n_shards)).alias("shard"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
-    schema = f"{id_col} bigint, shard bigint, bin_id bigint, n_tokens bigint"
+    # id keeps its source type (string/int32 ids must not be declared bigint)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, shard bigint, bin_id bigint, n_tokens bigint"
 
     def pack(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -307,38 +322,22 @@ def curate_corpus(
     elimination does not cross self-join scans). The only shuffles are the
     dedup window (keyed by uniform md5) and nothing else; the split is a
     pure hash predicate."""
-    from ..functions.text import STOPWORDS, punct_ratio
-
     t = F.col(text_col)
-    n_tokens = token_count(t)
-    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
     staged = df.select(
         F.col(id_col),
         tokens(t).alias("_toks"),
-        F.round(len_score * punct_penalty, 6).alias("quality"),
+        quality_expr(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
-
-    def hit(lang: str):
-        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(words, x))).cast(
-            "bigint"
-        )
-
     hits_df = staged.select(
         F.col(id_col),
         "quality",
         "fingerprint",
-        *[hit(lang).alias(f"_h_{lang}") for lang in STOPWORDS],
+        *[lang_hit_expr(F.col("_toks"), lang).alias(f"_h_{lang}") for lang in STOPWORDS],
     )
     hits = {lang: F.col(f"_h_{lang}") for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    guess = F.lit("und")
-    for lang in reversed(list(STOPWORDS)):
-        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
     signals = hits_df.select(
-        F.col(id_col), "quality", "fingerprint", guess.alias("lang_guess")
+        F.col(id_col), "quality", "fingerprint", lang_guess_expr(hits).alias("lang_guess")
     )
     kept = signals.filter(
         (F.col("quality") >= min_quality) & F.col("lang_guess").isin(*langs)

@@ -892,9 +892,20 @@ def q_vec_knn_scoped(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 1).first()
     probe, scope = list(row["embedding"]), row["label"]
-    return OV.knn(
-        emb.filter(F.col("label") == scope), "embedding", probe, 10, "vec_id"
-    ).select("vec_id", "label", F.round("similarity", 6).alias("similarity"))
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    # round BEFORE the ordered limit (like q_vec_knn): ranking unrounded
+    # while the oracle ranks the rounded alias would let two rows that
+    # round equal cut the top-10 differently on either side
+    return (
+        emb.filter((F.col("label") == scope) & F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine_similarity(F.col("embedding"), pv), 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 @declared(

@@ -79,8 +79,14 @@ def summarize_envelope(
         F.coalesce(F.sum(unit_col), F.lit(0)).cast("bigint").alias("total_units"),
         F.sort_array(F.collect_set(jurisdiction_col)).alias("jurisdictions"),
         F.sort_array(F.collect_set(zoning_col)).alias("zoning_types"),
-        F.sum(F.when(F.col(vacancy_col) == "Vacant", 1).otherwise(0)).cast("bigint").alias("vacant"),
-        F.sum(F.when(F.col(vacancy_col) != "Vacant", 1).otherwise(0)).cast("bigint").alias("other"),
+        F.sum(F.when(F.col(vacancy_col).eqNullSafe("Vacant"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("vacant"),
+        # null-safe complement: a NULL status is 'other', so the two buckets
+        # always partition total_records (col != 'Vacant' drops NULLs)
+        F.sum(F.when(~F.col(vacancy_col).eqNullSafe("Vacant"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("other"),
         F.min(unit_col).alias("min_units"),
         F.max(unit_col).alias("max_units"),
         F.avg(unit_col).alias("avg_units"),
@@ -130,7 +136,13 @@ def write_json_envelope(
             f"envelope holds {summary['total_records']} records > max_records="
             f"{max_records}; use write_json + summarize_envelope for large exports"
         )
-    records = [json.loads(s) for s in df.toJSON().collect()]
+    # to_json with ignoreNullFields=false keeps null-valued keys in every
+    # record (df.toJSON() silently drops them, so record shapes would vary
+    # row to row and consumers indexing a nulled key would KeyError)
+    json_col = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]), {"ignoreNullFields": "false"}
+    )
+    records = [json.loads(r[0]) for r in df.select(json_col).collect()]
     envelope = {
         "metadata": {
             "dataset_name": dataset_name,
@@ -184,6 +196,11 @@ def read_jdbc(
         spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(Spark would otherwise fail parsing the literal 'None')"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

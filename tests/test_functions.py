@@ -364,3 +364,28 @@ def test_curate_corpus_filters_dedups_and_splits(spark):
     assert 3 not in got  # spanish filtered by langs=('en',)
     assert 4 not in got  # quality gate
     assert got[1]["split"] in {"train", "val", "test"}
+
+
+def test_token_ops_handle_null_text(spark):
+    """NULL text behaves like empty text across the token-derived signals
+    (the oracles' WHERE norm <> '' + LEFT JOIN COALESCE shape)."""
+    from team_126_spark.functions.text import token_count, tokens
+    from team_126_spark.operators.textops import repetition_ratio
+
+    df = spark.createDataFrame([(1, None), (2, "two words")], "doc_id long, text string")
+    tk = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert tk[1] == 0 and tk[2] == 2
+    rep = {r["doc_id"]: r for r in repetition_ratio(df, "text", "doc_id").collect()}
+    assert rep[1]["n_tokens"] == 0 and rep[1]["repetition_ratio"] == 0.0
+    assert rep[1]["top_token_share"] == 0.0
+
+
+def test_pack_sequences_string_ids(spark):
+    from team_126_spark.operators.textops import pack_sequences
+
+    df = spark.createDataFrame(
+        [("doc-a", "one two"), ("doc-b", "three four five")], ["uid", "text"]
+    )
+    rows = pack_sequences(df, "text", "uid", budget=4, n_shards=2).collect()
+    assert {r["uid"] for r in rows} == {"doc-a", "doc-b"}
+    assert all(isinstance(r["uid"], str) for r in rows)

@@ -201,3 +201,13 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     # predicate pushdown reaches the remote scan
     plan = back.filter(F.col("k") > 90)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "k" in plan
+
+
+def test_summarize_envelope_null_status_counts_as_other(spark):
+    df = spark.createDataFrame(
+        [(2, "Vacant", "SD", "R1"), (3, None, "SD", "R1"), (5, "Occupied", "LA", "C2")],
+        ["units", "vacancy_status", "jurisdiction", "zoning_simplified"],
+    )
+    s = IO.summarize_envelope(df)
+    assert s["vacancy_counts"] == {"vacant": 1, "other": 2}
+    assert s["vacancy_counts"]["vacant"] + s["vacancy_counts"]["other"] == s["total_records"]
