@@ -29,6 +29,7 @@ HEADLINE = [
     "topk_per_group",
     "latest_per_group",
     "union_dedup",
+    "asof_join",
     # geo / vector / hybrid
     "geo_radius_topk",
     "geo_knn_join",

@@ -63,6 +63,64 @@ def conditional_count(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    right_tiebreak: str | None = None,
+    suffix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row with
+    the same `on` key and right ts <= left ts (inclusive) — the time-series
+    enrichment join Spark lacks natively (feature lookup at event time,
+    point-in-time correctness for training data).
+
+    The naive formulation is a range theta-join — quadratic per key and not
+    an equi-join Catalyst can plan well. This is the union-and-window
+    linearization: tag both sides, union by name, ONE shuffle/sort on the
+    key, then carry the latest right values forward with
+    last(ignorenulls) over a rows-frame. O(n log n) per key, no candidate
+    explosion, and AQE-friendly (plain window exchange).
+
+    Determinism: when several right rows share (key, ts), the one greatest
+    under `right_tiebreak` wins (required when right can have ts ties —
+    without it the winner depends on physical row order). Left rows with no
+    prior right row get NULLs (left-join semantics). Output: every left
+    column plus `{suffix}{c}` for each value col and `{suffix}ts`."""
+    r = (
+        right.select(
+            F.col(on),
+            F.col(ts_col),
+            F.col(ts_col).alias(f"{suffix}ts"),
+            *[F.col(c).alias(f"{suffix}{c}") for c in value_cols],
+            *( [F.col(right_tiebreak).alias("_tb")] if right_tiebreak else [] ),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    l_tagged = left.withColumn("_side", F.lit(1))
+    u = l_tagged.unionByName(r, allowMissingColumns=True)
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if right_tiebreak:
+        order.append(F.col("_tb").asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.col(f"{suffix}{c}"), ignorenulls=True).over(w).alias(f"{suffix}{c}")
+        for c in value_cols
+    ]
+    carried.append(F.last(F.col(f"{suffix}ts"), ignorenulls=True).over(w).alias(f"{suffix}ts"))
+    return (
+        u.select(*left.columns, F.col("_side"), *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
 def column_quantiles(
     df: DataFrame,
     value_col: str,

@@ -1138,6 +1138,40 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+@declared(
+    "asof_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.value AS asof_value, r.ts AS asof_ts
+    FROM l ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="as-of join: each purchase enriched with the user's latest view at "
+    "or before it — union-and-window linearization (one shuffle, no range "
+    "theta-join); DuckDB's native ASOF JOIN is the twin",
+)
+def q_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return R.asof_join(
+        purchases, views, on="user_id", ts_col="ts", value_cols=["value"],
+        right_tiebreak="event_id",
+    )
+
+
 def _quality_sql() -> str:
     return (
         f"round(least({X.token_count_sql('text')} / 50.0, 1.0)"

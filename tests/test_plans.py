@@ -120,3 +120,12 @@ def test_corpus_curate_single_scan(spark):
     # formatted mode prints each node once in the tree and once in the
     # detail section — count distinct scan node ids
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    # the linearization must plan as union + ONE window exchange — a
+    # regression to a range theta-join shows up as BroadcastNestedLoopJoin
+    # or CartesianProduct
+    plan = plan_of(spark, "asof_join")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

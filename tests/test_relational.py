@@ -219,3 +219,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert n == 1000
     spark.sql("DROP TABLE orders_b")
     spark.sql("DROP TABLE cust_b")
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of (right.ts <= left.ts), max-tiebreak on equal ts,
+    NULLs when no prior right row, and layout-independence."""
+    import datetime as dt
+
+    from team_126_spark.operators.relational import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(10), 9.9), (2, 100, t(0), 1.1), (3, 200, t(30), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, t(5), 50.0),   # before left 1
+            (11, 100, t(10), 60.0),  # ties left 1's ts -> inclusive, and
+            (12, 100, t(10), 70.0),  # same ts, higher id -> tiebreak winner
+            (13, 200, t(40), 80.0),  # after left 3 -> never matched
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", ["value"], right_tiebreak="event_id")
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[1]["asof_value"] == 70.0 and got[1]["asof_ts"] == t(10)
+    assert got[2]["asof_value"] is None and got[2]["asof_ts"] is None
+    assert got[3]["asof_value"] is None
+    again = asof_join(
+        left.repartition(5), right.repartition(3), "user_id", "ts", ["value"],
+        right_tiebreak="event_id",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
