@@ -121,6 +121,36 @@ def asof_join(
     )
 
 
+def rolling_features(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-window features per key: for every row, the count, sum,
+    and mean of `value_col` over the key's rows in the last `window_seconds`
+    up to and including the row — the point-in-time feature-engineering
+    window (no future leakage by construction: the frame ends at the
+    current row's event time).
+
+    One shuffle on the key; the RANGE frame runs over the per-partition
+    sort, state bounded by the window span. Time is compared on epoch
+    seconds (rangeBetween needs a numeric ordering key)."""
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(sec)
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("w_count"),
+        F.round(F.sum(value_col).over(w), 6).alias("w_sum"),
+        F.round(F.avg(value_col).over(w), 6).alias("w_mean"),
+    )
+
+
 def column_quantiles(
     df: DataFrame,
     value_col: str,

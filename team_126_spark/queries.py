@@ -1139,6 +1139,29 @@ def q_hash_split(spark, sf_dir):
 
 
 @declared(
+    "rolling_features",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(count(*) OVER w AS BIGINT) AS w_count,
+           round(sum(value) OVER w, 6) AS w_sum,
+           round(avg(value) OVER w, 6) AS w_mean
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="trailing 1-hour per-user features (count/sum/mean) — point-in-time "
+    "windows with no future leakage; both sides order on floored epoch "
+    "seconds so the frame boundary truncates identically",
+)
+def q_rolling_features(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return R.rolling_features(ev, "user_id", "ts", "value", window_seconds=3600)
+
+
+@declared(
     "asof_join",
     oracle="""
     WITH l AS (

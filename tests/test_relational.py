@@ -252,3 +252,25 @@ def test_asof_join_semantics(spark):
         right_tiebreak="event_id",
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_rolling_features_no_future_leakage(spark):
+    import datetime as dt
+
+    from team_126_spark.operators.relational import rolling_features
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, 0) + dt.timedelta(minutes=m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, 7, t(0), 10.0),
+            (2, 7, t(30), 20.0),   # 30 min after 1 -> window covers both
+            (3, 7, t(70), 40.0),   # 70 min after 1 -> row 1 aged out, row 2 in
+            (4, 8, t(30), 5.0),    # other key, isolated
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: r for r in rolling_features(df, "user_id", "ts", "value").collect()}
+    assert got[1]["w_count"] == 1 and got[1]["w_sum"] == 10.0
+    assert got[2]["w_count"] == 2 and got[2]["w_sum"] == 30.0
+    assert got[3]["w_count"] == 2 and got[3]["w_sum"] == 60.0  # rows 2+3 only
+    assert got[4]["w_count"] == 1 and got[4]["w_mean"] == 5.0
