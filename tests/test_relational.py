@@ -274,3 +274,35 @@ def test_rolling_features_no_future_leakage(spark):
     assert got[2]["w_count"] == 2 and got[2]["w_sum"] == 30.0
     assert got[3]["w_count"] == 2 and got[3]["w_sum"] == 60.0  # rows 2+3 only
     assert got[4]["w_count"] == 1 and got[4]["w_mean"] == 5.0
+
+
+def test_housing_demo_searches(spark):
+    """The reference's five demo searches (search_housing.py:96-140), run
+    against one fixture corpus: each demo is a conjunction the operator
+    must express, with the reference's limit=5."""
+    rows = [
+        (1, "City of San Diego", "Vacant", "High Density Residential", 120, "vacant high density residential"),
+        (2, "City of San Diego", "Occupied", "High Density Residential", 80, "occupied high density"),
+        (3, "City of San Diego", "Vacant", "Commercial", 60, "vacant commercial near transit hub"),
+        (4, "Chula Vista", "Vacant", "Commercial", 40, "vacant commercial"),
+        (5, "City of San Diego", "Occupied", "Mixed Use", 55, "occupied mixed use transit corridor"),
+        (6, "Chula Vista", "Occupied", "Mixed Use", 30, "occupied mixed use"),
+        (7, "City of San Diego", "Occupied", "Low Density Residential", 20, "occupied low density"),
+    ]
+    housing = spark.createDataFrame(
+        rows, ["objectid", "jurisdiction", "vacancy", "zoning_simplified", "units", "searchable_text"]
+    )
+
+    def ids(**kw):
+        return [r["objectid"] for r in S.housing_search(housing, limit=5, **kw).collect()]
+
+    # 1: vacant high-density residential
+    assert ids(vacancy_status="Vacant", zoning_type="High Density Residential") == [1]
+    # 2: City of San Diego with 50+ units
+    assert ids(jurisdiction="City of San Diego", min_units=50) == [1, 2, 3, 5]
+    # 3: commercial zoning
+    assert ids(zoning_type="Commercial") == [3, 4]
+    # 4: mixed use
+    assert ids(zoning_type="Mixed Use") == [5, 6]
+    # 5: text search for "transit"
+    assert ids(query="transit") == [3, 5]
