@@ -190,6 +190,38 @@ def lsh_bucket_ann(
     return knn(cands, vec_col, probe, k, id_col).drop("lsh_buckets")
 
 
+def knn_batch(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    k: int,
+    id_col: str,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """Batch KNN: top-k corpus neighbors for EVERY probe row in one job —
+    the amortized form of the reference's per-request KNN loop (N requests
+    = N scans there; one broadcast join + one window here).
+
+    Plan shape: broadcast(probes) × corpus (the only join big enough to
+    matter scans the corpus ONCE regardless of probe count), cosine per
+    (probe, row), then per-probe top-k via window. Scales to thousands of
+    probes; beyond broadcast size, bucket both sides by an ANN key first."""
+    from pyspark.sql import Window
+
+    pairs = corpus.filter(F.col(vec_col).isNotNull()).crossJoin(
+        F.broadcast(probes.select(probe_id, probe_vec))
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec)), 6)
+    w = Window.partitionBy(probe_id).orderBy(F.desc("similarity"), F.col(id_col).asc())
+    return (
+        pairs.select(probe_id, F.col(id_col), sim.alias("similarity"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def embedding_centroids(
     df: DataFrame, vec_col: str, group_col: str, id_col: str
 ) -> DataFrame:

@@ -1139,6 +1139,60 @@ def q_hash_split(spark, sf_dir):
 
 
 @declared(
+    "vec_knn_batch",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round({V.cosine_similarity_sql('e.embedding', 'p.probe_vec')}, 6) AS similarity
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.embedding IS NOT NULL
+    )
+    SELECT probe_id, vec_id, similarity FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY similarity DESC, vec_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="batch KNN: top-3 neighbors for every probe in ONE corpus scan "
+    "(broadcast probes + per-probe window) — amortizes the reference's "
+    "per-request KNN loop",
+)
+def q_vec_knn_batch(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return OV.knn_batch(emb, probes, "embedding", k=3, id_col="vec_id")
+
+
+@declared(
+    "rollup_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="A5-family multi-level dashboard aggregate: ROLLUP over "
+    "(status, priority) computes all three grain levels in one pass "
+    "(Expand + single partial-aggregated shuffle, not three scans)",
+)
+def q_rollup_counts(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@declared(
     "rolling_features",
     oracle="""
     SELECT event_id, user_id, ts, value,

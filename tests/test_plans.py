@@ -129,3 +129,11 @@ def test_asof_join_is_window_not_range_join(spark):
     plan = plan_of(spark, "asof_join")
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_knn_batch_broadcasts_probes(spark):
+    # the probe side must broadcast — a shuffled cross join would re-scan
+    # the corpus per probe partition
+    plan = plan_of(spark, "vec_knn_batch")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
