@@ -2,6 +2,7 @@ from .pipeline import (  # noqa: F401
     message_pipeline,
     run_to_memory,
     session_windows,
+    stream_curate,
     stream_dedup,
     stream_events,
     user_running_state,

@@ -145,6 +145,33 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_curate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ts_col: str = "ts",
+    min_quality: float = 0.3,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming ingest curation: stateless quality gate + fingerprint per
+    micro-batch, then watermarked first-arrival dedup — the ingest-time
+    shape of operators/textops.py:curate_corpus. The stateless signals
+    compose identically on a stream; the dedup is the part whose semantics
+    change (first arrival wins within the watermark horizon, with batch
+    exact_dedup over the sink as the reconciliation path)."""
+    from ..functions.text import fingerprint
+    from ..operators.textops import quality_expr
+
+    sig = df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        quality_expr(F.col(text_col)).alias("quality"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    kept = sig.filter(F.col("quality") >= min_quality)
+    return stream_dedup(kept, ["fingerprint"], ts_col=ts_col, watermark=watermark)
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_messages", LongType()),

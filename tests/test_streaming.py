@@ -184,3 +184,52 @@ def test_stream_dedup_drops_duplicates_within_watermark(spark, tmp_path):
     # batch twin keeps one row per fingerprint too
     batch = spark.read.parquet(d).dropDuplicates(["fingerprint"])
     assert batch.count() == 3
+
+
+def test_stream_curate_matches_batch_curation(spark, tmp_path):
+    """Quality gate + fingerprint + first-arrival dedup on a two-batch doc
+    stream equals the batch formulation over the same rows."""
+    import datetime as dt
+
+    d = str(tmp_path / "curate_stream")
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    long_a = " ".join(["alpha beta gamma delta"] * 4)
+    long_b = " ".join(["one two three four five"] * 4)
+    rows1 = [(1, long_a, base), (2, "x", base + dt.timedelta(minutes=1))]   # 2: low quality
+    rows2 = [
+        (3, long_a.upper(), base + dt.timedelta(minutes=2)),  # dup of 1 after normalize
+        (4, long_b, base + dt.timedelta(minutes=3)),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = STR.run_to_memory(
+        STR.stream_curate(stream, "text", "doc_id", ts_col="ts", min_quality=0.2),
+        "curate_sink",
+    )
+    kept = {r["doc_id"] for r in got.collect()}
+    assert kept == {1, 4}  # 2 gated on quality, 3 deduped against 1
+
+    from team_126_spark.functions.text import fingerprint
+    from team_126_spark.operators.textops import quality_expr
+
+    batch = (
+        spark.read.parquet(d)
+        .select("doc_id", "ts", quality_expr(F.col("text")).alias("q"),
+                fingerprint(F.col("text")).alias("fp"))
+        .filter(F.col("q") >= 0.2)
+    )
+    # batch first-arrival per fingerprint agrees with the stream's survivors
+    first_ids = set()
+    seen = set()
+    for r in batch.orderBy("ts", "doc_id").collect():
+        if r["fp"] not in seen:
+            seen.add(r["fp"])
+            first_ids.add(r["doc_id"])
+    assert first_ids == kept
