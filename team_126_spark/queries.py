@@ -1139,6 +1139,29 @@ def q_hash_split(spark, sf_dir):
 
 
 @declared(
+    "multimodal_knn",
+    oracle=None,  # feature extraction is the mapInPandas md5 featurizer (no SQL twin)
+    doc="multimodal similarity composition: binary media → mapInPandas "
+    "featurize → cosine top-k against the media_id=1 probe — the "
+    "decode-embed-search path of a multimodal corpus, end to end",
+)
+def q_multimodal_knn(spark, sf_dir):
+    from .operators.multimodal import MEDIA_META, extract_features
+
+    d = T.spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast(MEDIA_META).alias("meta"),
+    )
+    feats = extract_features(d).select("media_id", F.col("feature").cast("array<double>").alias("feature"))
+    probe = [float(x) for x in feats.filter(F.col("media_id") == 1).first()["feature"]]
+    return OV.knn(feats, "feature", probe, 10, "media_id").select(
+        "media_id", F.round("similarity", 6).alias("similarity")
+    )
+
+
+@declared(
     "vec_knn_batch",
     oracle=f"""
     WITH probes AS (
