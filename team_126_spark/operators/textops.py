@@ -322,12 +322,28 @@ def curate_corpus(
     elimination does not cross self-join scans). The only shuffles are the
     dedup window (keyed by uniform md5) and nothing else; the split is a
     pure hash predicate."""
+    from ..functions.text import punct_ratio
+
     t = F.col(text_col)
+    # Tokenize ONCE (the doc_langid lesson): quality derives its token count
+    # from the materialized array, not from a second normalize+split of the
+    # raw text (quality_expr(t) would re-tokenize; same arithmetic since
+    # token_count(t) == size(tokens(t)) by definition).
     staged = df.select(
         F.col(id_col),
         tokens(t).alias("_toks"),
-        quality_expr(t).alias("quality"),
+        F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0).alias("_punct_pen"),
         fingerprint(t).alias("fingerprint"),
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.round(
+            F.least(F.size(F.col("_toks")).cast("double") / 50.0, F.lit(1.0))
+            * F.col("_punct_pen"),
+            6,
+        ).alias("quality"),
+        F.col("fingerprint"),
     )
     hits_df = staged.select(
         F.col(id_col),
