@@ -87,21 +87,29 @@ def asof_join(
     Determinism: when several right rows share (key, ts), the one greatest
     under `right_tiebreak` wins (required when right can have ts ties —
     without it the winner depends on physical row order). Left rows with no
-    prior right row get NULLs (left-join semantics). Output: every left
-    column plus `{suffix}{c}` for each value col and `{suffix}ts`."""
+    prior right row get NULLs (left-join semantics), as do left rows with
+    NULL ts; right rows with NULL ts can never match (ASOF `l.ts >= r.ts`
+    is never true on NULL) and are filtered before the union. All fields of
+    the matched right row travel in ONE struct through last(ignorenulls) —
+    per-column carries would resurrect an older row's value whenever the
+    true as-of row holds a NULL in that column. Output: every left column
+    plus `{suffix}{c}` for each value col and `{suffix}ts`."""
     r = (
-        right.select(
+        right.filter(F.col(ts_col).isNotNull())
+        .select(
             F.col(on),
             F.col(ts_col),
-            F.col(ts_col).alias(f"{suffix}ts"),
-            *[F.col(c).alias(f"{suffix}{c}") for c in value_cols],
-            *( [F.col(right_tiebreak).alias("_tb")] if right_tiebreak else [] ),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                *[F.col(c).alias(c) for c in value_cols],
+            ).alias("_r"),
+            *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
         )
         .withColumn("_side", F.lit(0))
     )
     l_tagged = left.withColumn("_side", F.lit(1))
     u = l_tagged.unionByName(r, allowMissingColumns=True)
-    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    order = [F.col(ts_col).asc_nulls_first(), F.col("_side").asc()]
     if right_tiebreak:
         order.append(F.col("_tb").asc_nulls_first())
     w = (
@@ -109,13 +117,14 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(f"{suffix}{c}"), ignorenulls=True).over(w).alias(f"{suffix}{c}")
-        for c in value_cols
-    ]
-    carried.append(F.last(F.col(f"{suffix}ts"), ignorenulls=True).over(w).alias(f"{suffix}ts"))
+    carried = F.last(F.col("_r"), ignorenulls=True).over(w)
     return (
-        u.select(*left.columns, F.col("_side"), *carried)
+        u.select(
+            *left.columns,
+            F.col("_side"),
+            *[carried[c].alias(f"{suffix}{c}") for c in value_cols],
+            carried["ts"].alias(f"{suffix}ts"),
+        )
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
@@ -136,12 +145,14 @@ def rolling_features(
 
     One shuffle on the key; the RANGE frame runs over the per-partition
     sort, state bounded by the window span. Time is compared on epoch
-    seconds (rangeBetween needs a numeric ordering key)."""
-    sec = F.unix_timestamp(F.col(ts_col))
+    MICROseconds (rangeBetween needs a numeric ordering key; whole-second
+    truncation would let events up to ~1 s in the future share the frame —
+    real leakage on sub-second event data)."""
+    us = F.unix_micros(F.col(ts_col))
     w = (
         Window.partitionBy(key)
-        .orderBy(sec)
-        .rangeBetween(-window_seconds, 0)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     return df.select(
         "*",

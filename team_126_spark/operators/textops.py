@@ -44,10 +44,15 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_expr(t) -> "F.Column":
+def quality_expr(t, toks=None) -> "F.Column":
     """The quality formula in ONE place (quality_score, curate_corpus, and
-    their oracles must agree): length sweet-spot × low punctuation, rounded."""
-    n_tokens = token_count(t)
+    their oracles must agree): length sweet-spot × low punctuation, rounded.
+
+    Pass `toks` (a pre-materialized token array column) to reuse an
+    existing tokenization — size(toks) == token_count(t) by definition, so
+    the arithmetic is identical either way (the tokenize-once path for
+    pipelines that already carry the array)."""
+    n_tokens = F.size(toks).cast("bigint") if toks is not None else token_count(t)
     len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
     return F.round(len_score * punct_penalty, 6)
@@ -322,27 +327,20 @@ def curate_corpus(
     elimination does not cross self-join scans). The only shuffles are the
     dedup window (keyed by uniform md5) and nothing else; the split is a
     pure hash predicate."""
-    from ..functions.text import punct_ratio
-
     t = F.col(text_col)
     # Tokenize ONCE (the doc_langid lesson): quality derives its token count
-    # from the materialized array, not from a second normalize+split of the
-    # raw text (quality_expr(t) would re-tokenize; same arithmetic since
-    # token_count(t) == size(tokens(t)) by definition).
+    # from the materialized array via quality_expr's toks path, not from a
+    # second normalize+split of the raw text.
     staged = df.select(
         F.col(id_col),
         tokens(t).alias("_toks"),
-        F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0).alias("_punct_pen"),
+        t.alias("_text"),
         fingerprint(t).alias("fingerprint"),
     )
     staged = staged.select(
         F.col(id_col),
         F.col("_toks"),
-        F.round(
-            F.least(F.size(F.col("_toks")).cast("double") / 50.0, F.lit(1.0))
-            * F.col("_punct_pen"),
-            6,
-        ).alias("quality"),
+        quality_expr(F.col("_text"), toks=F.col("_toks")).alias("quality"),
         F.col("fingerprint"),
     )
     hits_df = staged.select(

@@ -205,20 +205,35 @@ def knn_batch(
 
     Plan shape: broadcast(probes) × corpus (the only join big enough to
     matter scans the corpus ONCE regardless of probe count), cosine per
-    (probe, row), then per-probe top-k via window. Scales to thousands of
-    probes; beyond broadcast size, bucket both sides by an ANN key first."""
+    (probe, row), then TWO-LEVEL top-k: a first window over (probe,
+    id-hash-shard) keeps k rows per shard — parallelism = probes × shards,
+    never the probe count alone — and the final per-probe window sorts only
+    shards × k survivors. A single per-probe window would funnel the whole
+    scored corpus into one task per probe (the single-task pathology
+    SCALING.md polices). Beyond broadcast size, bucket both sides by an ANN
+    key first."""
     from pyspark.sql import Window
 
+    n_shards = 32
     pairs = corpus.filter(F.col(vec_col).isNotNull()).crossJoin(
         F.broadcast(probes.select(probe_id, probe_vec))
     )
     sim = F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec)), 6)
-    w = Window.partitionBy(probe_id).orderBy(F.desc("similarity"), F.col(id_col).asc())
+    scored = pairs.select(
+        probe_id,
+        F.col(id_col),
+        sim.alias("similarity"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)).alias("_shard"),
+    )
+    order = [F.desc("similarity"), F.col(id_col).asc()]
+    w_local = Window.partitionBy(probe_id, "_shard").orderBy(*order)
+    w_final = Window.partitionBy(probe_id).orderBy(*order)
     return (
-        pairs.select(probe_id, F.col(id_col), sim.alias("similarity"))
-        .withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w_local))
         .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_shard")
     )
 
 

@@ -1146,16 +1146,27 @@ def q_hash_split(spark, sf_dir):
     "decode-embed-search path of a multimodal corpus, end to end",
 )
 def q_multimodal_knn(spark, sf_dir):
-    from .operators.multimodal import MEDIA_META, extract_features
+    from .operators.multimodal import MEDIA_META, _fake_features, extract_features
 
+    # Probe features come from the SAME featurizer applied driver-side to
+    # the probe doc's bytes (one pushed-filter row fetch) — running the
+    # corpus featurize job twice just to read one row back would double the
+    # most expensive stage, since mapInPandas can't absorb the pushdown.
+    probe_row = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") == 1).select("text").first()
+    )
+    if probe_row is None or probe_row["text"] is None:
+        raise ValueError("multimodal_knn probe needs documents row doc_id=1 with text")
+    probe = [float(x) for x in _fake_features(probe_row["text"].encode("utf-8"))]
     d = T.spread(load(spark, sf_dir, "documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.lit(None).cast(MEDIA_META).alias("meta"),
     )
-    feats = extract_features(d).select("media_id", F.col("feature").cast("array<double>").alias("feature"))
-    probe = [float(x) for x in feats.filter(F.col("media_id") == 1).first()["feature"]]
+    feats = extract_features(d).select(
+        "media_id", F.col("feature").cast("array<double>").alias("feature")
+    )
     return OV.knn(feats, "feature", probe, 10, "media_id").select(
         "media_id", F.round("similarity", 6).alias("similarity")
     )
@@ -1225,13 +1236,14 @@ def q_rollup_counts(spark, sf_dir):
     FROM events
     WINDOW w AS (
       PARTITION BY user_id
-      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
     )
     """,
     doc="trailing 1-hour per-user features (count/sum/mean) — point-in-time "
-    "windows with no future leakage; both sides order on floored epoch "
-    "seconds so the frame boundary truncates identically",
+    "windows with no future leakage; both sides order on epoch MICROseconds "
+    "(whole-second truncation would leak up-to-1s-future events into the "
+    "frame on sub-second data)",
 )
 def q_rolling_features(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")

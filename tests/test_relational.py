@@ -306,3 +306,29 @@ def test_housing_demo_searches(spark):
     assert ids(zoning_type="Mixed Use") == [5, 6]
     # 5: text search for "transit"
     assert ids(query="transit") == [3, 5]
+
+
+def test_asof_join_null_value_and_null_ts_rows(spark):
+    """The matched right row's NULL value must stay NULL (not resurrect an
+    older row's value), and NULL-ts rows never match on either side."""
+    import datetime as dt
+
+    from team_126_spark.operators.relational import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, 0) + dt.timedelta(minutes=m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 9, t(10), 1.0), (2, 9, None, 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(20, 9, t(1), 50.0), (21, 9, t(5), None), (22, 9, None, 99.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r
+        for r in asof_join(left, right, "user_id", "ts", ["value"], right_tiebreak="event_id").collect()
+    }
+    # true as-of row is ts=12:05 with NULL value: keep the NULL, keep its ts
+    assert got[1]["asof_ts"] == t(5) and got[1]["asof_value"] is None
+    # NULL-ts left row matches nothing; NULL-ts right row (id 22) matched nobody
+    assert got[2]["asof_ts"] is None and got[2]["asof_value"] is None
