@@ -1203,6 +1203,24 @@ def q_vec_knn_batch(spark, sf_dir):
 
 
 @declared(
+    "salted_join_fk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="skew-salted FK join (deterministic xxhash64 salt spreads each hot "
+    "key across 8 partitions; right side replicated per salt) — must equal "
+    "the plain equi-join bit-for-bit",
+)
+def q_salted_join_fk(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_name")
+    )
+    return R.salted_join(orders, cust, "o_custkey", salt_from="o_orderkey", n_salts=8)
+
+
+@declared(
     "rollup_counts",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
