@@ -7,6 +7,7 @@ costs one Spark job, not one per string."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -67,3 +68,38 @@ def test_md5_low60_range_and_determinism(spark, ids):
     assert all(0 <= r["h"] < 2**60 for r in rows)
     again = {r["x"]: r["h"] for r in df.collect()}
     assert {r["x"]: r["h"] for r in rows} == again
+
+
+coords = st.lists(
+    st.tuples(
+        st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+        st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+        st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+        st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(coords)
+def test_haversine_metric_properties(spark, pts):
+    """d >= 0; d(p, p) == 0; symmetry; km/miles ratio is the constant."""
+    from team_126_spark.functions.geo import KM_TO_MILES, haversine_km, haversine_miles
+
+    df = spark.createDataFrame(pts, ["lat1", "lon1", "lat2", "lon2"])
+    c = lambda n: F.col(n)  # noqa: E731
+    out = df.select(
+        haversine_km(c("lat1"), c("lon1"), c("lat2"), c("lon2")).alias("d"),
+        haversine_km(c("lat2"), c("lon2"), c("lat1"), c("lon1")).alias("d_rev"),
+        haversine_km(c("lat1"), c("lon1"), c("lat1"), c("lon1")).alias("d_self"),
+        haversine_miles(c("lat1"), c("lon1"), c("lat2"), c("lon2")).alias("d_mi"),
+    ).collect()
+    for r in out:
+        assert r["d"] >= 0.0 and abs(r["d_self"]) < 1e-6
+        assert r["d"] == pytest.approx(r["d_rev"], rel=1e-9, abs=1e-9)
+        # miles uses R=3959 directly, not km*factor — the two agree to ~0.1%
+        if r["d"] > 1.0:
+            assert r["d_mi"] / r["d"] == pytest.approx(KM_TO_MILES, rel=2e-3)
+        assert r["d"] <= 20038.0  # half the equatorial circumference, ~max
