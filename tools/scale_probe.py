@@ -70,6 +70,10 @@ PROBE_QUERIES = [
     "simhash",
     "embedding_neardup_lsh",
     "decontaminate",
+    "asof_join",
+    "rolling_features",
+    "vec_knn_batch",
+    "corpus_curate",
 ]
 
 
