@@ -220,6 +220,61 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id = min id
+    in the component): the step that turns pairwise near-dup evidence
+    (Jaccard/MinHash/embedding pairs) into dedup GROUPS so one canonical
+    doc survives per cluster. Transitive: {a,b} + {b,c} → one cluster {a}.
+
+    Iterative min-label propagation — the engine's iterative-algorithm
+    shape: each round every node takes min(own label, neighbors' labels);
+    the fixpoint (unique, order-independent → deterministic) is reached in
+    at most `diameter` rounds. Per round: one equi-join + one groupBy, both
+    on uniform id keys. The driver loop is bounded by max_iter and runs ONE
+    count() action per round for the convergence check; `localCheckpoint`
+    cuts the growing lineage so round N's plan does not replay rounds
+    1..N-1 (the classic iterative-Spark trap).
+    """
+    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges_fwd.union(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("label") != F.col("_old")).count()
+        labels = updated.drop("_old")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

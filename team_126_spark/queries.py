@@ -1781,8 +1781,37 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         k=3,
         bands=16,
         threshold=0.3,
-        hash_fn="md5",
+        hash_fn="md5",  # dedup_components' oracle composes this same SQL
     )
+
+
+@declared(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS ({minhash_sql}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+    """.format(minhash_sql=_minhash_oracle_sql(bands=16, threshold=0.3)),
+    doc="connected components over MinHash near-dup pairs → dedup clusters "
+    "(cluster = min id, transitive) — iterative min-label propagation with "
+    "localCheckpoint lineage cuts; oracle = recursive-CTE reachability over "
+    "the same md5 pair SQL",
+)
+def q_dedup_components(spark, sf_dir):
+    pairs = D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, bands=16, threshold=0.3, hash_fn="md5",
+    )
+    return D.dedup_components(pairs)
 
 
 def _simhash_oracle_sql() -> str:

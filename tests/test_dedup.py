@@ -148,3 +148,16 @@ def test_decontaminate_flags_overlapping_eval_docs(spark):
         for r in D.decontaminate(train, ev, "text", "doc_id", k=3, hash_fn="md5").collect()
     }
     assert md5 == {d: got[d]["n_overlap"] for d in got}
+
+
+def test_dedup_components_transitive_clusters(spark):
+    """{1-2, 2-3} chains into one cluster labeled by the min id; isolated
+    pair keeps its own; fixpoint is layout-independent."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9), (9, 8), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
+    again = {r["id"]: r["cluster_id"] for r in D.dedup_components(pairs.repartition(5)).collect()}
+    assert again == got
