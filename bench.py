@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_profile",
     "doc_tfidf",
     "minhash_lsh_pairs",
+    "dedup_components",
     "simhash",
     "embedding_neardup",
     "decontaminate",
