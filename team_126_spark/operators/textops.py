@@ -266,6 +266,32 @@ def build_vocab(
     return top.withColumn("vocab_rank", F.row_number().over(w).cast("bigint"))
 
 
+def ngram_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, min_count: int = 2, top_k: int = 1000
+) -> DataFrame:
+    """Corpus n-gram frequency table: occurrences and document frequency per
+    word n-gram — the language-model-side analysis feeding contamination
+    screens and boilerplate lexicons (build_vocab's n-gram generalization;
+    counts DISTINCT n-grams per doc since word_shingles dedupes per row).
+
+    Same plan as build_vocab: explode → one groupBy(ngram) with map-side
+    partials → min_count filter → TakeOrderedAndProject top-k."""
+    from ..functions.text import word_shingles
+    from ..tables import spread
+
+    grams = spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram"),
+    )
+    # word_shingles dedupes per doc, so a plain count IS the doc frequency
+    agg = grams.groupBy("ngram").agg(F.count("*").cast("bigint").alias("doc_freq"))
+    return (
+        agg.filter(F.col("doc_freq") >= min_count)
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
 def pack_sequences(
     df: DataFrame, text_col: str, id_col: str, budget: int = 64, n_shards: int = 8
 ) -> DataFrame:

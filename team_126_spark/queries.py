@@ -1472,6 +1472,31 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @declared(
+    "ngram_counts",
+    oracle=f"""
+    SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1]))) AS ngram
+      FROM (SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
+    )
+    GROUP BY ngram HAVING count(*) >= 2
+    ORDER BY doc_freq DESC, ngram LIMIT 1000
+    """,
+    doc="corpus bigram document-frequency table (contamination screens, "
+    "boilerplate lexicons) — one groupBy with map-side partials + "
+    "TakeOrderedAndProject top-k",
+)
+def q_ngram_counts(spark, sf_dir):
+    return TO.ngram_counts(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=2, min_count=2, top_k=1000
+    )
+
+
+@declared(
     "decontaminate",
     oracle=f"""
     WITH split AS (
