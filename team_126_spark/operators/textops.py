@@ -266,6 +266,41 @@ def build_vocab(
     return top.withColumn("vocab_rank", F.row_number().over(w).cast("bigint"))
 
 
+def doc_rarity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram-LM quality proxy: mean negative log document-frequency of a
+    doc's DISTINCT tokens — the cheap perplexity stand-in pipelines use to
+    rank docs by how unusual their vocabulary is (high rarity = rare words;
+    empty docs score 0.0).
+
+    Two aggregate passes over one exploded scan: token→DF table, corpus
+    size as a broadcast scalar (the doc_tfidf pattern — no driver collect),
+    join DF back onto the doc's tokens (Catalyst broadcasts the DF table
+    when small; at 100 TB it shuffles as an equi-join on the uniform
+    token key), then one partial-aggregated avg per doc."""
+    from ..tables import spread
+
+    tok = spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    per_doc = (
+        tok.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc")
+        .agg(F.round(F.avg(-F.log(F.col("df") / F.col("n_docs"))), 6).alias("rarity"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("rarity"), F.lit(0.0)).alias("rarity"),
+        )
+    )
+
+
 def ngram_counts(
     df: DataFrame, text_col: str, id_col: str, n: int = 2, min_count: int = 2, top_k: int = 1000
 ) -> DataFrame:

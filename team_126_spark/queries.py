@@ -1472,6 +1472,32 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @declared(
+    "doc_rarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(list_distinct(str_split(norm, ' '))) AS token
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ),
+    dfreq AS (SELECT token, count(*)::DOUBLE AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    per_doc AS (
+      SELECT tok.doc, round(avg(-ln(dfreq.df / n.n_docs)), 6) AS rarity
+      FROM tok JOIN dfreq USING (token) CROSS JOIN n
+      GROUP BY tok.doc
+    )
+    SELECT d.doc_id, coalesce(p.rarity, 0.0) AS rarity
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+    """,
+    doc="unigram-LM rarity score: mean -ln(df/N) over a doc's distinct "
+    "tokens (cheap perplexity proxy for corpus filtering) — DF table + "
+    "broadcast corpus-size scalar, no driver collect",
+)
+def q_doc_rarity(spark, sf_dir):
+    return TO.doc_rarity(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
     "ngram_counts",
     oracle=f"""
     SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq

@@ -389,3 +389,24 @@ def test_pack_sequences_string_ids(spark):
     rows = pack_sequences(df, "text", "uid", budget=4, n_shards=2).collect()
     assert {r["uid"] for r in rows} == {"doc-a", "doc-b"}
     assert all(isinstance(r["uid"], str) for r in rows)
+
+
+def test_doc_rarity_orders_rare_vocab_higher(spark):
+    from team_126_spark.operators.textops import doc_rarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common words"),   # tokens shared with doc 2
+            (2, "common words everywhere"),
+            (3, "xylophone quixotic zephyr"),  # unique vocabulary
+            (4, ""),                       # empty -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["rarity"] for r in doc_rarity(df, "text", "doc_id").collect()}
+    assert got[3] > got[1] and got[3] > got[2]  # unique vocab scores rarest
+    assert got[4] == 0.0
+    import math
+
+    # doc 3: every token df=1, N=4 -> rarity = ln 4
+    assert got[3] == pytest.approx(math.log(4), abs=1e-6)
