@@ -214,3 +214,72 @@ def dataset_search(
             unioned, [F.asc_nulls_last("distance_miles"), F.col(id_col).asc()], limit
         )
     return ordered_limit(unioned, [F.col(id_col).asc()], limit)
+
+
+# Safe-sleep option routing (tools/safe_places_to_sleep.py:104-145): which
+# source categories each include_type fans out to, with the reference's
+# per-category descriptions.
+SAFE_SLEEP_CATEGORIES = {
+    "safe_parking": "Safe parking lot for overnight vehicle sleeping",
+    "facilities_24h": "24-hour facility offering safe indoor space",
+    "parks": "Well-lit public parks with good visibility",
+    "transit_hubs": "Transit hub with 24-hour access and seating",
+}
+
+# Weather-conditional advisories (tools/safe_places_to_sleep.py:180-197).
+WEATHER_RECOMMENDATIONS = {
+    "rain": "Rain Advisory: prioritize covered areas - stations, overpasses, indoor 24-hour facilities.",
+    "heat": "Heat Advisory: seek shade and air-conditioned facilities; stay hydrated.",
+    "cold": "Cold Advisory: prioritize heated indoor facilities or warming centers; call 211.",
+    "clear": "Clear Night: multiple options available; focus on well-lit, populated areas.",
+}
+WEATHER_FALLBACK = "Stay safe and seek well-lit, populated areas."
+
+
+def safe_sleep_search(
+    sources: dict[str, DataFrame],
+    user_lat: float,
+    user_lon: float,
+    include_type: str = "all",
+    weather: str = "clear",
+    max_distance_miles: float = 3.0,
+    limit: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Safe-sleep option search (tools/safe_places_to_sleep.py:199-236),
+    engine-side: instead of N external web searches per category, the typed
+    source tables are category-pruned (include_type routing table), union-
+    tagged, radius-filtered on haversine miles (F2), and distance-ordered —
+    with the weather advisory attached as a constant column. The external
+    geocode/web lookups stay quarantined behind sources/external.py (§7.4).
+
+    Source pruning happens before the scan (driver-side routing like
+    route_sources) — at scale each category is a partition of the layout,
+    so include_type becomes partition pruning."""
+    if include_type != "all" and include_type not in SAFE_SLEEP_CATEGORIES:
+        raise ValueError(f"include_type must be 'all' or one of {sorted(SAFE_SLEEP_CATEGORIES)}")
+    picked = [
+        (name, desc)
+        for name, desc in SAFE_SLEEP_CATEGORIES.items()
+        if include_type in ("all", name) and name in sources
+    ]
+    tagged = [
+        sources[name]
+        .withColumn("option_type", F.lit(name))
+        .withColumn("category", F.lit(desc))
+        for name, desc in picked
+    ]
+    if not tagged:
+        raise ValueError("no sources match include_type")
+    unioned = union_datasets(tagged)
+    dist = F.round(
+        haversine_miles(F.lit(user_lat), F.lit(user_lon), F.col("lat"), F.col("lon")), 2
+    )
+    rec = WEATHER_RECOMMENDATIONS.get(weather, WEATHER_FALLBACK)
+    return ordered_limit(
+        unioned.withColumn("distance_miles", dist)
+        .filter(F.col("distance_miles") <= max_distance_miles)
+        .withColumn("weather_recommendation", F.lit(rec)),
+        [F.asc("distance_miles"), F.col(id_col).asc()],
+        limit,
+    )

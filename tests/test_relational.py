@@ -332,3 +332,29 @@ def test_asof_join_null_value_and_null_ts_rows(spark):
     assert got[1]["asof_ts"] == t(5) and got[1]["asof_value"] is None
     # NULL-ts left row matches nothing; NULL-ts right row (id 22) matched nobody
     assert got[2]["asof_ts"] is None and got[2]["asof_value"] is None
+
+
+def test_safe_sleep_search_routes_filters_and_advises(spark):
+    """tools/safe_places_to_sleep.py parity: include_type prunes categories,
+    radius filter applies in miles, weather advisory is attached, unknown
+    weather falls back."""
+    from team_126_spark.operators.search import safe_sleep_search
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, lat double, lon double")  # noqa: E731
+    sources = {
+        "safe_parking": mk([(1, 32.716, -117.161)]),
+        "facilities_24h": mk([(2, 32.72, -117.16)]),
+        "parks": mk([(3, 33.5, -117.0)]),        # ~55 miles away -> filtered
+        "transit_hubs": mk([(4, 32.71, -117.17)]),
+    }
+    got = safe_sleep_search(sources, 32.7157, -117.1611, weather="rain").collect()
+    assert [r["id"] for r in got] == [1, 2, 4]  # distance order, park too far
+    assert all(r["weather_recommendation"].startswith("Rain Advisory") for r in got)
+    only_parking = safe_sleep_search(sources, 32.7157, -117.1611, include_type="safe_parking")
+    assert [r["id"] for r in only_parking.collect()] == [1]
+    fallback = safe_sleep_search(sources, 32.7157, -117.1611, weather="hail").first()
+    assert fallback["weather_recommendation"].startswith("Stay safe")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="include_type"):
+        safe_sleep_search(sources, 0.0, 0.0, include_type="bogus")
