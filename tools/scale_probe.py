@@ -74,6 +74,8 @@ PROBE_QUERIES = [
     "rolling_features",
     "vec_knn_batch",
     "corpus_curate",
+    "dedup_components",
+    "doc_rarity",
 ]
 
 
