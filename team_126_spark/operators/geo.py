@@ -16,6 +16,8 @@ shuffle entirely.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,13 +34,18 @@ def radius_filter(
     Adds a bounding-box prefilter (sargable: plain comparisons on the lat/lon
     columns, pushed to the parquet scan as min/max pruning) before the exact
     haversine — the rewrite SURVEY.md §4.3 calls out. 1 deg lat = ~111.045 km
-    at the reference's R=6371.
+    at the reference's R=6371. The longitude half-width is deg/cos(lat) taken
+    at the poleward edge of the latitude band (driver-side scalar, still
+    sargable), so the box stays a true cover at any latitude; within ~0.6° of
+    a pole cos → 0 and we skip the longitude cut entirely.
     """
-    deg = max_km / 111.045  # conservative: longitude shrinks by cos(lat) <= 1
-    boxed = df.filter(
-        F.col(lat).between(probe_lat - deg, probe_lat + deg)
-        & F.col(lon).between(probe_lon - deg * 2.0, probe_lon + deg * 2.0)
-    )
+    deg = max_km / 111.045
+    lat_edge = min(abs(probe_lat) + deg, 90.0)
+    cos_edge = math.cos(math.radians(lat_edge))
+    boxed = df.filter(F.col(lat).between(probe_lat - deg, probe_lat + deg))
+    if cos_edge > 0.01:  # near a pole every longitude is in range — lat cut suffices
+        lon_deg = min(deg / cos_edge, 360.0)
+        boxed = boxed.filter(F.col(lon).between(probe_lon - lon_deg, probe_lon + lon_deg))
     dist = haversine_km(F.lit(probe_lat), F.lit(probe_lon), F.col(lat), F.col(lon))
     return boxed.withColumn("distance_km", dist).filter(F.col("distance_km") <= max_km)
 

@@ -1140,7 +1140,56 @@ def q_hash_split(spark, sf_dir):
 
 @declared(
     "multimodal_knn",
-    oracle=None,  # feature extraction is the mapInPandas md5 featurizer (no SQL twin)
+    # The fake featurizer (operators/multimodal.py:_fake_features) is pure md5
+    # arithmetic, so it HAS an exact SQL twin: md5 hex → 16 bytes → scattered
+    # histogram v[byte%32] += 1+(i%3) → v/‖v‖ (float64, exact: the histogram
+    # is integer-valued so the norm is bit-deterministic) → per-element FLOAT
+    # cast (mirrors ArrayType(FloatType) storage) → cosine vs the media_id=1
+    # probe, which stays full float64 exactly like the driver-side probe list.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT media_id, t.i,
+             (strpos('0123456789abcdef', substring(hx, CAST(2 * t.i + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hx, CAST(2 * t.i + 2 AS INT), 1)) - 1)
+               AS byte
+      FROM h, range(0, 16) AS t(i)
+    ),
+    contrib AS (
+      SELECT media_id, byte % 32 AS dim, sum(1.0 + (i % 3)) AS w
+      FROM pairs GROUP BY media_id, byte % 32
+    ),
+    grid AS (
+      SELECT m.media_id, d.dim
+      FROM (SELECT DISTINCT media_id FROM h) m, range(0, 32) AS d(dim)
+    ),
+    dims AS (
+      SELECT g.media_id, g.dim, coalesce(c.w, 0.0) AS w
+      FROM grid g LEFT JOIN contrib c ON c.media_id = g.media_id AND c.dim = g.dim
+    ),
+    vecs AS (
+      SELECT media_id, list(w ORDER BY dim) AS raw FROM dims GROUP BY media_id
+    ),
+    normed AS (
+      SELECT media_id,
+             list_transform(raw, x -> CAST(CAST(x / sqrt(n2) AS FLOAT) AS DOUBLE)) AS fv
+      FROM (SELECT media_id, raw,
+                   list_sum(list_transform(raw, x -> x * x)) AS n2 FROM vecs)
+    ),
+    probe AS (
+      SELECT list_transform(raw, x -> x / sqrt(n2)) AS pv
+      FROM (SELECT raw, list_sum(list_transform(raw, x -> x * x)) AS n2
+            FROM vecs WHERE media_id = 1)
+    ),
+    scored AS (
+      SELECT media_id, {V.cosine_similarity_sql('fv', 'pv')} AS sim
+      FROM normed, probe
+    )
+    SELECT media_id, round(sim, 6) AS similarity
+    FROM scored ORDER BY sim DESC, media_id LIMIT 10
+    """,
     doc="multimodal similarity composition: binary media → mapInPandas "
     "featurize → cosine top-k against the media_id=1 probe — the "
     "decode-embed-search path of a multimodal corpus, end to end",

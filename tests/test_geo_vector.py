@@ -47,6 +47,36 @@ def test_radius_topk_ordering(points):
     assert dists == sorted(dists)
 
 
+def test_radius_filter_high_latitude(spark):
+    """At 65°N a degree of longitude spans only ~47 km, so a fixed 2×deg
+    longitude box clips true in-radius rows (the old bug): a point 9.9 km
+    due east of the probe sits Δlon ≈ 0.211° away while 2×deg ≈ 0.180°.
+    The cos-widened box must keep it."""
+    from team_126_spark.functions.geo import haversine_km
+
+    probe_lat, probe_lon, max_km = 65.0, 18.0, 10.0
+    rows = [
+        (1, 65.0, 18.211),   # ~9.9 km due east — clipped by the old box
+        (2, 65.0, 18.0),     # at the probe
+        (3, 65.0, 18.6),     # ~28 km east — out of radius
+        (4, 65.3, 18.0),     # ~33 km north — out of radius
+    ]
+    df = spark.createDataFrame(rows, "sid int, lat double, lon double")
+    got = {
+        r["sid"]
+        for r in OG.radius_filter(df, "lat", "lon", probe_lat, probe_lon, max_km).collect()
+    }
+    brute = {
+        r["sid"]
+        for r in df.withColumn(
+            "d", haversine_km(F.lit(probe_lat), F.lit(probe_lon), F.col("lat"), F.col("lon"))
+        )
+        .filter(F.col("d") <= max_km)
+        .collect()
+    }
+    assert got == brute == {1, 2}
+
+
 def test_knn_join_agrees_with_exact(points, stops):
     """The grid-cell prefilter path must be EXACT (cover proof), not approximate."""
     fast = OG.knn_join(points, stops, "sid", "stop_id", max_km=5.0, k=3)
