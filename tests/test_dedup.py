@@ -79,10 +79,12 @@ def test_embedding_neardup_lsh_subset_of_exact(vecs):
     assert (1, 2) in lsh  # near-identical vectors share every sign bit
 
 
-def test_embedding_neardup_lsh_recall_at_query_threshold(spark):
-    """Recall gate at the DECLARED query's operating point (threshold 0.4,
-    3 planes x 8 tables) on the sf0.01 corpus — the config the query ships
-    with must recall >= 0.8 of the exact pairs there. Deterministic."""
+def test_embedding_neardup_lsh_recall_at_weak_threshold(spark):
+    """Bounded weak-similarity measurement (threshold 0.4, 3 planes x 8
+    tables) on the sf0.01 corpus: sign-LSH cannot prune down here, so this
+    stays a pytest-only recall gate (>= 0.8 of exact pairs) rather than a
+    declared query — the declared query operates in the 0.9 pruning regime
+    (VERDICT r2 #2). Deterministic."""
     from team_126_spark.tables import table
 
     emb = table(spark, "/root/testdata/sf0.01", "embeddings").cache()
@@ -99,6 +101,32 @@ def test_embedding_neardup_lsh_recall_at_query_threshold(spark):
     emb.unpersist()
     assert lsh <= exact  # verify step is exact -> never a false positive
     assert len(lsh & exact) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_embedding_neardup_lsh_exact_in_pruning_regime(spark):
+    """The declared operating point (threshold 0.9, default 8x4 config) on
+    the planted-clique corpus: OR-amplified recall on ≈0.998-cosine pairs is
+    ~1-2e-4 miss per pair, and measured output EQUALS the exact all-pairs
+    answer — the property the declared query's exact-SQL oracle relies on."""
+    from team_126_spark.queries import _planted_neardup_corpus
+    from team_126_spark.tables import table
+
+    corpus = _planted_neardup_corpus(
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+    ).cache()
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_exact(corpus, "embedding", "vec_id", 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_lsh(
+            corpus, "embedding", "vec_id", dim=64, threshold=0.9, verify="expr"
+        ).collect()
+    }
+    corpus.unpersist()
+    assert len(exact) == 48  # 16 bases x 3-clique
+    assert lsh == exact
 
 
 def test_embedding_neardup_lsh_ignores_null_and_zero_vectors(spark):
