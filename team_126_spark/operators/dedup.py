@@ -14,6 +14,8 @@ All hashes are deterministic (xxhash64/md5 with fixed seeds), no RNG state.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -94,19 +96,26 @@ def ngram_jaccard_pairs(
 
 N_MINHASH = 64  # signature length; 16 bands × 4 rows
 
-_live_sigs: DataFrame | None = None  # last persisted signature table (see minhash_lsh_pairs)
+# Last persisted signature table PER SparkSession (see minhash_lsh_pairs).
+# Keyed by id(session) under a lock so concurrent calls — or two sessions in
+# one process — cannot unpersist each other's live cache mid-query.
+_sig_cache_lock = threading.Lock()
+_live_sigs: dict[int, DataFrame] = {}
 
 
-def release_signature_cache() -> None:
+def release_signature_cache(spark=None) -> None:
     """Eagerly release the signature cache persisted by the most recent
-    minhash_lsh_pairs call (no-op if none is live)."""
-    global _live_sigs
-    if _live_sigs is not None:
-        try:
-            _live_sigs.unpersist()
-        except Exception:
-            pass
-        _live_sigs = None
+    minhash_lsh_pairs call on `spark` (every session's if None; no-op if
+    none is live)."""
+    with _sig_cache_lock:
+        keys = list(_live_sigs) if spark is None else [id(spark)]
+        for key in keys:
+            sigs = _live_sigs.pop(key, None)
+            if sigs is not None:
+                try:
+                    sigs.unpersist()
+                except Exception:
+                    pass
 
 
 def minhash_signatures(
@@ -162,15 +171,17 @@ def minhash_lsh_pairs(
     # new call uncached across its three consumers — so eviction only fires
     # when the plan actually changed (sameSemantics). Eager cleanup:
     # release_signature_cache().
-    global _live_sigs
-    if _live_sigs is not None:
-        try:
-            if not _live_sigs.sameSemantics(sigs_plan):
-                _live_sigs.unpersist()
-        except Exception:
-            pass  # session of the old handle may already be stopped
-    sigs = sigs_plan.persist(StorageLevel.MEMORY_AND_DISK)
-    _live_sigs = sigs
+    sess_key = id(df.sparkSession)
+    with _sig_cache_lock:
+        prev = _live_sigs.get(sess_key)
+        if prev is not None:
+            try:
+                if not prev.sameSemantics(sigs_plan):
+                    prev.unpersist()
+            except Exception:
+                pass  # session of the old handle may already be stopped
+        sigs = sigs_plan.persist(StorageLevel.MEMORY_AND_DISK)
+        _live_sigs[sess_key] = sigs
     # Candidate generation joins on SLIM (doc, band, bhash) rows — 24 bytes/row
     # instead of dragging the 64-long signature through a 16×-exploded shuffle.
     # Signatures are re-attached once per side afterwards from the persisted
@@ -297,9 +308,11 @@ def decontaminate(
     1. both sides reduce to DISTINCT shingle HASHES (8-byte keys via
        `hash_fn`, never the shingle strings) — the train side is one
        map-side-combined distinct, shuffle ∝ distinct n-grams, not corpus;
-    2. the membership probe is a left-semi equi-join on the hash — Catalyst
-       broadcasts the (tiny) eval side automatically when sizes allow, and
-       hot shingles cannot explode output (semi join emits each eval row at
+    2. the membership probe is a left-semi equi-join on the hash (eval =
+       stream side, train distinct-hashes = build side) — Catalyst
+       broadcasts the train-hash side when it fits, otherwise it is a
+       shuffled semi join on the uniform 8-byte hash key; either way hot
+       shingles cannot explode output (semi join emits each eval row at
        most once);
     3. per-doc totals and hits are two partial-aggregated groupBys on the
        uniform doc id.

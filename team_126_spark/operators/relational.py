@@ -14,6 +14,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import tables
+
 
 def latest_per_group(df: DataFrame, keys: Sequence[str], ts: str, tiebreak: str) -> DataFrame:
     """One row per group: max ts, ties broken by max `tiebreak` (W5).
@@ -148,7 +150,7 @@ def rolling_features(
     MICROseconds (rangeBetween needs a numeric ordering key; whole-second
     truncation would let events up to ~1 s in the future share the frame —
     real leakage on sub-second event data)."""
-    us = F.unix_micros(F.col(ts_col))
+    us = tables.epoch_us(df, ts_col)
     w = (
         Window.partitionBy(key)
         .orderBy(us)

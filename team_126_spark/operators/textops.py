@@ -428,10 +428,22 @@ def curate_corpus(
 
 # PII categories → (regex, placeholder). Patterns restricted to syntax with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB): character
-# classes, bounded repeats, \b word boundaries — no backrefs, no lookaround.
+# classes, bounded repeats, \b word boundaries — no backrefs, no lookaround,
+# and no \s (Java's \s includes \x0B, RE2's does not — use [-. ] explicitly).
+#
+# Phone alternatives, most-specific first (both engines use leftmost-first
+# alternation): +1 (619) 555-0100 | +1-619-555-0100 | (619) 555-0100 |
+# 619-555-0100 / 619.555.0100 / 619 555 0100 | legacy 4-group 12-345-678-9012.
+_PHONE_ALTS = (
+    r"\+?1[-. ]?\(\d{3}\) ?\d{3}[-. ]\d{4}",
+    r"\+?1[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}",
+    r"\(\d{3}\) ?\d{3}[-. ]\d{4}",
+    r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b",
+)
 PII_PATTERNS = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    "phone": (r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "phone": ("|".join(_PHONE_ALTS), "[PHONE]"),
     "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
 }
 

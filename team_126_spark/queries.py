@@ -2039,7 +2039,7 @@ def q_ann_lsh(spark, sf_dir):
     SELECT doc_id, md5(norm) AS fingerprint,
            list_reduce(
              list_prepend(0::BIGINT,
-               CASE WHEN norm = '' THEN []::BIGINT[]
+               CASE WHEN norm IS NULL OR norm = '' THEN []::BIGINT[]
                     ELSE list_transform(str_split(norm, ' '), t -> {X.md5_low32_sql('t')}) END),
              (acc, h) -> (acc * 31 + h) % 4294967296) AS rolling_hash
     FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
@@ -2097,10 +2097,12 @@ def q_tumbling_window(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast to double (fractional epoch seconds): a long cast truncates
-    # microseconds and would disagree with the oracle's interval compare
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    # compare on epoch MICROseconds (works for LTZ and NTZ ts): a
+    # whole-second compare would truncate and disagree with the oracle's
+    # interval compare on sub-second gaps
+    us = T.epoch_us(e, "ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
         e.withColumn("session_id", F.sum(is_new).over(wsum).cast("bigint"))

@@ -71,11 +71,12 @@ def ship_package(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     if name == "events":
-        # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS)
-        # which the Spark parquet reader rejects; read it as raw nanos and
-        # floor to micros (matching DuckDB's epoch_us truncation of
-        # TIMESTAMP_NS). Derived copies (scale probe) store normal micros —
-        # detect which flavor this file is from the resolved schema.
+        # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS).
+        # pyspark 4.1 reads it natively as TIMESTAMP_NTZ truncated to micros
+        # (same truncation as DuckDB's epoch_us); older readers reject it, so
+        # keep the nanos-as-long fallback which floors to micros by hand.
+        # Downstream code must accept ts as either NTZ or LTZ — use
+        # epoch_us() for a numeric time axis.
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         except Exception:
@@ -85,6 +86,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def epoch_us(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch microseconds of `ts_col` for BOTH timestamp flavors.
+
+    pyspark 4.1 reads the driver's TIMESTAMP(NANOS) events parquet natively
+    as TIMESTAMP_NTZ (older readers threw and we fell back to nanos-as-long
+    → LTZ), so operators that need a numeric time axis must accept either.
+    `unix_micros` is LTZ-only; for NTZ we take a tz-independent diff from
+    the naive epoch — both agree with DuckDB's epoch_us on these tables.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+        )
+    return F.unix_micros(F.col(ts_col))
 
 
 def derived_lat(key: F.Column) -> F.Column:

@@ -218,6 +218,26 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[2]["n_email"] == got[2]["n_phone"] == got[2]["n_ip"] == 0
 
 
+def test_pii_scrub_standard_phone_shapes(spark):
+    """Common NANP/international phone formats all redact (ADVICE r2)."""
+    from team_126_spark.operators.textops import pii_scrub
+
+    cases = [
+        (1, "call 619-555-0100 now"),
+        (2, "call (619) 555-0100 now"),
+        (3, "call +1-619-555-0100 now"),
+        (4, "call +1 (619) 555-0100 now"),
+        (5, "call 619.555.0100 now"),
+        (6, "call 619 555 0100 now"),
+        (7, "call 1-619-555-0100 now"),
+    ]
+    df = spark.createDataFrame(cases, ["id", "text"])
+    got = {r["id"]: r for r in pii_scrub(df, "text", "id").collect()}
+    for i, _ in cases:
+        assert got[i]["n_phone"] == 1, (i, got[i])
+        assert got[i]["scrubbed"] == "call [PHONE] now", (i, got[i])
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     from team_126_spark.operators.relational import stratified_sample
 
