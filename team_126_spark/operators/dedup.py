@@ -236,20 +236,34 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    chase_after: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id = min id
     in the component): the step that turns pairwise near-dup evidence
     (Jaccard/MinHash/embedding pairs) into dedup GROUPS so one canonical
     doc survives per cluster. Transitive: {a,b} + {b,c} → one cluster {a}.
 
-    Iterative min-label propagation — the engine's iterative-algorithm
-    shape: each round every node takes min(own label, neighbors' labels);
-    the fixpoint (unique, order-independent → deterministic) is reached in
-    at most `diameter` rounds. Per round: one equi-join + one groupBy, both
-    on uniform id keys. The driver loop is bounded by max_iter and runs ONE
-    count() action per round for the convergence check; `localCheckpoint`
-    cuts the growing lineage so round N's plan does not replay rounds
-    1..N-1 (the classic iterative-Spark trap).
+    Min-label propagation WITH pointer doubling (path shortcutting): each
+    round every node takes min(own label, neighbors' labels); from round
+    `chase_after` on it also chases its label one extra hop
+    (label ← label[label]). The shortcut halves label-chain length every
+    round, so the fixpoint (unique, order-independent → deterministic)
+    arrives in O(log diameter) rounds — max_iter=25 covers components of
+    diameter ~2^25, vs 25 hops for the plain one-hop loop (a real limit:
+    near-dup chains in pre-training corpora routinely exceed 25 hops).
+    The chase join is deferred past the first `chase_after` rounds because
+    real near-dup graphs are dominated by diameter-≤4 cliques that
+    converge before it would help — no extra shuffle on the common case,
+    log-round guarantee on the pathological one. Per round: one equi-join
+    + one groupBy (+ one label self-join once chasing), all on uniform id
+    keys, and ONE count() action for the convergence check;
+    `localCheckpoint` cuts the growing lineage so round N's plan does not
+    replay rounds 1..N-1 (the classic iterative-Spark trap).
+
+    Raises RuntimeError if still unconverged after max_iter — silently
+    returning partial (wrong) cluster labels is never acceptable in a
+    dedup pipeline. Pass `stats={}` to read back `stats["rounds"]`.
     """
     edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges_fwd.union(
@@ -261,28 +275,52 @@ def dedup_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = None
+    rounds = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
+            F.col("id"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        if rounds >= chase_after:
+            # Pointer doubling: labels only ever decrease toward the
+            # component min, so label[label] is always a valid (≤) label in
+            # the same component — chasing it turns diameter rounds into log.
+            chase = stepped.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            stepped = stepped.join(
+                chase, stepped["label"] == chase["_pid"], "left"
+            ).select(
                 F.col("id"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
-                F.col("label").alias("_old"),
+                F.col("_old"),
             )
-            .localCheckpoint()
-        )
+        updated = stepped.localCheckpoint()
         changed = updated.filter(F.col("label") != F.col("_old")).count()
         labels = updated.drop("_old")
+        rounds += 1
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            f"2^{max_iter}; raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

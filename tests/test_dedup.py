@@ -189,3 +189,31 @@ def test_dedup_components_transitive_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
     again = {r["id"]: r["cluster_id"] for r in D.dedup_components(pairs.repartition(5)).collect()}
     assert again == got
+
+
+def test_dedup_components_long_chain_log_rounds(spark):
+    """A 60-hop chain (diameter > the old one-hop max_iter=25) converges in
+    O(log diameter) rounds thanks to pointer doubling, with correct labels —
+    the pathological shape the plain loop silently mislabeled."""
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    stats = {}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.dedup_components(pairs, max_iter=12, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    # 2 one-hop rounds + ~log2(60) doubling rounds + slack — not 60
+    assert stats["rounds"] <= 11, stats
+
+
+def test_dedup_components_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_components(pairs, max_iter=2)
