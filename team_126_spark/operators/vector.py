@@ -152,6 +152,25 @@ def probe_buckets(
     return sorted(out)
 
 
+def lsh_candidates(
+    df: DataFrame,
+    vec_col: str,
+    probe: list[float],
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    n_probe_bits: int = 4,
+) -> DataFrame:
+    """Rows in any of the probe's multi-probed LSH buckets (the candidate
+    stage of `lsh_bucket_ann`, exposed so callers can apply their own
+    scoring/ordering — e.g. the oracle-twin declared query)."""
+    targets = probe_buckets(probe, dim, n_planes, n_tables, n_probe_bits)
+    target_arr = F.array(*[F.lit(b) for b in targets])
+    return with_lsh_buckets(
+        df.filter(F.col(vec_col).isNotNull()), vec_col, dim, n_planes, n_tables
+    ).filter(F.arrays_overlap(F.col("lsh_buckets"), target_arr))
+
+
 def lsh_bucket_ann(
     df: DataFrame,
     vec_col: str,
@@ -179,14 +198,7 @@ def lsh_bucket_ann(
     dial: the structure (bucket equi-probe, partition pruning) is what
     survives the 1000× scale-up, and it degrades to a guarded scan, never
     a crash, when the corpus has no cluster structure to exploit."""
-    targets = probe_buckets(probe, dim, n_planes, n_tables, n_probe_bits)
-    target_arr = F.array(*[F.lit(b) for b in targets])
-    cands = (
-        with_lsh_buckets(
-            df.filter(F.col(vec_col).isNotNull()), vec_col, dim, n_planes, n_tables
-        )
-        .filter(F.arrays_overlap(F.col("lsh_buckets"), target_arr))
-    )
+    cands = lsh_candidates(df, vec_col, probe, dim, n_planes, n_tables, n_probe_bits)
     return knn(cands, vec_col, probe, k, id_col).drop("lsh_buckets")
 
 
@@ -266,16 +278,19 @@ def ivf_centroids(
     df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
 ) -> list[list[float]]:
     """IVF "training": pick `n_cells` centroids as a deterministic
-    pseudo-random sample of the corpus itself (order by xxhash64 of the id —
-    stable across runs/partitionings). Sampled centroids track the data
-    distribution the way k-means centroids would, without an iterative job;
-    swap in pyspark.ml KMeans(seed=...) when cluster quality matters more
-    than train cost. Driver holds n_cells vectors — O(n_cells * dim), tiny.
-    """
+    pseudo-random sample of the corpus itself (order by the low 32 md5 bits
+    of the id — stable across runs/partitionings, and md5-family so a SQL
+    oracle reproduces the exact same centroid set). Sampled centroids track
+    the data distribution the way k-means centroids would, without an
+    iterative job; swap in pyspark.ml KMeans(seed=...) when cluster quality
+    matters more than train cost. Driver holds n_cells vectors —
+    O(n_cells * dim), tiny."""
+    from ..functions.text import md5_low32
+
     rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .orderBy(md5_low32(F.col("_id").cast("string")), F.col("_id"))
         .limit(n_cells)
         .collect()
     )
@@ -307,6 +322,29 @@ def with_ivf_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> 
     return df.withColumn("ivf_cell", cell)
 
 
+def ivf_candidates(
+    df: DataFrame,
+    vec_col: str,
+    probe: list[float],
+    id_col: str,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Rows of the `nprobe` IVF cells whose centroids are closest to the
+    probe (the candidate stage of `ivf_ann`, exposed so callers can apply
+    their own scoring/ordering — e.g. the oracle-twin declared query)."""
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+
+    def unit(c: list[float]) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5 or 1.0
+        return [x / n for x in c]
+
+    scored = [(i, sum(a * b for a, b in zip(probe, unit(c)))) for i, c in enumerate(cents)]
+    probe_cells = [i for i, _ in sorted(scored, key=lambda t: -t[1])[:nprobe]]
+    return with_ivf_cell(df, vec_col, cents).filter(F.col("ivf_cell").isin(probe_cells))
+
+
 def ivf_ann(
     df: DataFrame,
     vec_col: str,
@@ -320,13 +358,5 @@ def ivf_ann(
     """Approximate KNN: exact cosine top-k restricted to the `nprobe` cells
     whose centroids are closest to the probe. Recall/cost dial = nprobe
     (nprobe == n_cells -> exact search)."""
-    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
-
-    def unit(c: list[float]) -> list[float]:
-        n = sum(x * x for x in c) ** 0.5 or 1.0
-        return [x / n for x in c]
-
-    scored = [(i, sum(a * b for a, b in zip(probe, unit(c)))) for i, c in enumerate(cents)]
-    probe_cells = [i for i, _ in sorted(scored, key=lambda t: -t[1])[:nprobe]]
-    cands = with_ivf_cell(df, vec_col, cents).filter(F.col("ivf_cell").isin(probe_cells))
+    cands = ivf_candidates(df, vec_col, probe, id_col, centroids, n_cells, nprobe)
     return knn(cands, vec_col, probe, k, id_col).drop("ivf_cell")

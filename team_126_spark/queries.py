@@ -2016,21 +2016,103 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def _lsh_ann_oracle_sql(
+    dim: int, n_planes: int, n_tables: int, n_probe_bits: int, k: int
+) -> str:
+    """Full DuckDB twin of `lsh_candidates` + exact rescore: the hyperplane
+    family is pure integer arithmetic (functions/sketch._hyperplane), so the
+    oracle recomputes sign buckets, the probe's margin-ordered multi-probe
+    flip set, the candidate union, and the rounded cosine top-k — the
+    ENTIRE approximate pipeline is hash-checked, not just the rescore.
+    (The one engine-difference risk is a sign flip on a |projection| within
+    float-summation noise of 0 — ~1e-9 likely at this corpus size.)"""
+    plane = (
+        "((((pl.j * 1000003 + (i - 1) * 7919 + 12345) * 2654435761) % 4294967296)"
+        " / 2147483648.0 - 1.0)"
+    )
+    proj = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * {plane}))"
+    )
+    top_bit = n_planes - 1
+    return f"""
+    WITH planes AS (
+      SELECT r.j, CAST(r.j // {n_planes} AS BIGINT) AS t,
+             CAST(r.j % {n_planes} AS BIGINT) AS p
+      FROM range(0, {n_tables * n_planes}) r(j)
+    ),
+    corpus_proj AS (
+      SELECT e.vec_id, pl.t, pl.p, {proj} AS proj
+      FROM embeddings e, planes pl WHERE e.embedding IS NOT NULL
+    ),
+    corpus_buckets AS (
+      SELECT vec_id,
+             CAST(t * {1 << n_planes} + sum(CASE WHEN proj >= 0
+                  THEN (1 << ({top_bit} - p)) ELSE 0 END) AS BIGINT) AS bucket
+      FROM corpus_proj GROUP BY vec_id, t
+    ),
+    probe_proj AS (
+      SELECT pl.t, pl.p, {proj} AS proj
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 1) e, planes pl
+    ),
+    probe_bits AS (
+      SELECT t, CAST(sum(CASE WHEN proj >= 0 THEN (1 << ({top_bit} - p))
+                  ELSE 0 END) AS BIGINT) AS bits
+      FROM probe_proj GROUP BY t
+    ),
+    margins AS (
+      SELECT t, p, row_number() OVER (PARTITION BY t ORDER BY abs(proj), p) AS rnk
+      FROM probe_proj
+    ),
+    masks AS (
+      SELECT t, list(1 << ({top_bit} - p) ORDER BY rnk) AS ms
+      FROM margins WHERE rnk <= {n_probe_bits} GROUP BY t
+    ),
+    targets AS (
+      SELECT DISTINCT b.t * {1 << n_planes} + xor(b.bits,
+               CAST(list_sum(list_transform(range(0, {n_probe_bits}),
+                    bb -> ((f.fm >> bb) & 1) * m.ms[bb + 1])) AS BIGINT)) AS bucket
+      FROM probe_bits b JOIN masks m USING (t), range(0, {1 << n_probe_bits}) f(fm)
+    ),
+    cands AS (
+      SELECT DISTINCT vec_id FROM corpus_buckets JOIN targets USING (bucket)
+    )
+    SELECT e.vec_id,
+           round({V.cosine_similarity_sql('e.embedding', 'probe')}, 6) AS similarity
+    FROM embeddings e JOIN cands USING (vec_id), {_PROBE_VEC_SQL}
+    ORDER BY similarity DESC, vec_id LIMIT {k}
+    """
+
+
 @declared(
     "ann_lsh",
-    oracle=None,
-    doc="LSH-bucketed approximate KNN (scale path; pytest-verified recall vs exact)",
+    oracle=_lsh_ann_oracle_sql(dim=64, n_planes=8, n_tables=8, n_probe_bits=6, k=10),
+    doc="LSH-bucketed approximate KNN — margin-ordered multi-probe candidates "
+    "+ exact rescore, with a FULL DuckDB twin of the bucket pipeline "
+    "(integer-arithmetic hyperplane family); recall vs exact also "
+    "pytest-checked (test_geo_vector.py)",
 )
 def q_ann_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
     # Scalar columns only: the driver canonicalizer cannot sort raw array
     # columns (round-1 harness abort) — project like vec_knn does.
     # n_tables=8/n_probe_bits=6: the measured recall@10>=0.8 operating point
     # for this uniform-random corpus (see lsh_bucket_ann docstring).
-    return OV.lsh_bucket_ann(
-        emb, "embedding", list(probe), 10, "vec_id", dim=64, n_tables=8, n_probe_bits=6
-    ).select("vec_id", F.round("similarity", 6).alias("similarity"))
+    # Order by the ROUNDED similarity (same key the oracle sorts on) so the
+    # top-k cut is engine-agnostic.
+    cands = OV.lsh_candidates(
+        emb, "embedding", probe, dim=64, n_planes=8, n_tables=8, n_probe_bits=6
+    )
+    pv = F.array(*[F.lit(x) for x in probe])
+    return (
+        cands.select(
+            "vec_id",
+            F.round(V.cosine_similarity(F.col("embedding"), pv), 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 @declared(
@@ -2337,17 +2419,71 @@ def q_doc_embed(spark, sf_dir):
     )
 
 
+def _ivf_ann_oracle_sql(probe: list, n_cells: int, nprobe: int, k: int) -> str:
+    """Full DuckDB twin of `ivf_candidates` + exact rescore: the centroid
+    pick is md5-family (low 32 md5 bits of the id), unit-normalization and
+    argmax assignment are plain float arithmetic, so the oracle reproduces
+    the centroid set, every row's cell, the probed cells, and the rounded
+    cosine top-k — the ENTIRE approximate pipeline is hash-checked."""
+    pv = "[" + ", ".join(repr(float(x)) for x in probe) + "]"
+    md5key = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 25, 8))::BIGINT"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY {md5key}, vec_id) AS idx, embedding
+      FROM base ORDER BY {md5key}, vec_id LIMIT {n_cells}
+    ),
+    cent_unit AS (
+      SELECT idx, list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS u
+      FROM (SELECT idx, embedding, {V.norm_sql('embedding')} AS nrm FROM cent)
+    ),
+    assign AS (
+      SELECT b.vec_id, c.idx,
+             row_number() OVER (PARTITION BY b.vec_id
+                  ORDER BY {V.dot_sql('b.embedding', 'c.u')} DESC, c.idx) AS rn
+      FROM base b, cent_unit c
+    ),
+    probe_cells AS (
+      SELECT idx FROM cent_unit ORDER BY {V.dot_sql(pv, 'u')} DESC, idx LIMIT {nprobe}
+    ),
+    cands AS (
+      SELECT vec_id FROM assign
+      WHERE rn = 1 AND idx IN (SELECT idx FROM probe_cells)
+    )
+    SELECT b.vec_id, b.label,
+           round({V.cosine_similarity_sql('b.embedding', pv)}, 6) AS similarity
+    FROM base b JOIN cands USING (vec_id)
+    ORDER BY similarity DESC, vec_id LIMIT {k}
+    """
+
+
+_IVF_PROBE = [(0.5 - ((7 * i) % 13) / 13.0) for i in range(64)]
+
+
 @declared(
     "ann_ivf",
-    oracle=None,  # approximate by construction; pytest checks subset-of-exact
-    doc="IVF-style ANN: coarse-quantize to nearest deterministic centroid, "
-    "probe top-4 cells, exact cosine within (operators/vector.ivf_ann)",
+    oracle=_ivf_ann_oracle_sql(_IVF_PROBE, n_cells=16, nprobe=4, k=10),
+    doc="IVF-style ANN: coarse-quantize to nearest deterministic centroid "
+    "(md5-family sample), probe top-4 cells, exact cosine within — with a "
+    "FULL DuckDB twin of centroid pick, assignment, and probe "
+    "(operators/vector.ivf_candidates)",
 )
 def q_ann_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    probe = [(0.5 - ((7 * i) % 13) / 13.0) for i in range(64)]
-    return OV.ivf_ann(emb, "embedding", probe, k=10, id_col="vec_id").select(
-        "vec_id", "label", F.round("similarity", 6).alias("similarity")
+    cands = OV.ivf_candidates(emb, "embedding", _IVF_PROBE, "vec_id", n_cells=16, nprobe=4)
+    pv = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    # rounded-similarity ordering: same sort key as the oracle (vec_knn pattern)
+    return (
+        cands.select(
+            "vec_id",
+            "label",
+            F.round(V.cosine_similarity(F.col("embedding"), pv), 6).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.col("vec_id").asc())
+        .limit(10)
     )
 
 
