@@ -47,6 +47,8 @@ HEADLINE = [
     "decontaminate",
     "doc_chunk",
     "corpus_curate",
+    "vec_knn_batch",
+    "rollup_counts",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",
@@ -82,16 +84,18 @@ def main() -> None:
     for warm in ("search_filter_limit", "doc_token_count", "vec_threshold", "json_extract"):
         REGISTRY[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two timed runs per query, report the min: measures steady-state plan
-    # execution rather than one-off JIT/GC/OS noise (TPC "power run" style).
+    # Three timed runs per query, report the MEDIAN: the min rewards a lucky
+    # run and the mean is dragged by one-off JIT/GC/OS stalls; the n=3
+    # median damps the box's documented contention noise (SCALING.md) that
+    # made r02's simhash/minhash rows look regressed.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     print(
         json.dumps(

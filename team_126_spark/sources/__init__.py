@@ -3,6 +3,7 @@ from .io import (  # noqa: F401
     read_csv_bom,
     read_jdbc,
     read_json_envelope,
+    read_parquet_evolved,
     read_json_records,
     summarize_envelope,
     write_json,

@@ -27,11 +27,26 @@ def clean_headers(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.replace(BOM, "").strip() for c in df.columns])
 
 
-def read_csv_bom(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+def read_csv_bom(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
     """S1: header CSV; utf-8-sig BOM survives as a prefix on the first
     header, removed by clean_headers. With an explicit schema the header
-    row is still consumed but names come from the schema."""
+    row is still consumed but names come from the schema.
+
+    `multiline=True` parses quoted embedded newlines as record content —
+    required for the reference's health-services CSV (the Services column
+    holds newline-separated lists, import_datasets.py:24-27; without it the
+    scan splits each such record into garbage rows). The cost is that the
+    file becomes NON-SPLITTABLE (one task reads it whole), so at scale keep
+    the default and pre-normalize quoted-newline CSVs — or land them as
+    parquet — before the distributed scan."""
     reader = spark.read.option("header", "true").option("encoding", "UTF-8")
+    if multiline:
+        reader = reader.option("multiLine", "true")
     df = reader.schema(schema).csv(path) if schema is not None else reader.csv(path)
     return clean_headers(df)
 
@@ -174,6 +189,17 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the schemas of every parquet footer
+    under `path`, null-filling columns absent from older files — the
+    engine's analog of the reference's add-a-column migration
+    (backend/migrate_add_location.py: ALTER TABLE ... ADD COLUMN, old rows
+    NULL). mergeSchema costs a footer read per file (not a data scan) so it
+    is opt-in here rather than session-default; writers that keep one
+    authoritative schema should use plain `spark.read.parquet`."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def read_jdbc(

@@ -58,13 +58,22 @@ def stream_events(
     the same downstream plan.
 
     maxFilesPerTrigger=1 keeps micro-batches bounded.
+
+    TIMESTAMP_NTZ columns (what pyspark 4.1 reads the nanos events table
+    as) are cast to TIMESTAMP: watermarks/event-time windows REQUIRE the
+    LTZ type, and under the engine's fixed UTC session timezone the cast is
+    epoch-identity.
     """
     schema = table(spark, sf_dir, schema_from).schema
-    return (
+    df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def message_pipeline(

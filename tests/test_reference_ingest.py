@@ -1,0 +1,190 @@
+"""Golden parity tests on the REAL reference datasets (SURVEY.md §7.2 step 1).
+
+Reads the CSVs shipped under /root/reference/backend/datasets/ with the S1
+reader and checks the ingest semantics the reference app applies
+(import_datasets.py, convert_csv_to_json.py, convert_housing_to_json.py,
+search_housing.py) — with DuckDB over the same files as an independent
+engine oracle for every count.
+
+Published-number notes (HYBRID_SEARCH_SETUP.md:98-139 vs shipped files):
+the import-log row counts 6,109 / 6,221 / 839 come from a DIFFERENT data
+snapshot than the CSVs actually shipped — pandas, DuckDB, and Spark all
+agree the shipped files hold 1,038 / 6,220 / 838 logical records (the
+health figure differs because that CSV's Services column embeds quoted
+newlines: 6,108 physical lines vs 1,038 records, which is also where the
+log's ~6.1k figure comes from). The housing numbers ARE reproducible
+against publication: 17,358 sites and 218,879 total units
+(HOUSING_JSON_README.md:5-8) — both asserted exactly below.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from team_126_spark.sources import io as SIO
+
+BASE = "/root/reference/backend/datasets"
+HEALTH = f"{BASE}/Behavioral_Health_Services_San_Diego_County_1657686067853346365.csv"
+STOPS = f"{BASE}/Public_Transit_Stops%2C_San_Diego_County.csv"
+ROUTES = f"{BASE}/Public_Transit_Routes%2C_San_Diego_County.csv"
+HOUSING = f"{BASE}/HousingElements_SDCounty_2021_2029_3908156892941684000.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BASE), reason="reference datasets not present"
+)
+
+
+def _dd(path):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_csv('{path}', header=true, all_varchar=true)"
+    )
+    return con
+
+
+def test_health_csv_logical_records(spark):
+    """S1 multiline: the Services column embeds quoted newlines — the
+    multiline reader must see logical records, not physical lines."""
+    df = SIO.read_csv_bom(spark, HEALTH, multiline=True)
+    n = df.count()
+    assert n == _dd(HEALTH).execute("SELECT count(*) FROM t").fetchone()[0]
+    assert n == 1038
+    # physical-line parse (the default, splittable scan) sees the split rows
+    assert SIO.read_csv_bom(spark, HEALTH).count() == 6108
+    # BOM stripped from the first header (S2)
+    assert df.columns[0] == "LONG" and "LAT" in df.columns
+
+
+def test_health_drop_missing_coords_and_services_split(spark):
+    """convert_csv_to_json.py:25-32 — drop rows without coordinates, split
+    Services on newlines into a trimmed non-empty array (P4)."""
+    df = SIO.read_csv_bom(spark, HEALTH, multiline=True)
+    kept = df.filter(
+        F.col("LAT").isNotNull()
+        & (F.col("LAT") != "")
+        & F.col("LONG").isNotNull()
+        & (F.col("LONG") != "")
+    )
+    con = _dd(HEALTH)
+    dd_kept = con.execute(
+        "SELECT count(*) FROM t WHERE LAT IS NOT NULL AND LAT <> '' "
+        "AND \"LONG\" IS NOT NULL AND \"LONG\" <> ''"
+    ).fetchone()[0]
+    assert kept.count() == dd_kept
+    services = kept.select(
+        F.filter(
+            F.transform(F.split(F.coalesce(F.col("Services"), F.lit("")), "\n"), F.trim),
+            lambda s: s != "",
+        ).alias("services")
+    )
+    n_services = services.agg(F.sum(F.size("services"))).first()[0]
+    dd_services = con.execute(
+        "SELECT sum(len(list_filter(list_transform(string_split(COALESCE(Services, ''), chr(10)), s -> trim(s)), s -> s <> ''))) "
+        "FROM t WHERE LAT IS NOT NULL AND LAT <> '' AND \"LONG\" IS NOT NULL AND \"LONG\" <> ''"
+    ).fetchone()[0]
+    assert n_services == dd_services
+    assert n_services > dd_kept  # many rows list multiple services
+
+
+def test_transit_csv_row_counts(spark):
+    for path, expect in ((STOPS, 6220), (ROUTES, 838)):
+        df = SIO.read_csv_bom(spark, path)
+        n = df.count()
+        assert n == _dd(path).execute("SELECT count(*) FROM t").fetchone()[0]
+        assert n == expect
+
+
+def _housing(spark):
+    """The convert_housing_to_json.py derivation: units null→0, searchable
+    text = lowercased f-string concat (pandas renders NaN as 'nan' — mirror
+    it so substring-search parity holds on rows with missing fields)."""
+    df = SIO.read_csv_bom(spark, HOUSING)
+    units = F.coalesce(F.col("Units").try_cast("long"), F.lit(0))
+    st = F.lower(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("Jurisdiction"), F.lit("nan")),
+            F.coalesce(F.col("ZoningSimplified"), F.lit("nan")),
+            F.coalesce(F.col("Vacancy"), F.lit("nan")),
+            F.coalesce(F.col("Zoning"), F.lit("nan")),
+        )
+    )
+    return df.withColumn("units", units).withColumn("searchable_text", st)
+
+
+def test_housing_published_totals(spark):
+    """HOUSING_JSON_README.md:5-8 — 17,358 sites, 218,879 total units."""
+    d = _housing(spark)
+    assert d.count() == 17358
+    assert d.agg(F.sum("units")).first()[0] == 218879
+
+
+def test_housing_envelope_summary(spark):
+    d = _housing(spark).select(
+        "units",
+        F.col("Vacancy").alias("vacancy_status"),
+        F.col("Jurisdiction").alias("jurisdiction"),
+        F.col("ZoningSimplified").alias("zoning_simplified"),
+    )
+    s = SIO.summarize_envelope(d)
+    assert s["total_records"] == 17358
+    assert s["total_units"] == 218879
+    assert s["vacancy_counts"]["vacant"] + s["vacancy_counts"]["other"] == 17358
+    # real-data quirk: two sites carry Units = -1 (DuckDB agrees) — the
+    # reference summary reports the raw min, so we do too
+    assert s["unit_statistics"]["min_units"] == -1
+    assert s["unit_statistics"]["max_units"] == 2898
+    assert "City of San Diego" in s["jurisdictions"]
+
+
+# The five demo searches (search_housing.py:96-140) as DataFrame predicates.
+# Each case: (name, spark predicate builder, DuckDB WHERE clause).
+_DD_ST = (
+    "lower(concat_ws(' ', COALESCE(Jurisdiction,'nan'), "
+    "COALESCE(ZoningSimplified,'nan'), COALESCE(Vacancy,'nan'), "
+    "COALESCE(Zoning,'nan')))"
+)
+_SEARCHES = [
+    (
+        "vacant_high_density",
+        lambda d: (F.col("Vacancy") == "Vacant")
+        & (F.lower("ZoningSimplified") == "high density residential"),
+        "Vacancy='Vacant' AND lower(ZoningSimplified)='high density residential'",
+    ),
+    (
+        "san_diego_50plus",
+        lambda d: (F.lower("Jurisdiction") == "city of san diego") & (F.col("units") >= 50),
+        "lower(Jurisdiction)='city of san diego' AND COALESCE(TRY_CAST(Units AS BIGINT),0)>=50",
+    ),
+    (
+        "commercial",
+        lambda d: F.lower("ZoningSimplified") == "commercial",
+        "lower(ZoningSimplified)='commercial'",
+    ),
+    (
+        "mixed_use",
+        lambda d: F.lower("ZoningSimplified") == "mixed use",
+        "lower(ZoningSimplified)='mixed use'",
+    ),
+    (
+        "text_transit",
+        lambda d: F.col("searchable_text").contains("transit"),
+        f"{_DD_ST} LIKE '%transit%'",
+    ),
+]
+
+
+def test_housing_demo_searches_match_duckdb(spark):
+    d = _housing(spark)
+    con = _dd(HOUSING)
+    for name, pred, where in _SEARCHES:
+        got = d.filter(pred(d)).count()
+        want = con.execute(f"SELECT count(*) FROM t WHERE {where}").fetchone()[0]
+        assert got == want, (name, got, want)
+        assert got >= 5, name  # each demo search prints a full limit=5 page
+        # the demo's limit=5 page
+        assert len(d.filter(pred(d)).limit(5).collect()) == 5

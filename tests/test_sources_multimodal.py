@@ -112,6 +112,25 @@ def test_json_roundtrip_and_partitioned_parquet(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """On-disk schema evolution: v2 files add a column; the merged read
+    exposes it with nulls for v1 rows (migrate_add_location.py analog)."""
+    pdir = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    v1.write.parquet(pdir)
+    v2 = spark.createDataFrame([(3, "c", 9.5)], ["id", "v", "score"])
+    v2.write.mode("append").parquet(pdir)
+
+    merged = IO.read_parquet_evolved(spark, pdir)
+    assert sorted(merged.columns) == ["id", "score", "v"]
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}
+    # plain read resolves ONE footer's schema — may miss the new column —
+    # which is exactly why the evolved reader exists
+    plain_cols = set(spark.read.parquet(pdir).columns)
+    assert plain_cols.issubset({"id", "v", "score"})
+
+
 # ----------------------------------------------------------------- multimodal
 
 @pytest.fixture(scope="module")
