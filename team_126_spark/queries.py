@@ -1035,15 +1035,20 @@ def q_doc_profile(spark, sf_dir):
     return TO.text_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+# DuckDB twin of operators/textops.quality_expr (shared by doc_quality and
+# dedup_select so the two oracles cannot drift)
+_QUALITY_SQL = f"""round(least({X.token_count_sql('text')} / 50.0, 1.0)
+                 * greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text) - length(regexp_replace(text,
+                        '[.!?,;:''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END)
+                   * 5.0), 6)"""
+
+
 @declared(
     "doc_quality",
     oracle=f"""
     SELECT doc_id, {X.token_count_sql('text')} AS n_tokens,
-           round(least({X.token_count_sql('text')} / 50.0, 1.0)
-                 * greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                   ELSE CAST(length(text) - length(regexp_replace(text,
-                        '[.!?,;:''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END)
-                   * 5.0), 6) AS quality
+           {_QUALITY_SQL} AS quality
     FROM documents
     """,
     doc="scalar quality score (north star)",
@@ -1912,6 +1917,70 @@ def q_dedup_components(spark, sf_dir):
         k=3, bands=16, threshold=0.3, hash_fn="md5",
     )
     return D.dedup_components(pairs)
+
+
+@declared(
+    "dedup_select",
+    oracle="""
+    WITH RECURSIVE pairs AS ({minhash_sql}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+    q AS (SELECT doc_id, {quality_sql} AS quality FROM documents),
+    labeled AS (
+      SELECT q.doc_id, COALESCE(comp.cluster_id, q.doc_id) AS cluster_id, q.quality
+      FROM q LEFT JOIN comp ON q.doc_id = comp.id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, quality,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM (
+      SELECT cluster_id, doc_id, quality,
+             count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+             row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality DESC, doc_id) AS rn
+      FROM labeled
+    ) WHERE rn = 1
+    """.format(
+        minhash_sql=_minhash_oracle_sql(bands=16, threshold=0.3),
+        quality_sql=_QUALITY_SQL,
+    ),
+    doc="canonical-doc selection: near-dup clusters (MinHash pairs → "
+    "connected components) keep ONE representative — the highest quality_score, "
+    "ties to the lowest doc_id; singletons are their own cluster. The step "
+    "between near-dup detection and the deduplicated corpus every pre-training "
+    "pipeline ships. Order by the ROUNDED score (engine-agnostic cut).",
+)
+def q_dedup_select(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
+    )
+    comps = D.dedup_components(pairs)
+    quality = TO.quality_score(docs, "text", "doc_id").select("doc_id", "quality")
+    labeled = quality.join(comps, quality["doc_id"] == comps["id"], "left").select(
+        quality["doc_id"],
+        F.coalesce(comps["cluster_id"], quality["doc_id"]).alias("cluster_id"),
+        quality["quality"],
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = labeled.select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        "quality",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_docs"),
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.col("doc_id").asc()))
+        .alias("_rn"),
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
 
 
 def _simhash_oracle_sql() -> str:
