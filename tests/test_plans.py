@@ -137,3 +137,23 @@ def test_knn_batch_broadcasts_probes(spark):
     plan = plan_of(spark, "vec_knn_batch")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf"])
+def test_ann_plans_are_map_only(spark, name):
+    # the whole approximate pipeline (bucket/cell assignment, candidate cut,
+    # rounded-cosine top-k) must be ONE map-only scan + TakeOrdered — any
+    # Exchange means candidate generation started shuffling the corpus
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_select_windows_share_one_exchange_with_group_limit(spark):
+    # per-cluster count + argmax must share the cluster_id partitioning and
+    # get the rank-filter pushed down (WindowGroupLimit prunes to top-1 per
+    # cluster before the final window sort)
+    plan = plan_of(spark, "dedup_select")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
