@@ -103,3 +103,34 @@ def test_haversine_metric_properties(spark, pts):
         if r["d"] > 1.0:
             assert r["d_mi"] / r["d"] == pytest.approx(KM_TO_MILES, rel=2e-3)
         assert r["d"] <= 20038.0  # half the equatorial circumference, ~max
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_lists)
+def test_dedup_components_chase_invariant(spark, edges):
+    """Pointer doubling is an ACCELERATION, not a semantics change: for any
+    pair graph, labels with the chase enabled from round 1 equal labels with
+    it disabled (pure one-hop min propagation), and every label is the
+    component minimum (idempotent under relabeling)."""
+    from team_126_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in D.dedup_components(pairs, chase_after=0, max_iter=40).collect()
+    }
+    slow = {
+        (r["id"], r["cluster_id"])
+        for r in D.dedup_components(pairs, chase_after=99, max_iter=40).collect()
+    }
+    assert fast == slow
+    # cluster representative is a member of its own cluster with self-label
+    labels = dict(fast)
+    assert all(labels[c] == c for _, c in fast)
