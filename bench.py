@@ -49,6 +49,8 @@ HEADLINE = [
     "corpus_curate",
     "vec_knn_batch",
     "rollup_counts",
+    "dedup_select",
+    "corpus_mix",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

@@ -243,3 +243,81 @@ def salted_join(
         F.broadcast(left.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("_salt")))
     )
     return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")
+
+
+def budget_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    group_col: str,
+    budgets: dict | None = None,
+    default_budget: int = 0,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic budget-capped sampling per group — the data-MIXING step
+    of a pre-training pipeline: each source keeps documents, in a stable
+    pseudo-random priority order, until its token budget is spent. A doc is
+    kept iff the running total THROUGH it fits the group's budget, so reruns
+    and appends never change which docs an unchanged prefix keeps.
+
+    Priority = (low 32 md5 bits of the id, id) — md5-family, so a SQL
+    oracle reproduces the exact keep set.
+
+    Scale design — a per-group cumulative sum with NO single-partition
+    window: the md5 key is uniform on [0, 2^32), so slicing it into
+    `n_shards` RANGE shards preserves global priority order across shards.
+    Pass 1 aggregates per-(group, shard) weight sums (groups × n_shards
+    rows) and turns them into per-shard prefix offsets with a window over
+    that TINY aggregate; pass 2 broadcast-joins the offsets back and runs
+    the cumulative window WITHIN each (group, shard) — parallelism is
+    groups × n_shards, state per task is one shard, and the result equals
+    the global ordered cumsum exactly. This is the standard distributed
+    prefix-sum; at 100 TB bump n_shards, nothing else changes.
+
+    Weights must be integral (token counts): integer sums are exact, so
+    the budget cut is bit-deterministic in any engine.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_low32
+
+    if 2**32 % n_shards:
+        raise ValueError("n_shards must divide 2^32 for order-preserving range shards")
+    key = md5_low32(F.col(id_col).cast("string"))
+    shard = F.floor(key / F.lit(2**32 // n_shards)).cast("int")
+    w = F.col(weight_col).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(group_col), w.alias("_w"), key.alias("_key"), shard.alias("_shard")
+    )
+
+    shard_sums = base.groupBy(group_col, "_shard").agg(F.sum("_w").alias("_shard_w"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_sums.select(
+        group_col,
+        "_shard",
+        F.coalesce(F.sum("_shard_w").over(w_off), F.lit(0)).alias("_offset"),
+    )
+
+    w_local = (
+        Window.partitionBy(group_col, "_shard")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.lit(int(default_budget))
+    for g, b in sorted((budgets or {}).items()):
+        budget = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget)
+    return (
+        base.join(F.broadcast(offsets), [group_col, "_shard"])
+        .withColumn("_cum", F.col("_offset") + F.sum("_w").over(w_local))
+        .filter(F.col("_cum") <= budget)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("_w").alias("weight"),
+            F.col("_cum").alias("cum_weight"),
+        )
+    )

@@ -1983,6 +1983,51 @@ def q_dedup_select(spark, sf_dir):
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
 
 
+@declared(
+    "corpus_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {X.token_count_sql('text')} AS nt,
+             {X.md5_low32_sql('CAST(doc_id AS VARCHAR)')} AS md5key
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, nt,
+             sum(nt) OVER (PARTITION BY source ORDER BY md5key, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum <= CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 800 ELSE 400 END
+    """,
+    doc="budget-capped source mixing: each source keeps docs in stable "
+    "md5-priority order until its token budget is spent (the pre-training "
+    "data-mixing step). Spark side is a two-pass distributed prefix sum — "
+    "range shards on the uniform md5 key, per-shard offsets, within-shard "
+    "windows — no single-partition window (operators/relational.budget_sample)",
+)
+def q_corpus_mix(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_nt", X.token_count(F.col("text"))
+    )
+    out = R.budget_sample(
+        docs,
+        "_nt",
+        "doc_id",
+        "source",
+        budgets={"src0": 200, "src1": 800},
+        default_budget=400,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("weight").alias("n_tokens"),
+        F.col("cum_weight").alias("cum_tokens"),
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB twin of simhash64(hash_fn='md5'): per bit b, 1 iff more than
     half the doc's token hashes have bit b set (60 effective md5 bits)."""

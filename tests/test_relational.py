@@ -358,3 +358,49 @@ def test_safe_sleep_search_routes_filters_and_advises(spark):
 
     with _pytest.raises(ValueError, match="include_type"):
         safe_sleep_search(sources, 0.0, 0.0, include_type="bogus")
+
+
+def test_budget_sample_invariants(spark):
+    from team_126_spark.operators.relational import budget_sample
+
+    rows = [(i, "a" if i % 2 else "b", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    got = budget_sample(df, "w", "id", "grp", budgets={"a": 150}, default_budget=100)
+    out = got.collect()
+    # running totals never exceed the group budget, and every kept row's
+    # cumulative weight is consistent with the kept set (prefix property)
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert set(by_grp) == {"a", "b"}
+    for g, budget in (("a", 150), ("b", 100)):
+        rs = sorted(by_grp[g], key=lambda r: r["cum_weight"])
+        assert rs[-1]["cum_weight"] <= budget
+        total = 0
+        for r in rs:
+            total += r["weight"]
+            assert r["cum_weight"] == total  # exact ordered prefix sums
+    # layout- and shard-count-independent: same keep set
+    again = {
+        (r["id"], r["cum_weight"])
+        for r in budget_sample(
+            df.repartition(7), "w", "id", "grp", budgets={"a": 150},
+            default_budget=100, n_shards=4,
+        ).collect()
+    }
+    assert again == {(r["id"], r["cum_weight"]) for r in out}
+    # appending rows never evicts or reorders the previously kept prefix
+    bigger = df.union(spark.createDataFrame([(1000 + i, "a", 5) for i in range(20)], df.schema))
+    grown = {
+        (r["id"], r["cum_weight"])
+        for r in budget_sample(
+            bigger, "w", "id", "grp", budgets={"a": 150}, default_budget=100
+        ).collect()
+        if r["grp"] == "a"
+    }
+    # old kept "a" rows either survive with the same or larger cum (new docs
+    # can only slot in at md5 positions, shifting cums up) — the KEY
+    # guarantee: the priority ORDER of old rows is unchanged
+    old_a_ids = [r["id"] for r in sorted(by_grp["a"], key=lambda r: r["cum_weight"])]
+    grown_order = [i for i, _ in sorted(grown, key=lambda t: t[1]) if i < 1000]
+    assert grown_order == [i for i in old_a_ids if i in set(grown_order)]
