@@ -1984,6 +1984,66 @@ def q_dedup_select(spark, sf_dir):
 
 
 @declared(
+    "cluster_split",
+    oracle="""
+    WITH RECURSIVE pairs AS ({minhash_sql}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT cluster_id,
+             CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT cluster_id,
+                   {md5_low60} % 100 AS bkt
+            FROM labeled)
+    ) GROUP BY split
+    """.format(
+        minhash_sql=_minhash_oracle_sql(bands=16, threshold=0.3),
+        md5_low60=X.md5_low60_sql("CAST(cluster_id AS VARCHAR)"),
+    ),
+    doc="leakage-safe train/val/test split: assignment hashes the near-dup "
+    "CLUSTER label (components over MinHash pairs), not the doc id, so two "
+    "near-duplicate documents can never land in different splits — the "
+    "train/test contamination trap a plain per-doc hash_split walks into",
+)
+def q_cluster_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
+    )
+    comps = D.dedup_components(pairs)
+    labeled = docs.select("doc_id").join(
+        comps, docs["doc_id"] == comps["id"], "left"
+    ).select(
+        docs["doc_id"],
+        F.coalesce(comps["cluster_id"], docs["doc_id"]).alias("cluster_id"),
+    )
+    return (
+        TO.hash_split(labeled, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+@declared(
     "corpus_mix",
     oracle=f"""
     WITH t AS (

@@ -217,3 +217,23 @@ def test_dedup_components_raises_when_unconverged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.dedup_components(pairs, max_iter=2)
+
+
+def test_cluster_split_never_separates_near_dups(spark):
+    """The leakage guarantee: both endpoints of every near-dup pair land in
+    the SAME split (assignment is a pure function of the shared cluster)."""
+    from team_126_spark.operators.textops import hash_split
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comps = D.dedup_components(pairs)
+    split = hash_split(comps.select("id", "cluster_id"), "cluster_id").select(
+        "id", "split"
+    )
+    a = split.withColumnRenamed("id", "id_a").withColumnRenamed("split", "split_a")
+    b = split.withColumnRenamed("id", "id_b").withColumnRenamed("split", "split_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    assert joined.filter(F.col("split_a") != F.col("split_b")).count() == 0
