@@ -2044,6 +2044,38 @@ def q_cluster_split(spark, sf_dir):
 
 
 @declared(
+    "quality_gate",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+    ),
+    m AS (
+      SELECT source, round(quantile_cont(quality, 0.5), 6) AS src_median
+      FROM q GROUP BY source
+    )
+    SELECT q.doc_id, q.source, q.quality, m.src_median
+    FROM q JOIN m USING (source)
+    WHERE q.quality >= m.src_median
+    """,
+    doc="per-source quality gate: keep documents at or above their source's "
+    "median quality_score — the relative-threshold curation step (absolute "
+    "thresholds misfire when sources differ in style). Median computed per "
+    "group then BROADCAST back; comparison on round-6 values both sides",
+)
+def q_quality_gate(spark, sf_dir):
+    # one scan: quality expr computed alongside the projected source column
+    q = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", TO.quality_expr(F.col("text")).alias("quality")
+    )
+    med = q.groupBy("source").agg(
+        F.round(F.percentile("quality", F.lit(0.5)), 6).alias("src_median")
+    )
+    return q.join(F.broadcast(med), "source").filter(
+        F.col("quality") >= F.col("src_median")
+    ).select("doc_id", "source", "quality", "src_median")
+
+
+@declared(
     "corpus_mix",
     oracle=f"""
     WITH t AS (
