@@ -157,3 +157,13 @@ def test_dedup_select_windows_share_one_exchange_with_group_limit(spark):
     plan = plan_of(spark, "dedup_select")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["corpus_mix", "quality_gate"])
+def test_grouped_threshold_joins_broadcast(spark, name):
+    # the tiny per-group aggregate (shard offsets / source medians) must
+    # broadcast back to the big side — a shuffled join or cartesian here
+    # would re-partition the full corpus against a 20-row table
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
