@@ -1,5 +1,6 @@
 from .pipeline import (  # noqa: F401
     message_pipeline,
+    run_idempotent_file_sink,
     run_to_memory,
     session_windows,
     stream_curate,

@@ -257,3 +257,40 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_idempotent_file_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dedup_keys: Iterable[str] | None = None,
+) -> None:
+    """Exactly-once file sink via foreachBatch: each micro-batch lands in
+    its own `batch=<id>` directory with mode=overwrite, so a RETRIED batch
+    (failure after write, before the checkpoint commit) overwrites its own
+    partial output instead of appending duplicates — idempotent writes +
+    the streaming checkpoint's exactly-once batch tracking give end-to-end
+    exactly-once file output without a transactional table format. With
+    `dedup_keys`, each batch is also first-arrival deduped WITHIN the batch
+    (cross-batch dedup belongs upstream in `stream_dedup`, where watermarks
+    bound the state).
+
+    The reference's append loop commits every row individually
+    (backend/main.py:560-567) and re-sends on reconnect — this is the
+    replayable, batch-atomic version of that sink. Drains with
+    trigger=availableNow (test/backfill harness; on a cluster drop the
+    trigger for continuous micro-batches).
+    """
+    keys = list(dedup_keys) if dedup_keys else None
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        out = bdf.dropDuplicates(keys) if keys else bdf
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -233,3 +233,44 @@ def test_stream_curate_matches_batch_curation(spark, tmp_path):
             seen.add(r["fp"])
             first_ids.add(r["doc_id"])
     assert first_ids == kept
+
+
+def test_idempotent_file_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink: per-batch overwrite directories make a replayed
+    batch idempotent — re-running the drained stream (same checkpoint)
+    writes nothing new, and a simulated retry of a batch does not duplicate
+    rows in the final output."""
+    import glob
+
+    stream_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    e = table(spark, SF, "events").limit(40).cache()
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stream_dir)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    src = STR.stream_events(spark, SF, stream_dir)
+    STR.run_idempotent_file_sink(src, out_dir, ckpt, dedup_keys=["event_id"])
+    got = spark.read.parquet(f"{out_dir}/batch=*")
+    n_first = got.count()
+    assert n_first == 40
+    assert got.select("event_id").distinct().count() == 40
+
+    # drain again with the SAME checkpoint: no new batches, no new rows
+    STR.run_idempotent_file_sink(
+        STR.stream_events(spark, SF, stream_dir), out_dir, ckpt, dedup_keys=["event_id"]
+    )
+    assert spark.read.parquet(f"{out_dir}/batch=*").count() == n_first
+
+    # simulated batch retry: re-write an existing batch directory by hand
+    # (what a post-write/pre-commit crash replay does) — overwrite semantics
+    # keep the total unchanged
+    some_batch = sorted(glob.glob(f"{out_dir}/batch=*"))[0]
+    bid = some_batch.rsplit("=", 1)[1]
+    # materialize before overwriting the same path (a real retry re-derives
+    # the batch from the SOURCE, so it never reads its own output)
+    src_batch = spark.read.parquet(some_batch)
+    replay = spark.createDataFrame(src_batch.collect(), src_batch.schema)
+    replay.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
+    assert spark.read.parquet(f"{out_dir}/batch=*").count() == n_first
+    e.unpersist()
