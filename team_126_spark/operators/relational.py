@@ -321,3 +321,45 @@ def budget_sample(
             F.col("_cum").alias("cum_weight"),
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: attach to each point row every interval row
+    with `start <= ts < end` — the time-axis containment join (maintenance
+    windows, promo periods, downtime attribution) that Spark would
+    otherwise plan as a broadcast-nested-loop/cartesian theta join.
+
+    The geo-grid rewrite applied to the time axis: both sides map to
+    `bucket_seconds`-wide epoch buckets — points to ONE bucket, intervals
+    EXPLODED to every bucket they overlap — so candidate generation is an
+    equi-join on the bucket key; the exact `[start, end)` predicate then
+    prunes the candidates. Shuffle ∝ rows × (interval span / bucket), never
+    |points| × |intervals|. Size `bucket_seconds` near the typical interval
+    span: much smaller multiplies the interval-side explosion, much larger
+    widens per-bucket candidate lists (same dial as the geo cell size,
+    operators/geo.py). Timestamps may be LTZ or NTZ (epoch_us handles
+    both); intervals are half-open so back-to-back windows never
+    double-match their boundary instant.
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    p_us = tables.epoch_us(points, ts_col)
+    i_start = tables.epoch_us(intervals, start_col)
+    i_end = tables.epoch_us(intervals, end_col)
+    p = points.withColumn("_bucket", F.floor(p_us / b_us))
+    # last bucket of a half-open interval: the bucket of end - 1 microsecond
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(i_start / b_us), F.floor((i_end - 1) / b_us))),
+    )
+    joined = p.join(i, "_bucket", how).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")

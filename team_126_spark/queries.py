@@ -2044,6 +2044,44 @@ def q_cluster_split(spark, sf_dir):
 
 
 @declared(
+    "interval_join_counts",
+    oracle="""
+    WITH w AS (
+      SELECT r.i AS w_id,
+             TIMESTAMP '2024-01-01 00:00:00' + r.i * (INTERVAL 6 HOUR) AS w_start
+      FROM range(0, 120) r(i)
+    )
+    SELECT w_id, w_start, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e JOIN w
+      ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 1 HOUR
+    GROUP BY w_id, w_start
+    """,
+    doc="point-in-interval containment join (maintenance-window attribution): "
+    "events matched to recurring 1-hour windows via the bucketized "
+    "interval_join — time-bucket equi-join + exact half-open refine, the "
+    "time-axis analog of the geo-grid rewrite (no theta/cartesian join). "
+    "Oracle uses the plain range theta-join DuckDB plans natively.",
+)
+def q_interval_join_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast(dict(e.dtypes)["ts"])
+    w = spark.range(120).select(
+        F.col("id").cast("bigint").alias("w_id"),
+        (base + F.expr("make_interval(0, 0, 0, 0, CAST(id * 6 AS INT), 0, 0)")).alias(
+            "w_start"
+        ),
+    ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    joined = R.interval_join(
+        e.select("ts", "user_id"), w, "ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    return joined.groupBy("w_id", "w_start").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@declared(
     "quality_gate",
     oracle=f"""
     WITH q AS (

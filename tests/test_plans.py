@@ -167,3 +167,11 @@ def test_grouped_threshold_joins_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    # the containment predicate must ride on a bucket equi-join — a
+    # regression to the naive range theta-join plans as BNLJ/cartesian
+    plan = plan_of(spark, "interval_join_counts")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -404,3 +404,39 @@ def test_budget_sample_invariants(spark):
     old_a_ids = [r["id"] for r in sorted(by_grp["a"], key=lambda r: r["cum_weight"])]
     grown_order = [i for i, _ in sorted(grown, key=lambda t: t[1]) if i < 1000]
     assert grown_order == [i for i in old_a_ids if i in set(grown_order)]
+
+
+def test_interval_join_boundaries_and_multibucket(spark):
+    from datetime import datetime
+
+    from team_126_spark.operators.relational import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0)),   # == start -> in
+            (2, datetime(2024, 1, 1, 11, 59, 59)), # inside, crosses bucket
+            (3, datetime(2024, 1, 1, 12, 0, 0)),   # == end -> OUT (half-open)
+            (4, datetime(2024, 1, 1, 9, 59, 59)),  # before -> out
+            (5, datetime(2024, 1, 2, 10, 30, 0)),  # inside second interval
+        ],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, datetime(2024, 1, 1, 10, 0, 0), datetime(2024, 1, 1, 12, 0, 0)),
+            (200, datetime(2024, 1, 2, 10, 0, 0), datetime(2024, 1, 2, 11, 0, 0)),
+        ],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    got = {
+        (r["pid"], r["iv_id"])
+        for r in interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=3600).collect()
+    }
+    assert got == {(1, 100), (2, 100), (5, 200)}
+    # a giant bucket (everything in one) gives identical results — the
+    # bucket size is a performance dial, never a semantics dial
+    big = {
+        (r["pid"], r["iv_id"])
+        for r in interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=10**6).collect()
+    }
+    assert big == got
