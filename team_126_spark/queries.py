@@ -2082,6 +2082,63 @@ def q_interval_join_counts(spark, sf_dir):
 
 
 @declared(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM events
+    """,
+    doc="SCD2 history build: each per-user status event becomes a validity "
+    "interval [valid_from, valid_to) closed by the next event (NULL/open = "
+    "current) — one window shuffle on the entity key; feeds interval_join "
+    "for as-of attribution at interval granularity",
+)
+def q_scd2_history(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@declared(
+    "cap_per_source",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                  ORDER BY {X.md5_low32_sql('CAST(doc_id AS VARCHAR)')}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    doc="per-source document cap (domain capping): keep at most N docs per "
+    "source in stable md5-priority order — append-stable like hash_split "
+    "(new docs never evict an already-kept doc's priority rank order), one "
+    "window shuffle on the source key",
+)
+def q_cap_per_source(spark, sf_dir):
+    from .functions.text import md5_low32
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_low32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+
+
+@declared(
     "quality_gate",
     oracle=f"""
     WITH q AS (

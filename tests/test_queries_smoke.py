@@ -43,3 +43,33 @@ def test_profile_approx_within_hll_error(spark):
     # HLL++ default rsd is 5%; allow 3 sigma
     assert abs(row["approx_custkeys"] - exact[1]) <= max(3, 0.15 * exact[1])
     assert abs(row["approx_priorities"] - exact[2]) <= max(3, 0.15 * exact[2])
+
+
+def test_percentile_approx_within_rank_error(spark):
+    """The documented L20 scale path (column_quantiles docstring): at 100 TB
+    exact percentile is swapped for percentile_approx. Bound its rank error
+    against the exact quantile on real data: with accuracy=10000 the
+    rank error is <= n/10000, so the approx p50/p90 must land within the
+    value-span of that rank neighborhood."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.queries import load
+    from team_126_spark.functions.text import token_count
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        token_count(F.col("text")).cast("double").alias("nt")
+    ).cache()
+    n = d.count()
+    acc = 10_000
+    for q in (0.5, 0.9):
+        exact = d.agg(F.percentile("nt", F.lit(q))).first()[0]
+        approx = d.agg(F.percentile_approx("nt", F.lit(q), F.lit(acc))).first()[0]
+        # translate the rank guarantee into a value bound: values at ranks
+        # within n/acc of the target must bracket the approx answer
+        ranked = sorted(r["nt"] for r in d.collect())
+        slack = max(2, n // acc + 1)
+        target = int(q * (n - 1))
+        lo = ranked[max(0, target - slack)]
+        hi = ranked[min(n - 1, target + slack)]
+        assert lo <= approx <= hi, (q, approx, exact, lo, hi)
+    d.unpersist()
