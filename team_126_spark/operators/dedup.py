@@ -173,6 +173,18 @@ def minhash_lsh_pairs(
     # release_signature_cache().
     sess_key = id(df.sparkSession)
     with _sig_cache_lock:
+        # evict entries whose sessions have stopped — without this a
+        # long-lived process that cycles SparkSessions accumulates one
+        # dead handle per session forever
+        for key, old in list(_live_sigs.items()):
+            if key == sess_key:
+                continue
+            try:
+                stopped = old.sparkSession._jsparkSession.sparkContext().isStopped()
+            except Exception:
+                stopped = True  # unreachable JVM handle == dead session
+            if stopped:
+                _live_sigs.pop(key, None)
         prev = _live_sigs.get(sess_key)
         if prev is not None:
             try:

@@ -277,8 +277,6 @@ def budget_sample(
     Weights must be integral (token counts): integer sums are exact, so
     the budget cut is bit-deterministic in any engine.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import md5_low32
 
     if 2**32 % n_shards:
@@ -353,13 +351,21 @@ def interval_join(
     p_us = tables.epoch_us(points, ts_col)
     i_start = tables.epoch_us(intervals, start_col)
     i_end = tables.epoch_us(intervals, end_col)
-    p = points.withColumn("_bucket", F.floor(p_us / b_us))
-    # last bucket of a half-open interval: the bucket of end - 1 microsecond
-    i = intervals.withColumn(
-        "_bucket",
+    p = points.withColumn("_pbucket", F.floor(p_us / b_us))
+    # Empty/inverted intervals ([t, t) and worse) match nothing under
+    # half-open semantics — drop them BEFORE exploding: F.sequence
+    # auto-steps -1 when stop < start, which would turn one corrupt row
+    # into |span|/bucket spurious candidate buckets.
+    i = intervals.filter(i_end > i_start).withColumn(
+        # last bucket of a half-open interval: the bucket of end - 1 µs
+        "_ibucket",
         F.explode(F.sequence(F.floor(i_start / b_us), F.floor((i_end - 1) / b_us))),
     )
-    joined = p.join(i, "_bucket", how).filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    # containment rides IN the join condition (not a post-filter) so outer
+    # joins keep their NULL-padded unmatched rows
+    cond = (
+        (p["_pbucket"] == i["_ibucket"])
+        & (p[ts_col] >= i[start_col])
+        & (p[ts_col] < i[end_col])
     )
-    return joined.drop("_bucket")
+    return p.join(i, cond, how).drop("_pbucket", "_ibucket")

@@ -99,7 +99,7 @@ def epoch_us(df: DataFrame, ts_col: str) -> F.Column:
     """
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
         )
     return F.unix_micros(F.col(ts_col))
 

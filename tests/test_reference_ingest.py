@@ -99,21 +99,11 @@ def test_transit_csv_row_counts(spark):
 
 
 def _housing(spark):
-    """The convert_housing_to_json.py derivation: units null→0, searchable
-    text = lowercased f-string concat (pandas renders NaN as 'nan' — mirror
-    it so substring-search parity holds on rows with missing fields)."""
-    df = SIO.read_csv_bom(spark, HOUSING)
-    units = F.coalesce(F.col("Units").try_cast("long"), F.lit(0))
-    st = F.lower(
-        F.concat_ws(
-            " ",
-            F.coalesce(F.col("Jurisdiction"), F.lit("nan")),
-            F.coalesce(F.col("ZoningSimplified"), F.lit("nan")),
-            F.coalesce(F.col("Vacancy"), F.lit("nan")),
-            F.coalesce(F.col("Zoning"), F.lit("nan")),
-        )
-    )
-    return df.withColumn("units", units).withColumn("searchable_text", st)
+    """Shared derivation (team_126_spark/sources/housing.py) — one source of
+    truth for the tests and tools/reference_demo.py."""
+    from team_126_spark.sources.housing import load_housing
+
+    return load_housing(spark, HOUSING)
 
 
 def test_housing_published_totals(spark):
@@ -141,50 +131,17 @@ def test_housing_envelope_summary(spark):
     assert "City of San Diego" in s["jurisdictions"]
 
 
-# The five demo searches (search_housing.py:96-140) as DataFrame predicates.
-# Each case: (name, spark predicate builder, DuckDB WHERE clause).
-_DD_ST = (
-    "lower(concat_ws(' ', COALESCE(Jurisdiction,'nan'), "
-    "COALESCE(ZoningSimplified,'nan'), COALESCE(Vacancy,'nan'), "
-    "COALESCE(Zoning,'nan')))"
-)
-_SEARCHES = [
-    (
-        "vacant_high_density",
-        lambda d: (F.col("Vacancy") == "Vacant")
-        & (F.lower("ZoningSimplified") == "high density residential"),
-        "Vacancy='Vacant' AND lower(ZoningSimplified)='high density residential'",
-    ),
-    (
-        "san_diego_50plus",
-        lambda d: (F.lower("Jurisdiction") == "city of san diego") & (F.col("units") >= 50),
-        "lower(Jurisdiction)='city of san diego' AND COALESCE(TRY_CAST(Units AS BIGINT),0)>=50",
-    ),
-    (
-        "commercial",
-        lambda d: F.lower("ZoningSimplified") == "commercial",
-        "lower(ZoningSimplified)='commercial'",
-    ),
-    (
-        "mixed_use",
-        lambda d: F.lower("ZoningSimplified") == "mixed use",
-        "lower(ZoningSimplified)='mixed use'",
-    ),
-    (
-        "text_transit",
-        lambda d: F.col("searchable_text").contains("transit"),
-        f"{_DD_ST} LIKE '%transit%'",
-    ),
-]
-
-
 def test_housing_demo_searches_match_duckdb(spark):
+    """The five demo searches (search_housing.py:96-140), predicates shared
+    with the runnable demo via sources/housing.SEARCHES."""
+    from team_126_spark.sources.housing import searches
+
     d = _housing(spark)
     con = _dd(HOUSING)
-    for name, pred, where in _SEARCHES:
-        got = d.filter(pred(d)).count()
+    for name, pred, where in searches():
+        got = d.filter(pred).count()
         want = con.execute(f"SELECT count(*) FROM t WHERE {where}").fetchone()[0]
         assert got == want, (name, got, want)
         assert got >= 5, name  # each demo search prints a full limit=5 page
         # the demo's limit=5 page
-        assert len(d.filter(pred(d)).limit(5).collect()) == 5
+        assert len(d.filter(pred).limit(5).collect()) == 5

@@ -440,3 +440,22 @@ def test_interval_join_boundaries_and_multibucket(spark):
         for r in interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=10**6).collect()
     }
     assert big == got
+
+    # outer-join semantics survive: unmatched points keep a NULL interval row
+    left = {
+        (r["pid"], r["iv_id"])
+        for r in interval_join(pts, ivs, "ts", "s", "e", how="left").collect()
+    }
+    assert left == got | {(3, None), (4, None)}
+
+    # inverted and empty intervals match nothing (and never explode into
+    # descending bucket sequences)
+    from datetime import datetime as _dt
+    bad = spark.createDataFrame(
+        [
+            (300, _dt(2024, 1, 1, 10, 0, 0), _dt(2024, 1, 1, 10, 0, 0)),  # empty
+            (400, _dt(2025, 1, 1, 0, 0, 0), _dt(2024, 1, 1, 0, 0, 0)),    # inverted
+        ],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    assert interval_join(pts, bad, "ts", "s", "e").count() == 0

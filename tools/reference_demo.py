@@ -2,7 +2,8 @@
 the switch-over experience: same five searches search_housing.py:96-140
 prints, same summary block convert_housing_to_json.py:92-103 prints,
 produced by the engine's DataFrame plans instead of a driver-side Python
-loop over a JSON file.
+loop over a JSON file. Data derivation and predicates are shared with the
+parity tests via team_126_spark/sources/housing.py.
 
 Usage: python tools/reference_demo.py
 """
@@ -17,26 +18,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from team_126_spark.session import get_spark  # noqa: E402
 from team_126_spark.sources import io as SIO  # noqa: E402
+from team_126_spark.sources.housing import load_housing, searches  # noqa: E402
 
-HOUSING = (
-    "/root/reference/backend/datasets/"
-    "HousingElements_SDCounty_2021_2029_3908156892941684000.csv"
-)
-
-
-def load_housing(spark):
-    df = SIO.read_csv_bom(spark, HOUSING)
-    units = F.coalesce(F.col("Units").try_cast("long"), F.lit(0))
-    st = F.lower(
-        F.concat_ws(
-            " ",
-            F.coalesce(F.col("Jurisdiction"), F.lit("nan")),
-            F.coalesce(F.col("ZoningSimplified"), F.lit("nan")),
-            F.coalesce(F.col("Vacancy"), F.lit("nan")),
-            F.coalesce(F.col("Zoning"), F.lit("nan")),
-        )
-    )
-    return df.withColumn("units", units).withColumn("searchable_text", st)
+TITLES = {
+    "vacant_high_density": "1.  SEARCH: Vacant high-density residential properties",
+    "san_diego_50plus": "2.  SEARCH: City of San Diego properties with 50+ units",
+    "commercial": "3.  SEARCH: Commercial zoning properties",
+    "mixed_use": "4.  SEARCH: Mixed-use properties",
+    "text_transit": "5.  SEARCH: Properties near transit (text search)",
+}
 
 
 def print_results(rows) -> None:
@@ -52,26 +42,9 @@ def main() -> None:
     spark = get_spark("reference_demo")
     d = load_housing(spark).cache()
 
-    searches = [
-        (
-            "1.  SEARCH: Vacant high-density residential properties",
-            (F.col("Vacancy") == "Vacant")
-            & (F.lower("ZoningSimplified") == "high density residential"),
-        ),
-        (
-            "2.  SEARCH: City of San Diego properties with 50+ units",
-            (F.lower("Jurisdiction") == "city of san diego") & (F.col("units") >= 50),
-        ),
-        ("3.  SEARCH: Commercial zoning properties", F.lower("ZoningSimplified") == "commercial"),
-        ("4.  SEARCH: Mixed-use properties", F.lower("ZoningSimplified") == "mixed use"),
-        (
-            "5.  SEARCH: Properties near transit (text search)",
-            F.col("searchable_text").contains("transit"),
-        ),
-    ]
     print("=" * 80 + "\nHousing Elements Search Demo (engine-side)\n" + "=" * 80)
-    for title, pred in searches:
-        print("\n\n" + title + "\n" + "-" * 80)
+    for name, pred, _ in searches():
+        print("\n\n" + TITLES[name] + "\n" + "-" * 80)
         # deterministic page: the reference takes file order; a distributed
         # scan has no file order, so page by the stable OBJECTID
         rows = (
