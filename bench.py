@@ -51,6 +51,9 @@ HEADLINE = [
     "rollup_counts",
     "dedup_select",
     "corpus_mix",
+    "quality_gate",
+    # time-axis joins
+    "interval_join_counts",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",
