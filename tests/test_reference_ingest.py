@@ -145,3 +145,72 @@ def test_housing_demo_searches_match_duckdb(spark):
         assert got >= 5, name  # each demo search prints a full limit=5 page
         # the demo's limit=5 page
         assert len(d.filter(pred).limit(5).collect()) == 5
+
+
+HEALTH_JSON = f"{BASE}/healthcare_resources.json"
+STOPS_JSON = f"{BASE}/transit_stops.json"
+
+
+def test_shipped_json_records_and_nested_projection(spark):
+    """S3 whole-file JSON + P2 nested projection on the SHIPPED reference
+    JSONs (dataset_search.py:76-77 loads these exact files)."""
+    import json as _json
+
+    hc = SIO.read_json_records(spark, HEALTH_JSON)
+    assert hc.count() == 50  # converter caps at 50 (convert_csv_to_json.py:59-60)
+    st = SIO.read_json_records(spark, STOPS_JSON)
+    n_stops = st.count()
+    assert n_stops == 6220
+    # JSON export row count equals its CSV source's logical row count
+    assert n_stops == SIO.read_csv_bom(spark, STOPS).count()
+
+    # nested-struct projection reaches coordinates.{latitude,longitude}
+    flat = st.select(
+        F.col("id"),
+        F.col("coordinates.latitude").alias("lat"),
+        F.col("coordinates.longitude").alias("lon"),
+        F.col("wheelchair_accessible"),
+    )
+    got_acc = flat.filter(F.col("wheelchair_accessible")).count()
+    raw = _json.load(open(STOPS_JSON))
+    want_acc = sum(1 for r in raw if r.get("wheelchair_accessible") is True)
+    assert got_acc == want_acc
+    # coordinate values survive the scan bit-exactly
+    got_lat = {r["id"]: r["lat"] for r in flat.limit(0).collect()} or {
+        r["id"]: r["lat"] for r in flat.filter(F.col("id") == "10001").collect()
+    }
+    assert got_lat["10001"] == raw[0]["coordinates"]["latitude"]
+
+
+def test_geo_radius_on_real_stops(spark):
+    """J3 on real coordinates: radius filter over the shipped transit stops
+    agrees with a pure-Python haversine over the same JSON."""
+    import json as _json
+    import math
+
+    from team_126_spark.operators.geo import radius_filter
+
+    probe_lat, probe_lon, r_km = 32.7157, -117.1611, 2.0  # downtown SD
+    st = SIO.read_json_records(spark, STOPS_JSON).select(
+        F.col("id"),
+        F.col("coordinates.latitude").alias("lat"),
+        F.col("coordinates.longitude").alias("lon"),
+    )
+    got = radius_filter(st, "lat", "lon", probe_lat, probe_lon, r_km).count()
+
+    def hav(lat, lon):
+        rlat1, rlat2 = math.radians(probe_lat), math.radians(lat)
+        dlat = rlat2 - rlat1
+        dlon = math.radians(lon - probe_lon)
+        a = math.sin(dlat / 2) ** 2 + math.cos(rlat1) * math.cos(rlat2) * math.sin(dlon / 2) ** 2
+        return 6371.0 * 2 * math.asin(math.sqrt(a))
+
+    raw = _json.load(open(STOPS_JSON))
+    want = sum(
+        1
+        for r in raw
+        if r.get("coordinates")
+        and hav(r["coordinates"]["latitude"], r["coordinates"]["longitude"]) <= r_km
+    )
+    assert got == want
+    assert got > 0
