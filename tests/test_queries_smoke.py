@@ -73,3 +73,29 @@ def test_percentile_approx_within_rank_error(spark):
         hi = ranked[min(n - 1, target + slack)]
         assert lo <= approx <= hi, (q, approx, exact, lo, hi)
     d.unpersist()
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN (no execution) every declared oracle with the driver's table
+    views registered — a syntax error or misspelled column in an oracle
+    surfaces here in seconds instead of at the correctness gate."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    )
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    bad = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {q.oracle}")
+        except Exception as e:  # noqa: BLE001
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, bad
