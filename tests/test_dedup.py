@@ -237,3 +237,18 @@ def test_cluster_split_never_separates_near_dups(spark):
     b = split.withColumnRenamed("id", "id_b").withColumnRenamed("split", "split_b")
     joined = pairs.join(a, "id_a").join(b, "id_b")
     assert joined.filter(F.col("split_a") != F.col("split_b")).count() == 0
+
+
+def test_signature_cache_scoped_and_releasable(spark, docs_df):
+    """The per-session signature cache holds at most this session's entry
+    after a call, and release_signature_cache() empties it (ADVICE r2:
+    cross-session unpersist race; r3 review: dead-session leak)."""
+    D.release_signature_cache()
+    assert D._live_sigs == {}
+    D.minhash_lsh_pairs(docs_df, "text", "doc_id").collect()
+    assert set(D._live_sigs) == {id(spark)}
+    # a repeat call with the same plan keeps the same single entry
+    D.minhash_lsh_pairs(docs_df, "text", "doc_id").collect()
+    assert set(D._live_sigs) == {id(spark)}
+    D.release_signature_cache(spark)
+    assert D._live_sigs == {}
