@@ -99,3 +99,13 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as e:  # noqa: BLE001
             bad[name] = str(e).splitlines()[0]
     assert not bad, bad
+
+
+def test_session_scale_confs_pinned(spark):
+    """The confs the 100 TB story depends on (AQE re-planning, UTC oracle
+    comparability, Arrow UDF boundary) must survive session-builder edits."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
