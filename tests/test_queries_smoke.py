@@ -102,8 +102,12 @@ def test_every_oracle_parses_in_duckdb():
 
 
 def test_session_scale_confs_pinned(spark):
-    """The confs the 100 TB story depends on (AQE re-planning, UTC oracle
-    comparability, Arrow UDF boundary) must survive session-builder edits."""
+    """tune_session (what the driver contract's entry() applies to an
+    externally built session) must set every conf the 100 TB story depends
+    on: AQE re-planning, UTC oracle comparability, the Arrow boundary."""
+    from team_126_spark.session import tune_session
+
+    tune_session(spark)
     conf = spark.conf
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
