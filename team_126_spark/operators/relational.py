@@ -346,26 +346,63 @@ def interval_join(
     operators/geo.py). Timestamps may be LTZ or NTZ (epoch_us handles
     both); intervals are half-open so back-to-back windows never
     double-match their boundary instant.
+
+    Outer semantics: a point maps to exactly ONE bucket, so `left` falls
+    straight out of the bucketed join. The interval side is exploded, so a
+    naive `right`/`full` would emit one NULL-padded row per overlapped
+    bucket for each unmatched interval (and lose degenerate intervals
+    entirely); instead those modes tag each interval row with a per-row id
+    on a lazily checkpointed snapshot (computed once, shared by both plan
+    branches) and anti-join the ORIGINAL rows back in NULL-padded — each
+    unmatched interval, including empty/inverted ones, appears exactly
+    once. The checkpoint materializes only the interval side, which is the
+    small side by construction (maintenance windows, promo periods).
     """
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"interval_join: how={how!r} not supported; use inner/left/right/full"
+        )
     b_us = int(bucket_seconds) * 1_000_000
-    p_us = tables.epoch_us(points, ts_col)
-    i_start = tables.epoch_us(intervals, start_col)
-    i_end = tables.epoch_us(intervals, end_col)
-    p = points.withColumn("_pbucket", F.floor(p_us / b_us))
-    # Empty/inverted intervals ([t, t) and worse) match nothing under
-    # half-open semantics — drop them BEFORE exploding: F.sequence
-    # auto-steps -1 when stop < start, which would turn one corrupt row
-    # into |span|/bucket spurious candidate buckets.
-    i = intervals.filter(i_end > i_start).withColumn(
-        # last bucket of a half-open interval: the bucket of end - 1 µs
-        "_ibucket",
-        F.explode(F.sequence(F.floor(i_start / b_us), F.floor((i_end - 1) / b_us))),
+
+    def exploded(iv: DataFrame) -> DataFrame:
+        s, e = tables.epoch_us(iv, start_col), tables.epoch_us(iv, end_col)
+        # Empty/inverted intervals ([t, t) and worse) match nothing under
+        # half-open semantics — drop them BEFORE exploding: F.sequence
+        # auto-steps -1 when stop < start, which would turn one corrupt row
+        # into |span|/bucket spurious candidate buckets.
+        return iv.filter(e > s).withColumn(
+            # last bucket of a half-open interval: the bucket of end - 1 µs
+            "_ibucket",
+            F.explode(F.sequence(F.floor(s / b_us), F.floor((e - 1) / b_us))),
+        )
+
+    p = points.withColumn("_pbucket", F.floor(tables.epoch_us(points, ts_col) / b_us))
+
+    def cond(i: DataFrame):
+        # containment rides IN the join condition (not a post-filter) so
+        # left joins keep their NULL-padded unmatched point rows
+        return (
+            (p["_pbucket"] == i["_ibucket"])
+            & (p[ts_col] >= i[start_col])
+            & (p[ts_col] < i[end_col])
+        )
+
+    if how in ("inner", "left"):
+        i = exploded(intervals)
+        return p.join(i, cond(i), how).drop("_pbucket", "_ibucket")
+
+    # right/full: per-row id assigned ONCE (lazy localCheckpoint cuts the
+    # lineage so the matched branch and the anti branch read the same ids —
+    # monotonically_increasing_id over a recomputed plan would not be safe)
+    iv = intervals.withColumn("_iid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
     )
-    # containment rides IN the join condition (not a post-filter) so outer
-    # joins keep their NULL-padded unmatched rows
-    cond = (
-        (p["_pbucket"] == i["_ibucket"])
-        & (p[ts_col] >= i[start_col])
-        & (p[ts_col] < i[end_col])
+    i = exploded(iv)
+    point_side = "left" if how == "full" else "inner"
+    joined = p.join(i, cond(i), point_side).drop("_pbucket", "_ibucket")
+    matched_ids = p.join(i, cond(i), "inner").select(i["_iid"]).distinct()
+    pad = [F.lit(None).cast(f.dataType).alias(f.name) for f in p.schema.fields[:-1]]
+    unmatched = iv.join(matched_ids, "_iid", "left_anti").select(
+        *pad, *[F.col(c) for c in iv.columns]
     )
-    return p.join(i, cond, how).drop("_pbucket", "_ibucket")
+    return joined.unionByName(unmatched).drop("_iid")

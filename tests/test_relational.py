@@ -459,3 +459,40 @@ def test_interval_join_boundaries_and_multibucket(spark):
         "iv_id long, s timestamp, e timestamp",
     )
     assert interval_join(pts, bad, "ts", "s", "e").count() == 0
+
+    # right join: every interval row survives exactly once NULL-padded when
+    # unmatched — even a multi-bucket-span one (no per-bucket duplication)
+    # and even degenerate (empty/inverted) intervals that never join
+    allivs = ivs.unionByName(bad).unionByName(
+        spark.createDataFrame(
+            # spans 20 buckets at bucket_seconds=3600, matches no point
+            [(500, datetime(2024, 3, 1, 0, 0, 0), datetime(2024, 3, 1, 20, 0, 0))],
+            "iv_id long, s timestamp, e timestamp",
+        )
+    )
+    right = [
+        (r["pid"], r["iv_id"])
+        for r in interval_join(pts, allivs, "ts", "s", "e", how="right").collect()
+    ]
+    assert sorted(right, key=str) == sorted(
+        [(1, 100), (2, 100), (5, 200), (None, 300), (None, 400), (None, 500)], key=str
+    )
+
+    # full join: matched pairs + unmatched points + unmatched intervals
+    full = [
+        (r["pid"], r["iv_id"])
+        for r in interval_join(pts, allivs, "ts", "s", "e", how="full").collect()
+    ]
+    assert sorted(full, key=str) == sorted(
+        right + [(3, None), (4, None)], key=str
+    )
+
+    # duplicate interval rows keep SQL outer-join multiplicity (one padded
+    # row per duplicate, not collapsed)
+    dup = allivs.filter("iv_id = 500").unionByName(allivs.filter("iv_id = 500"))
+    assert interval_join(pts, dup, "ts", "s", "e", how="right").count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how="):
+        interval_join(pts, ivs, "ts", "s", "e", how="cross")
