@@ -15,6 +15,7 @@ All hashes are deterministic (xxhash64/md5 with fixed seeds), no RNG state.
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,10 +60,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-word shingles, pairs above
-    threshold (id_a < id_b).
+    threshold (id_a < id_b). Worst case quadratic (near-identical corpora
+    intersect on every shingle), so it raises above `max_rows` input rows —
+    minhash_lsh_pairs is the scale path; pass max_rows=None to opt out.
 
     Plan shape: explode distinct shingles → self-equi-join on shingle →
     groupBy pair counting intersections → |A∪B| = |A|+|B|-|A∩B|. Shuffles
@@ -70,6 +78,7 @@ def ngram_jaccard_pairs(
     scale — AQE skew-join splitting handles them, and k>=3 keeps shingle
     frequency low. Exact semantics → DuckDB oracle twin.
     """
+    _guard_quadratic(df, id_col, max_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -97,10 +106,14 @@ def ngram_jaccard_pairs(
 N_MINHASH = 64  # signature length; 16 bands × 4 rows
 
 # Last persisted signature table PER SparkSession (see minhash_lsh_pairs).
-# Keyed by id(session) under a lock so concurrent calls — or two sessions in
-# one process — cannot unpersist each other's live cache mid-query.
+# Keyed by the session object itself, weakly (ADVICE r3: id(session) can be
+# recycled by the allocator after GC, aliasing a dead session's entry onto a
+# new one) — a collected session drops its entry automatically, and a live
+# session can never collide with another. The lock keeps concurrent calls —
+# or two sessions in one process — from unpersisting each other's live cache
+# mid-query.
 _sig_cache_lock = threading.Lock()
-_live_sigs: dict[int, DataFrame] = {}
+_live_sigs: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def release_signature_cache(spark=None) -> None:
@@ -108,9 +121,9 @@ def release_signature_cache(spark=None) -> None:
     minhash_lsh_pairs call on `spark` (every session's if None; no-op if
     none is live)."""
     with _sig_cache_lock:
-        keys = list(_live_sigs) if spark is None else [id(spark)]
-        for key in keys:
-            sigs = _live_sigs.pop(key, None)
+        sessions = list(_live_sigs) if spark is None else [spark]
+        for sess in sessions:
+            sigs = _live_sigs.pop(sess, None)
             if sigs is not None:
                 try:
                     sigs.unpersist()
@@ -171,21 +184,21 @@ def minhash_lsh_pairs(
     # new call uncached across its three consumers — so eviction only fires
     # when the plan actually changed (sameSemantics). Eager cleanup:
     # release_signature_cache().
-    sess_key = id(df.sparkSession)
+    sess = df.sparkSession
     with _sig_cache_lock:
-        # evict entries whose sessions have stopped — without this a
-        # long-lived process that cycles SparkSessions accumulates one
-        # dead handle per session forever
-        for key, old in list(_live_sigs.items()):
-            if key == sess_key:
+        # evict entries whose sessions have stopped — the weak keying
+        # handles GARBAGE-COLLECTED sessions, but a stopped-yet-referenced
+        # session would otherwise pin its persisted handle forever
+        for other in list(_live_sigs):
+            if other is sess:
                 continue
             try:
-                stopped = old.sparkSession._jsparkSession.sparkContext().isStopped()
+                stopped = other._jsparkSession.sparkContext().isStopped()
             except Exception:
                 stopped = True  # unreachable JVM handle == dead session
             if stopped:
-                _live_sigs.pop(key, None)
-        prev = _live_sigs.get(sess_key)
+                _live_sigs.pop(other, None)
+        prev = _live_sigs.get(sess)
         if prev is not None:
             try:
                 if not prev.sameSemantics(sigs_plan):
@@ -193,7 +206,7 @@ def minhash_lsh_pairs(
             except Exception:
                 pass  # session of the old handle may already be stopped
         sigs = sigs_plan.persist(StorageLevel.MEMORY_AND_DISK)
-        _live_sigs[sess_key] = sigs
+        _live_sigs[sess] = sigs
     # Candidate generation joins on SLIM (doc, band, bhash) rows — 24 bytes/row
     # instead of dragging the 64-long signature through a 16×-exploded shuffle.
     # Signatures are re-attached once per side afterwards from the persisted
@@ -249,6 +262,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     chase_after: int = 2,
+    check_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id = min id
@@ -273,10 +287,22 @@ def dedup_components(
     `localCheckpoint` cuts the growing lineage so round N's plan does not
     replay rounds 1..N-1 (the classic iterative-Spark trap).
 
-    Raises RuntimeError if still unconverged after max_iter — silently
-    returning partial (wrong) cluster labels is never acceptable in a
-    dedup pipeline. Pass `stats={}` to read back `stats["rounds"]`.
+    `check_every=k` runs the convergence count only every k-th round
+    (and always on the last), trading ≤ k-1 extra — harmless, the fixpoint
+    is stable — propagation rounds for k× fewer blocking driver actions:
+    worth it on deep graphs where each count stalls the job queue. The
+    final executed round is ALWAYS counted, so convergence is confirmed,
+    never assumed.
+
+    Raises RuntimeError if convergence is not confirmed within max_iter
+    rounds — silently returning partial (wrong) cluster labels is never
+    acceptable in a dedup pipeline. Pass `stats={}` to read back
+    `stats["rounds"]`.
     """
+    if max_iter < 1:
+        raise ValueError(f"dedup_components: max_iter must be >= 1, got {max_iter}")
+    if check_every < 1:
+        raise ValueError(f"dedup_components: check_every must be >= 1, got {check_every}")
     edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges_fwd.union(
         edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -319,9 +345,12 @@ def dedup_components(
                 F.col("_old"),
             )
         updated = stepped.localCheckpoint()
-        changed = updated.filter(F.col("label") != F.col("_old")).count()
-        labels = updated.drop("_old")
         rounds += 1
+        if rounds % check_every == 0 or rounds == max_iter:
+            changed = updated.filter(F.col("label") != F.col("_old")).count()
+        else:
+            changed = None  # skipped this round (check_every dial)
+        labels = updated.drop("_old")
         if changed == 0:
             break
     edges.unpersist()
@@ -329,9 +358,10 @@ def dedup_components(
         stats["rounds"] = rounds
     if changed != 0:
         raise RuntimeError(
-            f"dedup_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — component diameter exceeds "
-            f"2^{max_iter}; raise max_iter"
+            f"dedup_components did not converge: convergence not confirmed "
+            f"within max_iter={max_iter} rounds ({changed} labels still "
+            f"changing in round {rounds}) — raise max_iter (pointer doubling "
+            f"covers component diameter ~2^max_iter)"
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
@@ -415,17 +445,44 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash6
     return pre.groupBy("doc").agg(simhash_from_hashes(F.collect_list("h")).alias("simhash"))
 
 
+def _guard_quadratic(df: DataFrame, id_col: str, max_rows, op: str, alt: str) -> None:
+    """Refuse to run an O(n²) oracle baseline above `max_rows` input rows.
+
+    The exact paths exist for correctness checking at small SF; nothing
+    stops a caller from pointing one at a corpus where n² is a
+    cluster-melter, and a 15 s bench scare in round 3 showed how easily
+    that happens. The guard costs one slim-column count() (id column only —
+    column-pruned scan); pass max_rows=None to opt out explicitly.
+    """
+    if max_rows is None:
+        return
+    n = df.select(id_col).count()
+    if n > max_rows:
+        raise RuntimeError(
+            f"{op}: input has {n} rows > max_rows={max_rows} — this is the "
+            f"exact O(n^2) oracle baseline, kept for correctness checking "
+            f"only; use {alt} at corpus scale, or pass a higher max_rows "
+            f"(or None) if you really mean it"
+        )
+
+
 def embedding_neardup_exact(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — exact O(n²) baseline (oracle
-    path; fine to ~10^5 rows on a cluster, used for correctness only).
+    path; used for correctness only — raises above `max_rows` input rows,
+    pointing to embedding_neardup_lsh as the scale path).
 
     Norms are computed once per ROW before the cross join (not per pair):
     same expression tree, 3× fewer array folds in the O(n²) hot loop.
     """
     from ..functions.vector import dot, norm
 
+    _guard_quadratic(df, id_col, max_rows, "embedding_neardup_exact", "embedding_neardup_lsh")
     a = spread(df, id_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), norm(F.col(vec_col)).alias("_na")
     )
