@@ -295,3 +295,30 @@ def test_lsh_bucket_layout_partition_pruning(spark, tmp_path):
     n_read = back.select("lsh_bucket").distinct().count()
     n_total = spark.read.parquet(path).select("lsh_bucket").distinct().count()
     assert n_read <= len(targets) < n_total  # probe touches a strict subset
+
+
+def test_ann_lsh_projection_sign_margin():
+    """ADVICE r3: ann_lsh oracle parity hinges on the SIGN of every corpus
+    projection, but Spark computes them with a numpy/BLAS matmul while the
+    DuckDB twin sums sequentially — summation-order divergence can flip a
+    near-zero bucket bit. Guard: at the declared scale factors no projection
+    magnitude sits within 1e-9 of zero (surface = n_rows x n_tables*n_planes,
+    corpus AND probe), so a future data change fails loudly here instead of
+    as a mystery hash mismatch in the correctness gate."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from team_126_spark.functions.sketch import _hyperplane
+
+    # the declared ann_lsh family: dim=64, n_planes=8, n_tables=8
+    planes = np.array([_hyperplane(64, j) for j in range(8 * 8)], dtype=np.float64)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        tb = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        rows = [v for v in tb.column("embedding").to_pylist() if v is not None]
+        emb = np.asarray(rows, dtype=np.float64)
+        margin = float(np.abs(emb @ planes.T).min())
+        assert margin > 1e-9, (
+            f"{sf}: min |projection| = {margin:g} is within float-summation "
+            "noise of 0 — the ann_lsh oracle may flake; regenerate data or "
+            "bump the plane seed"
+        )
