@@ -9,12 +9,17 @@ The reference has no media processing; this is north-star surface for a
     any other column.
   - every transform is `mapInPandas`: executors stream Arrow record batches
     through Python, so peak memory is one batch of blobs, not a partition.
-  - the actual codec step is isolated in `_decode_*` hooks: the container
-    ships no PIL/librosa/ffmpeg, so the default implementation is a
-    clearly-marked deterministic fake (feature = scattered byte histogram),
-    and `decode_backend="real"` raises NotImplementedError until a codec
-    library is wired in. The Spark-side plumbing — schemas, batch iteration,
-    partitioning, output shapes — is real and tested either way.
+  - the actual codec step is isolated in featurizer hooks: the default
+    implementation is a clearly-marked deterministic fake (feature =
+    scattered byte histogram) so every declared query stays
+    oracle-checkable; `decode_backend="real"` decodes image blobs with
+    Pillow WHEN IT IS IMPORTABLE (grayscale → 16×16 → 32-bin mean-pool,
+    L2-normalized) and raises ModuleNotFoundError up front on the driver
+    when it is not (this container ships no PIL/librosa/ffmpeg — the gated
+    test is pytest.importorskip'd). Non-image kinds keep the fake
+    featurizer under either backend: Pillow is an image codec. The
+    Spark-side plumbing — schemas, batch iteration, partitioning, output
+    shapes — is identical and tested either way.
 """
 
 from __future__ import annotations
@@ -72,15 +77,45 @@ def _fake_features(blob: bytes | None) -> list[float] | None:
     return [float(x) for x in (v / n if n else v)]
 
 
+def _real_image_features(blob: bytes | None) -> list[float] | None:
+    """Pillow decode → grayscale 16×16 → 32-bin mean-pool, L2-normalized.
+
+    Deterministic (fixed resample filter, no RNG); raises on undecodable
+    bytes rather than guessing — a corrupt image in a curated corpus is a
+    data bug, not a value."""
+    if blob is None:
+        return None
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(blob)).convert("L").resize((16, 16), Image.BILINEAR)
+    px = np.asarray(img, dtype=np.float64).reshape(FEATURE_DIM, -1).mean(axis=1)
+    n = float(np.linalg.norm(px))
+    return [float(x) for x in (px / n if n else px)]
+
+
 def extract_features(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
     """media rows → (media_id, kind, n_bytes, feature array<float>[32]).
 
     mapInPandas: one Arrow batch of blobs in memory per task at a time.
+    decode_backend="real" routes IMAGE rows through the Pillow featurizer
+    (driver-side import check fails fast when Pillow is absent — better
+    than one ImportError per executor task); audio/video blobs keep the
+    fake featurizer under either backend until an audio/video codec is
+    wired in.
     """
     if decode_backend == "real":
-        raise NotImplementedError(
-            "real image/audio decode needs PIL/librosa — not in this container"
-        )
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise ModuleNotFoundError(
+                "decode_backend='real' needs Pillow (pip install Pillow); "
+                "this environment does not ship it — use the default "
+                "decode_backend='fake' deterministic featurizer"
+            )
+    elif decode_backend != "fake":
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
 
     out_schema = StructType(
         [
@@ -90,6 +125,12 @@ def extract_features(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
             StructField("feature", ArrayType(FloatType())),
         ]
     )
+    real = decode_backend == "real"
+
+    def featurize(kind: str, blob: bytes | None) -> list[float] | None:
+        if real and kind == "image":
+            return _real_image_features(blob)
+        return _fake_features(blob)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,7 +139,9 @@ def extract_features(df: DataFrame, decode_backend: str = "fake") -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": pdf["content"].map(_fake_features),
+                    "feature": [
+                        featurize(k, b) for k, b in zip(pdf["kind"], pdf["content"])
+                    ],
                 }
             )
 
