@@ -479,3 +479,157 @@ def extract_coordinates(df: DataFrame, text_col: str) -> DataFrame:
 def searchable_text(df: DataFrame, cols: list[str], out: str = "searchable_text") -> DataFrame:
     """Lowercase concat of columns (P3; convert_housing_to_json.py:49)."""
     return df.withColumn(out, F.lower(F.concat_ws(" ", *[F.col(c) for c in cols])))
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quality gate: keep documents at or above their group's
+    median quality score — the relative-threshold curation step (absolute
+    thresholds misfire when sources differ in style). One scan computes the
+    quality signal; the per-group median is aggregated then BROADCAST back,
+    so the gate costs one groupBy shuffle on the (low-cardinality) group
+    key plus a broadcast hash join.
+
+    `exact=True` uses F.percentile (full sort-based exact median — right
+    whenever group count is modest, and required by the DuckDB oracle
+    twin). At 100 TB with millions of groups, `exact=False` routes to
+    percentile_approx (single-pass KLL-style sketch, rank error <=
+    group_rows / accuracy) — same plan shape, the aggregate just stops
+    materializing per-group sorted runs (SURVEY §2.12/L41).
+    """
+    q = df.select(
+        F.col(id_col), F.col(group_col), quality_expr(F.col(text_col)).alias("quality")
+    )
+    med_expr = (
+        F.percentile("quality", F.lit(0.5))
+        if exact
+        else F.percentile_approx("quality", F.lit(0.5), F.lit(int(accuracy)))
+    )
+    med = q.groupBy(group_col).agg(F.round(med_expr, 6).alias("src_median"))
+    return (
+        q.join(F.broadcast(med), group_col)
+        .filter(F.col("quality") >= F.col("src_median"))
+        .select(F.col(id_col), F.col(group_col), "quality", "src_median")
+    )
+
+
+def _top_ngram_cover(toks, n: int):
+    """Max over distinct word n-grams of occurrences × characters — the
+    numerator of the Gopher top-n-gram character fraction. Computed per row
+    as one O(g log g) array_sort + one linear fold (run lengths in the
+    sorted n-gram array ARE the occurrence counts), never a per-distinct
+    rescan: pathological repetitive docs are exactly the input this signal
+    must survive."""
+    sz = F.size(toks)
+    grams = F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(acc["prev"] == g, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                (
+                    F.when(acc["prev"] == g, acc["run"] + 1).otherwise(F.lit(1))
+                    * F.length(g)
+                ).cast("bigint"),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): duplicate-
+    line fraction, duplicate-line CHARACTER fraction, and the characters
+    covered by the most-covering word 2-gram / 3-gram — the document-level
+    boilerplate/template screens every pre-training curation stack runs
+    after token-level repetition_ratio.
+
+    All five signals are pure column expressions over ONE projection — no
+    shuffle, no UDF, embarrassingly parallel at 100 TB (this is a per-row
+    filter, the cheapest kind of operator there is). Duplicate-line char
+    mass uses the same sorted-fold trick as repetition_ratio (runs in the
+    sorted line array = occurrence counts). Fractions are rounded to 6
+    before thresholding so the keep flag is oracle-stable.
+    """
+    t = F.col(text_col)
+    lines = F.when(t.isNull(), F.array().cast("array<string>")).otherwise(
+        # NB: lambda, not bare F.trim — trim's optional second parameter
+        # makes transform() pass the element INDEX as the trim-character set
+        F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != "")
+    )
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
+    )
+    # chars in lines that occur >= 2 times, counting EVERY occurrence: on a
+    # sorted array a run's 2nd element retro-charges the 1st (2×len), later
+    # elements charge themselves (1×len)
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("bigint").alias("dup"),
+        ),
+        lambda acc, l: F.struct(
+            l.alias("prev"),
+            F.when(acc["prev"] == l, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc["dup"]
+                + F.when(
+                    acc["prev"] == l,
+                    F.when(acc["run"] == 1, 2 * F.length(l)).otherwise(F.length(l)),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("dup"),
+        ),
+        lambda acc: acc["dup"],
+    )
+    toks = tokens(t)
+    norm_chars = F.length(F.array_join(toks, " "))
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, F.least(F.lit(1.0), num.cast("double") / den)).otherwise(0.0), 6
+    )
+    dup_line_frac = frac((n_lines - F.size(F.array_distinct(lines))), n_lines)
+    dup_line_char_frac = frac(dup_chars, line_chars)
+    top2 = frac(_top_ngram_cover(toks, 2), norm_chars)
+    top3 = frac(_top_ngram_cover(toks, 3), norm_chars)
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top2.alias("top2_char_frac"),
+        top3.alias("top3_char_frac"),
+        (
+            (dup_line_frac <= max_dup_line_frac)
+            & (dup_line_char_frac <= max_dup_line_char_frac)
+            & (top2 <= max_top2_char_frac)
+            & (top3 <= max_top3_char_frac)
+        ).alias("keep"),
+    )

@@ -2155,19 +2155,15 @@ def q_cap_per_source(spark, sf_dir):
     doc="per-source quality gate: keep documents at or above their source's "
     "median quality_score — the relative-threshold curation step (absolute "
     "thresholds misfire when sources differ in style). Median computed per "
-    "group then BROADCAST back; comparison on round-6 values both sides",
+    "group then BROADCAST back; comparison on round-6 values both sides. "
+    "exact=True matches the quantile_cont oracle; the operator's "
+    "exact=False dial swaps in percentile_approx for the 100 TB regime "
+    "(bounded-rank-error test in test_queries_smoke.py)",
 )
 def q_quality_gate(spark, sf_dir):
-    # one scan: quality expr computed alongside the projected source column
-    q = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", TO.quality_expr(F.col("text")).alias("quality")
+    return TO.quality_gate(
+        load(spark, sf_dir, "documents"), "text", "doc_id", "source", exact=True
     )
-    med = q.groupBy("source").agg(
-        F.round(F.percentile("quality", F.lit(0.5)), 6).alias("src_median")
-    )
-    return q.join(F.broadcast(med), "source").filter(
-        F.col("quality") >= F.col("src_median")
-    ).select("doc_id", "source", "quality", "src_median")
 
 
 @declared(
@@ -3099,6 +3095,86 @@ def q_hybrid_fusion_fast(spark, sf_dir):
             "combined_score",
         )
     )
+
+
+@declared(
+    "gopher_rules",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(string_split(text, chr(10)),
+                    x -> trim(x)), x -> x <> '')) AS line
+      FROM base WHERE text IS NOT NULL
+    ),
+    lg AS (
+      SELECT doc_id, line, count(*) AS c, len(line) AS ln
+      FROM lines GROUP BY doc_id, line
+    ),
+    lstat AS (
+      SELECT doc_id, sum(c) AS n_lines, sum(c * ln) AS line_chars,
+             sum(c) - count(*) AS extra,
+             sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup_chars
+      FROM lg GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, {X.normalize_ws_sql('text')} AS nt,
+             CASE WHEN {X.normalize_ws_sql('text')} IS NULL
+                    OR {X.normalize_ws_sql('text')} = '' THEN []
+                  ELSE str_split({X.normalize_ws_sql('text')}, ' ') END AS t
+      FROM base
+    ),
+    g2 AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks WHERE len(t) >= 2
+      ) GROUP BY doc_id, g
+    ),
+    c2 AS (SELECT doc_id, max(c * len(g)) AS cover FROM g2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM toks WHERE len(t) >= 3
+      ) GROUP BY doc_id, g
+    ),
+    c3 AS (SELECT doc_id, max(c * len(g)) AS cover FROM g3 GROUP BY doc_id),
+    j AS (
+      SELECT b.doc_id,
+             CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+             round(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                   THEN least(1.0, ls.extra / ls.n_lines) ELSE 0.0 END, 6)
+                   AS dup_line_frac,
+             round(CASE WHEN COALESCE(ls.line_chars, 0) > 0
+                   THEN least(1.0, ls.dup_chars / ls.line_chars) ELSE 0.0 END, 6)
+                   AS dup_line_char_frac,
+             round(CASE WHEN len(tk.nt) > 0
+                   THEN least(1.0, COALESCE(c2.cover, 0) / len(tk.nt))
+                   ELSE 0.0 END, 6) AS top2_char_frac,
+             round(CASE WHEN len(tk.nt) > 0
+                   THEN least(1.0, COALESCE(c3.cover, 0) / len(tk.nt))
+                   ELSE 0.0 END, 6) AS top3_char_frac
+      FROM base b
+      LEFT JOIN lstat ls USING (doc_id)
+      LEFT JOIN toks tk USING (doc_id)
+      LEFT JOIN c2 USING (doc_id)
+      LEFT JOIN c3 USING (doc_id)
+    )
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           top2_char_frac, top3_char_frac,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18) AS keep
+    FROM j
+    """,
+    doc="Gopher-style repetition screens (Rae et al. 2021 §A1.1): duplicate-"
+    "line fraction + char mass, top-2/3-gram character coverage, and the "
+    "composite keep flag — per-row column expressions only (no shuffle/UDF); "
+    "the Spark side computes n-gram coverage with one sorted-array fold per "
+    "row while the oracle recomputes it relationally via unnest+groupBy",
+)
+def q_gopher_rules(spark, sf_dir):
+    return TO.gopher_rules(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 # ===================================================================

@@ -430,3 +430,46 @@ def test_doc_rarity_orders_rare_vocab_higher(spark):
 
     # doc 3: every token df=1, N=4 -> rarity = ln 4
     assert got[3] == pytest.approx(math.log(4), abs=1e-6)
+
+
+def test_gopher_rules_values(spark):
+    """Hand-checked Gopher repetition signals, including the line-dup rules
+    the synthetic corpus (no newlines) can't exercise through the oracle."""
+    from team_126_spark.operators.textops import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "dup" twice: dup_line_frac 1/4; dup chars 6 of 15
+            (1, "dup\nunique one\ndup\nxx"),
+            # heavy bigram repetition: "spam ham" covers most of the text
+            (2, "spam ham spam ham spam ham spam ham"),
+            (3, None),
+            (4, "   \n  \n"),  # whitespace-only -> 0 lines, all fracs 0
+            # clean diverse doc, long enough that no n-gram dominates
+            (5, " ".join(f"w{i}" for i in range(40))),
+            (6, "alpha beta gamma"),  # one 3-gram covers ALL chars
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df, "text", "doc_id").collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(0.25)
+    # both occurrences of "dup" (3 chars each) over total line chars 3+10+3+2
+    assert r1["dup_line_char_frac"] == pytest.approx(6 / 18)
+
+    r2 = got[2]
+    # "spam ham" (8 chars) occurs 4x in the 8-token doc; norm len 35
+    assert r2["top2_char_frac"] == pytest.approx(round(32 / 35, 6))
+    assert not r2["keep"]
+
+    assert got[3]["n_lines"] == 0 and got[3]["keep"]
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_char_frac"] == 0.0
+    r5 = got[5]
+    assert r5["keep"] and r5["dup_line_frac"] == 0.0
+    assert r5["top2_char_frac"] < 0.2 and r5["top3_char_frac"] < 0.18
+    # a 3-token doc's only 3-gram covers 100% of its chars: screened out —
+    # pair this filter with a min-length gate (quality_expr) as Gopher does
+    r6 = got[6]
+    assert r6["top3_char_frac"] == pytest.approx(1.0) and not r6["keep"]
