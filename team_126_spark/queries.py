@@ -2695,9 +2695,46 @@ def q_frame_sample(spark, sf_dir):
 
 @declared(
     "doc_embed",
-    oracle=None,  # md5-scatter embedding has no SQL twin; gate = pytest determinism
+    # FULL SQL twin of HashEmbedder (new r4; was rows-only): per token,
+    # h = first 8 md5 bytes as uint64; bucket = h % 64; sign = top bit.
+    # Bucket sums are exact small integers, the L2 norm is a float64 sqrt of
+    # an exact integer, and the final float32 cast rounds identically in
+    # both engines — so every component matches bit-for-bit at round-6.
+    # Output is one ROW per (doc, component): full-vector parity with no
+    # array columns (driver canonicalizer) and no cross-engine summation-
+    # order risk (ADVICE r3 on ann_lsh) — each compared value is a single
+    # division, not a fold.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {X.normalize_ws_sql('text')} AS nt FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(str_split(nt, ' ')) AS tok
+      FROM d WHERE nt IS NOT NULL AND nt <> ''
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 64 AS INT) AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                       >= 9223372036854775808 THEN -1.0 ELSE 1.0 END AS s
+      FROM tok
+    ),
+    sums AS (SELECT doc_id, bucket, sum(s) AS v FROM contrib GROUP BY doc_id, bucket),
+    norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM sums GROUP BY doc_id),
+    grid AS (
+      SELECT d.doc_id, CAST(r.b AS INT) AS pos
+      FROM d, range(0, 64) r(b) WHERE d.nt IS NOT NULL
+    )
+    SELECT g.doc_id, g.pos,
+           round(CAST(CAST(
+             CASE WHEN COALESCE(n.nrm, 0) > 0
+                  THEN COALESCE(s.v, 0.0) / n.nrm ELSE COALESCE(s.v, 0.0) END
+           AS REAL) AS DOUBLE), 6) AS val
+    FROM grid g
+    LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.pos
+    LEFT JOIN norms n ON n.doc_id = g.doc_id
+    """,
     doc="V1 batched Arrow embedder (functions/embed.HashEmbedder pandas_udf) "
-    "over documents — the reference's per-row Vertex AI loop, vectorized",
+    "over documents — the reference's per-row Vertex AI loop, vectorized; "
+    "exploded to (doc, pos, val) rows for bit-exact full-vector oracle parity",
 )
 def q_doc_embed(spark, sf_dir):
     from .functions.embed import embed
@@ -2705,14 +2742,11 @@ def q_doc_embed(spark, sf_dir):
     d = T.spread(load(spark, sf_dir, "documents"), "doc_id")
     e = d.withColumn("embedding", embed(F.col("text")))
     return e.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
         "doc_id",
-        F.size("embedding").alias("dim"),
-        F.round(
-            F.aggregate(
-                F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
-            ),
-            4,
-        ).alias("sq_norm"),
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
     )
 
 
@@ -2786,9 +2820,38 @@ def q_ann_ivf(spark, sf_dir):
 
 @declared(
     "multimodal_features",
-    oracle=None,  # mapInPandas md5 featurizer; gate = pytest determinism
+    # FULL SQL twin (new r4; was rows-only): same md5-scatter featurizer
+    # twin multimodal_knn proved in r3, scoped to dim 0 + the byte length.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id AS media_id, text, md5(text) AS hx FROM documents
+    ),
+    pairs AS (
+      SELECT media_id, t.i,
+             (strpos('0123456789abcdef', substring(hx, CAST(2 * t.i + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hx, CAST(2 * t.i + 2 AS INT), 1)) - 1)
+               AS byte
+      FROM h, range(0, 16) AS t(i) WHERE hx IS NOT NULL
+    ),
+    contrib AS (
+      SELECT media_id, byte % 32 AS dim, sum(1.0 + (i % 3)) AS w
+      FROM pairs GROUP BY media_id, byte % 32
+    ),
+    n2 AS (SELECT media_id, sum(w * w) AS n2 FROM contrib GROUP BY media_id),
+    f0 AS (
+      SELECT c.media_id, CAST(CAST(c.w / sqrt(n.n2) AS FLOAT) AS DOUBLE) AS v
+      FROM contrib c JOIN n2 n USING (media_id) WHERE c.dim = 0
+    )
+    SELECT h.media_id, 'image' AS kind,
+           CAST(CASE WHEN h.text IS NULL THEN 0
+                ELSE octet_length(encode(h.text)) END AS BIGINT) AS n_bytes,
+           round(CASE WHEN h.text IS NULL THEN NULL
+                 ELSE COALESCE(f0.v, 0.0) END, 6) AS f0
+    FROM h LEFT JOIN f0 USING (media_id)
+    """,
     doc="multimodal decode→featurize plumbing over binary content "
-    "(operators/multimodal.extract_features via mapInPandas)",
+    "(operators/multimodal.extract_features via mapInPandas); emits the "
+    "byte length + feature component 0 with a bit-exact md5-scatter twin",
 )
 def q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import MEDIA_META, extract_features
@@ -2801,7 +2864,10 @@ def q_multimodal_features(spark, sf_dir):
     )
     out = extract_features(d)
     return out.select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
