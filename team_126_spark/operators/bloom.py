@@ -1,0 +1,102 @@
+"""Distributed Bloom-filter membership: the constant-space alternative to
+an equi-join when the question is only "was this key in that corpus?" —
+train/eval decontamination screens, URL-seen filters, cross-corpus overlap
+probes at 100 TB, where shipping the full key set to every probe task (or
+shuffling both sides) is the expensive part.
+
+Design for Spark's execution model:
+  - the filter is a TABLE of (word_idx, word) rows — m_bits/32 rows total
+    (a few KB for m = 2^15..2^20) built with one groupBy(bit_or) over the
+    keys' exploded bit positions; it broadcasts to every probe task, so the
+    probe side is a map-only broadcast join: NO shuffle of the probed
+    corpus, the asymmetry that makes this the scale path.
+  - bit positions are md5-derived (functions/text.md5_low60 of "key:j"),
+    so the WHOLE structure — every set bit, every probe verdict including
+    the false positives — is deterministic and has an exact DuckDB twin
+    (declared query `bloom_decontaminate`); no sketch-library opacity.
+  - 32 bits per 64-bit word keep every mask positive in BOTH engines
+    (1 << 31 max), sidestepping signed-shift overflow differences.
+
+False-positive rate is the standard (1 - e^{-k n / m})^k; no false
+negatives ever (property-tested). Size m at ~10 bits/key for ~1% FP with
+k=4; the builder does NOT auto-size (an operator that silently resizes
+produces irreproducible filters across corpus growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_low60
+
+BITS_PER_WORD = 32
+
+
+def _bit_positions(key, m_bits: int, k: int) -> list:
+    """k deterministic bit positions for a key: md5_low60("key:j") % m."""
+    return [
+        md5_low60(F.concat(key.cast("string"), F.lit(f":{j}"))) % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 15, k: int = 4
+) -> DataFrame:
+    """Build the filter table (word_idx, word) over df[key_col].
+
+    One explode (k slim rows per key) + one groupBy(bit_or) shuffle on the
+    word index — at most m_bits/32 groups regardless of corpus size, so the
+    reduce side is trivially small. NULL keys contribute nothing.
+    """
+    if m_bits % BITS_PER_WORD:
+        raise ValueError(f"m_bits must be a multiple of {BITS_PER_WORD}")
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bit_positions(key, m_bits, k))).alias("p")
+    sel = df.filter(key.isNotNull()).select(pos)
+    # shiftleft's Python binding takes only a literal shift amount, so the
+    # data-dependent bit mask goes through the SQL form
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BITS_PER_WORD} AS INT))")
+    return sel.groupBy(F.shiftright(F.col("p"), 5).alias("word_idx")).agg(
+        F.bit_or(mask).alias("word")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 15,
+    k: int = 4,
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Append `out`: True iff ALL k of the key's bits are set in `bloom`
+    (so: definitely-absent keys get False — no false negatives; a small
+    deterministic fraction of absent keys get True).
+
+    Plan: explode the k probe positions, broadcast-join the filter table,
+    bool_and per key, join the verdict back. The probed corpus shuffles
+    once on its own key (the verdict re-attach); the filter never shuffles
+    anything at probe time. NULL keys probe False.
+    """
+    key = F.col(key_col)
+    probes = df.select(key.alias("_bk")).where(key.isNotNull()).distinct()
+    pos = F.explode(F.array(*_bit_positions(F.col("_bk"), m_bits, k))).alias("p")
+    exploded = probes.select("_bk", pos).select(
+        "_bk",
+        F.shiftright(F.col("p"), 5).alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BITS_PER_WORD} AS INT))").alias(
+            "_mask"
+        ),
+    )
+    hit = F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask")) == F.col("_mask")
+    verdict = (
+        exploded.join(F.broadcast(bloom), "word_idx", "left")
+        .select("_bk", hit.alias("_hit"))
+        .groupBy("_bk")
+        .agg(F.bool_and("_hit").alias(out))
+    )
+    return df.join(verdict, key == F.col("_bk"), "left").drop("_bk").withColumn(
+        out, F.coalesce(F.col(out), F.lit(False))
+    )

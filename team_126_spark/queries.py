@@ -3243,6 +3243,67 @@ def q_gopher_rules(spark, sf_dir):
     return TO.gopher_rules(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _bloom_pos_sql(j: int, m_bits: int) -> str:
+    keyed = "fp || ':" + str(j) + "'"
+    return f"({X.md5_low60_sql(keyed)} % {m_bits})"
+
+
+@declared(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH tkeys AS (
+      SELECT {X.fingerprint_sql('text')} AS fp FROM documents
+      WHERE source <> 'src0' AND text IS NOT NULL
+    ),
+    tbits AS (
+      SELECT p // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+      FROM (
+        SELECT unnest([{_bloom_pos_sql(0, 1 << 15)}, {_bloom_pos_sql(1, 1 << 15)},
+                       {_bloom_pos_sql(2, 1 << 15)}, {_bloom_pos_sql(3, 1 << 15)}]) AS p
+        FROM tkeys
+      ) GROUP BY word_idx
+    ),
+    probe AS (
+      SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents
+      WHERE source = 'src0'
+    ),
+    pp AS (
+      SELECT doc_id,
+             unnest([{_bloom_pos_sql(0, 1 << 15)}, {_bloom_pos_sql(1, 1 << 15)},
+                     {_bloom_pos_sql(2, 1 << 15)}, {_bloom_pos_sql(3, 1 << 15)}]) AS p
+      FROM probe WHERE fp IS NOT NULL
+    ),
+    hits AS (
+      SELECT pp.doc_id,
+             bool_and((COALESCE(t.word, 0) & (1::BIGINT << CAST(pp.p % 32 AS INT)))
+                      = (1::BIGINT << CAST(pp.p % 32 AS INT))) AS m
+      FROM pp LEFT JOIN tbits t ON t.word_idx = pp.p // 32
+      GROUP BY pp.doc_id
+    )
+    SELECT p.doc_id, COALESCE(h.m, FALSE) AS maybe_member
+    FROM probe p LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Bloom-filter decontamination screen: build a 2^15-bit / k=4 filter "
+    "over the non-src0 corpus' fingerprints (one groupBy(bit_or) into a "
+    "few-KB table), broadcast it, probe every src0 doc map-only — the "
+    "constant-space membership path when shuffling both corpora for an "
+    "equi-join is the cost problem; md5-derived bit positions make every "
+    "verdict (false positives included) deterministic and SQL-twinned",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    from .operators.bloom import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    fp = X.fingerprint(F.col("text"))
+    train = docs.filter(F.col("source") != "src0").select(fp.alias("fp"))
+    probe = docs.filter(F.col("source") == "src0").select("doc_id", fp.alias("fp"))
+    bloom = bloom_build(train, "fp", m_bits=1 << 15, k=4)
+    return bloom_probe(probe, bloom, "fp", m_bits=1 << 15, k=4).select(
+        "doc_id", "maybe_member"
+    )
+
+
 # ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================

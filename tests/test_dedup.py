@@ -308,3 +308,36 @@ def test_quadratic_baselines_guarded(spark):
     assert (
         D.embedding_neardup_exact(emb, "embedding", "vec_id", threshold=0.0).count() > 0
     )
+
+
+def test_bloom_filter_membership_properties(spark):
+    """No false negatives ever (every inserted key probes True); absent keys
+    probe mostly False with the deterministic md5 FP rate; NULL keys probe
+    False; bad sizing is rejected."""
+    from team_126_spark.operators.bloom import bloom_build, bloom_probe
+
+    train = spark.range(0, 300).selectExpr("CAST(id AS STRING) AS k")
+    bloom = bloom_build(train, "k", m_bits=1 << 15, k=4)
+    # the filter table is tiny and bounded: at most m_bits/32 rows
+    assert bloom.count() <= (1 << 15) // 32
+
+    # every inserted key is found
+    hits = bloom_probe(train, bloom, "k", m_bits=1 << 15, k=4)
+    assert hits.filter("NOT maybe_member").count() == 0
+
+    # absent keys: deterministic false positives, few of them
+    absent = spark.range(10_000, 11_000).selectExpr("CAST(id AS STRING) AS k")
+    fp1 = bloom_probe(absent, bloom, "k", m_bits=1 << 15, k=4)
+    n_fp = fp1.filter("maybe_member").count()
+    assert n_fp <= 10, n_fp  # expected ~0 at 300 keys / 32k bits
+    again = bloom_probe(absent, bloom, "k", m_bits=1 << 15, k=4)
+    assert again.filter("maybe_member").count() == n_fp  # deterministic
+
+    nulls = spark.createDataFrame([(None,), ("5",)], "k string")
+    got = {r["k"]: r["maybe_member"] for r in bloom_probe(nulls, bloom, "k", 1 << 15, 4).collect()}
+    assert got[None] is False and got["5"] is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_build(train, "k", m_bits=100)

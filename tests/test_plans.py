@@ -175,3 +175,12 @@ def test_interval_join_is_equi_join(spark):
     plan = plan_of(spark, "interval_join_counts")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast_no_cartesian(spark):
+    """The 100 TB story of the bloom screen: the few-KB filter table
+    BROADCASTS to the probe side (no shuffle of the probed corpus for the
+    bit check) and nothing degenerates to a cartesian product."""
+    plan = plan_of(spark, "bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
