@@ -212,6 +212,38 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def weighted_resample(
+    df: DataFrame, weight_col: str, id_col: str, out_idx: str = "copy_idx"
+) -> DataFrame:
+    """Deterministic importance resampling: each row survives with
+    multiplicity E[n] = its weight — floor(w) guaranteed copies plus one
+    more iff the row's md5-uniform u(id) < frac(w). Weights > 1 UPSAMPLE
+    (the "repeat high-quality sources 2.3× per epoch" mixing primitive),
+    weights in (0,1) thin, NULL/<=0 drop.
+
+    Same rationale as stratified_sample: a pure per-row function of the id
+    — stable under reruns, appends, and any physical layout, unlike
+    df.sample()'s partition-order-seeded RNG. The only plan impact is one
+    explode; expected output rows = sum(weights) regardless of layout.
+    `out_idx` (1..n) keeps the copies distinguishable downstream (e.g. for
+    pack_sequences' shuffle-free ordering)."""
+    from ..functions.text import md5_low60
+
+    w = F.col(weight_col).cast("double")
+    u = md5_low60(F.concat(F.col(id_col).cast("string"), F.lit(":rs"))) / F.lit(
+        float(1 << 60)
+    )
+    n = F.when(w.isNull() | (w <= 0), F.lit(0)).otherwise(
+        (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    )
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(out_idx, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -3304,6 +3304,46 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+@declared(
+    "corpus_resample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, 0.4 + 1.8 * {_QUALITY_SQL} AS wt FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source, wt,
+             {X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':rs'")}
+               / 1152921504606846976.0 AS u
+      FROM q
+    ),
+    n AS (
+      SELECT doc_id, source, wt,
+             CASE WHEN wt IS NULL OR wt <= 0 THEN 0
+                  ELSE CAST(floor(wt) + CASE WHEN u < wt - floor(wt)
+                       THEN 1 ELSE 0 END AS INT) END AS nc
+      FROM w
+    )
+    SELECT doc_id, source, round(wt, 6) AS weight, CAST(t.ci AS INT) AS copy_idx
+    FROM n, unnest(range(1, nc + 1)) AS t(ci)
+    """,
+    doc="deterministic importance resampling for corpus mixing: multiplicity "
+    "E[n] = weight (0.4 + 1.8×quality here, so low-quality docs thin out and "
+    "high-quality docs repeat) via floor(w) copies + one more iff the row's "
+    "md5-uniform < frac(w) — a pure function of the doc id, stable under "
+    "reruns/appends/layout, one explode in the plan "
+    "(operators/relational.weighted_resample)",
+)
+def q_corpus_resample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (0.4 + 1.8 * TO.quality_expr(F.col("text"))).alias("wt"),
+    )
+    return R.weighted_resample(d, "wt", "doc_id").select(
+        "doc_id", "source", F.round("wt", 6).alias("weight"), "copy_idx"
+    )
+
+
 # ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================

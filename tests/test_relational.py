@@ -496,3 +496,39 @@ def test_interval_join_boundaries_and_multibucket(spark):
 
     with _pytest.raises(ValueError, match="how="):
         interval_join(pts, ivs, "ts", "s", "e", how="cross")
+
+
+def test_weighted_resample_multiplicity(spark):
+    """floor(w) guaranteed copies + at most one extra; w<=0/NULL drop; the
+    realized total tracks sum(weights); pure function of the id (stable
+    under repartitioning)."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.relational import weighted_resample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc"),
+        F.when(F.col("id") == 0, None)
+        .when(F.col("id") == 1, -1.0)
+        .when(F.col("id") == 2, 0.0)
+        .when(F.col("id") % 2 == 0, 2.5)
+        .otherwise(0.5)
+        .cast("double")
+        .alias("w"),
+    )
+    out = weighted_resample(df, "w", "doc")
+    counts = {r["doc"]: r["n"] for r in out.groupBy("doc").agg(F.count("*").alias("n")).collect()}
+    assert 0 not in counts and 1 not in counts and 2 not in counts
+    for doc, n in counts.items():
+        if doc % 2 == 0:
+            assert n in (2, 3), (doc, n)
+        else:
+            assert n == 1, (doc, n)
+    total = sum(counts.values())
+    # E[total] = 499*2.5 + 498*0.5 ≈ 1496; md5-uniform keeps it within ~5%
+    assert abs(total - 1496.5) < 75, total
+    # copy_idx runs 1..n
+    idx = out.filter("doc = 4").select("copy_idx").collect()
+    assert sorted(r["copy_idx"] for r in idx) == list(range(1, len(idx) + 1))
+    again = weighted_resample(df.repartition(7), "w", "doc")
+    assert again.count() == total
