@@ -360,3 +360,69 @@ def ivf_ann(
     (nprobe == n_cells -> exact search)."""
     cands = ivf_candidates(df, vec_col, probe, id_col, centroids, n_cells, nprobe)
     return knn(cands, vec_col, probe, k, id_col).drop("ivf_cell")
+
+
+def quantized_knn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe: list[float],
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact top-k over SCALAR-QUANTIZED embeddings: per-dimension min/max
+    over the corpus → 8-bit codes → dequantize → cosine. The memory-
+    compression path for ANN at scale (float32→uint8 is 4× less RAM /
+    shuffle / cache per vector; IVF+SQ is the standard pairing), surfaced
+    as an operator so recall loss is measurable against the exact path.
+
+    Plan shape: bounds come from ONE map-side-combined aggregate (2×dim
+    scalar min/max aggs, a single-row result — a bounded driver collect
+    like the IVF centroid sample, operators/vector.py ivf_candidates);
+    quantize+score is then map-only with the bounds inlined as literals —
+    no shuffle, no second scan, no join. Quantization is floor(x·255+0.5)
+    on the normalized position (explicit half-up — engines disagree on
+    round()'s mode, floor+0.5 they agree on); degenerate dims (mx == mn)
+    quantize to their constant via span 1 substitution.
+
+    Deterministic end to end → exact DuckDB twin (declared query
+    `ann_quantized`).
+    """
+    from ..functions.vector import cosine_similarity
+
+    vec = F.col(vec_col)
+    elem = lambda i: F.element_at(vec, i + 1).cast("double")  # noqa: E731
+    row = (
+        df.filter(vec.isNotNull())
+        .agg(
+            *[F.min(elem(i)).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(elem(i)).alias(f"mx{i}") for i in range(dim)],
+        )
+        .first()
+    )
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    spans = [
+        (float(row[f"mx{i}"]) - mins[i]) or 1.0 for i in range(dim)
+    ]
+
+    def deq_expr(x, i: int):
+        code = F.floor((x.cast("double") - mins[i]) / spans[i] * 255.0 + 0.5)
+        return mins[i] + code * (spans[i] / 255.0)
+
+    deq = F.array(*[deq_expr(F.element_at(vec, i + 1), i) for i in range(dim)])
+
+    import math
+
+    pq = []
+    for i, p in enumerate(probe):
+        code = math.floor((float(p) - mins[i]) / spans[i] * 255.0 + 0.5)
+        pq.append(mins[i] + code * (spans[i] / 255.0))
+    pv = F.array(*[F.lit(x) for x in pq])
+
+    return (
+        df.filter(vec.isNotNull())
+        .withColumn("q_sim", F.round(cosine_similarity(deq, pv), 6))
+        .orderBy(F.desc("q_sim"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "q_sim")
+    )

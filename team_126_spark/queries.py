@@ -3305,6 +3305,89 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "ann_quantized",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    bounds AS (
+      SELECT r.i, min(CAST(e.embedding[r.i] AS DOUBLE)) AS mn,
+             max(CAST(e.embedding[r.i] AS DOUBLE)) AS mx
+      FROM base e, range(1, 65) r(i) GROUP BY r.i
+    ),
+    b2 AS (
+      SELECT i, mn, CASE WHEN mx - mn = 0 THEN 1.0 ELSE mx - mn END AS span
+      FROM bounds
+    ),
+    deq AS (
+      SELECT e.vec_id,
+             list(b.mn + floor((CAST(e.embedding[b.i] AS DOUBLE) - b.mn)
+                  / b.span * 255.0 + 0.5) * (b.span / 255.0) ORDER BY b.i) AS dv
+      FROM base e, b2 b GROUP BY e.vec_id
+    ),
+    probe AS (SELECT dv AS pv FROM deq WHERE vec_id = 1)
+    SELECT d.vec_id, round({V.cosine_similarity_sql('d.dv', 'p.pv')}, 6) AS q_sim
+    FROM deq d, probe p
+    ORDER BY q_sim DESC, vec_id LIMIT 10
+    """,
+    doc="scalar-quantized ANN: per-dim corpus min/max → 8-bit codes → "
+    "dequantized cosine top-k — the 4× memory-compression path (float32→"
+    "uint8 per stored vector) IVF pairs with at scale, with measurable "
+    "recall vs the exact path (pytest); bounds from one map-side-combined "
+    "aggregate, scoring map-only with bounds inlined as literals "
+    "(operators/vector.quantized_knn)",
+)
+def q_ann_quantized(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return OV.quantized_knn(emb, "embedding", "vec_id", probe, k=10, dim=64)
+
+
+@declared(
+    "dedup_overlap_matrix",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle_sql(bands=16, threshold=0.3)}),
+    lab AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(est_jaccard), 6) AS avg_est_jaccard
+    FROM pairs p
+    JOIN lab a ON a.doc_id = p.id_a
+    JOIN lab b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    doc="cross-source near-dup overlap matrix: which sources copy from each "
+    "other — MinHash-LSH pairs labeled with both endpoints' sources, "
+    "aggregated per unordered source pair (count + mean estimated Jaccard). "
+    "The dedup-diagnostics step that decides which source to drop wholesale "
+    "before paying for full dedup. Slim 2-column label join (AQE picks the "
+    "strategy); avg() is exact-parity because est_jaccard values are k/64 — "
+    "exact binary fractions whose float64 sum has no rounding at any order",
+)
+def q_dedup_overlap_matrix(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
+    )
+    lab = docs.select("doc_id", "source")
+    a = lab.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = lab.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("avg_est_jaccard"),
+        )
+    )
+
+
+@declared(
     "corpus_resample",
     oracle=f"""
     WITH q AS (

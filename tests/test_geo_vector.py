@@ -322,3 +322,24 @@ def test_ann_lsh_projection_sign_margin():
             "noise of 0 — the ann_lsh oracle may flake; regenerate data or "
             "bump the plane seed"
         )
+
+
+def test_quantized_knn_recall_vs_exact(spark):
+    """8-bit scalar quantization must not wreck retrieval: top-10 by
+    quantized cosine overlaps the exact top-10 in >= 8 positions on the
+    sf0.01 corpus, and the quantized similarity tracks the exact one."""
+    from team_126_spark.operators.vector import knn, quantized_knn
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = knn(emb, "embedding", probe, 10, "vec_id").collect()
+    quant = quantized_knn(emb, "embedding", "vec_id", probe, k=10, dim=64).collect()
+    emb.unpersist()
+    e_ids = {r["vec_id"] for r in exact}
+    q_ids = {r["vec_id"] for r in quant}
+    assert len(e_ids & q_ids) >= 8, (sorted(e_ids), sorted(q_ids))
+    e_sim = {r["vec_id"]: r["similarity"] for r in exact}
+    for r in quant:
+        if r["vec_id"] in e_sim:
+            assert abs(r["q_sim"] - e_sim[r["vec_id"]]) < 0.02, r
