@@ -78,6 +78,12 @@ HEADLINE = [
     "quality_gate",
     # time-axis joins
     "interval_join_counts",
+    # round-4 additions (L45-L49)
+    "gopher_rules",
+    "bloom_decontaminate",
+    "corpus_resample",
+    "ann_quantized",
+    "dedup_overlap_matrix",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

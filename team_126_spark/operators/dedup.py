@@ -154,6 +154,90 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """Explode a (doc, signature) table into slim (doc, band, bkey) rows —
+    the LSH band index. At ingest this is what you PERSIST (partitioned or
+    bucketed by band/bkey hash), so later batches probe it without touching
+    raw text or re-banding the corpus (see minhash_lsh_probe)."""
+    rows_per_band = N_MINHASH // bands
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array(
+                            *[F.col("signature")[i * rows_per_band + j] for j in range(rows_per_band)]
+                        ).alias("bkey"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bkey")
+
+
+def minhash_lsh_probe(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    corpus_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup: sign ONLY the new batch and probe an existing
+    signature corpus — the append-only production shape. A growing corpus
+    never re-signs or re-bands old documents: signatures and the band index
+    persist at ingest (minhash_signatures → banded_signatures, written
+    partitioned by band), and each arriving batch pays cost ∝ batch size.
+
+    Pass `corpus_banded` when the band index is already materialized (the
+    ingest layout above); otherwise it is derived from `corpus_sigs` — fine
+    for tests, but at scale that re-explodes the whole corpus per batch,
+    which is exactly what the persisted index avoids.
+
+    Output: (new_id, corpus_id, est_jaccard >= threshold). Same banding,
+    estimate, and hash-family semantics as minhash_lsh_pairs, so md5-family
+    runs carry a full DuckDB twin (declared query `minhash_incremental`).
+    """
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k, hash_fn).filter(
+        F.col("signature").isNotNull()
+    )
+    banded_new = banded_signatures(new_sigs, bands).alias("n")
+    banded_idx = (
+        corpus_banded if corpus_banded is not None else banded_signatures(corpus_sigs, bands)
+    ).alias("c")
+    cand = (
+        banded_new.join(
+            banded_idx,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bkey") == F.col("c.bkey")),
+        )
+        .select(F.col("n.doc").alias("new_id"), F.col("c.doc").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sn = new_sigs.select(F.col("doc").alias("new_id"), F.col("signature").alias("sig_a"))
+    sc = corpus_sigs.select(
+        F.col("doc").alias("corpus_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / float(N_MINHASH)
+    return (
+        cand.join(sn, "new_id")
+        .join(sc, "corpus_id")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -212,22 +296,7 @@ def minhash_lsh_pairs(
     # Signatures are re-attached once per side afterwards from the persisted
     # (signature-sized, ~520 B/doc) table; at 100 TB that persist is the
     # standard LSH trade: signatures ≪ raw text, reused by three consumers.
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.array(
-                            *[F.col("signature")[i * rows_per_band + j] for j in range(rows_per_band)]
-                        ).alias("bkey"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bkey")
+    banded = banded_signatures(sigs, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

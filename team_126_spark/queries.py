@@ -3304,6 +3304,78 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def _minhash_incremental_oracle_sql(bands: int = 16, threshold: float = 0.3) -> str:
+    """Two-sided variant of _minhash_oracle_sql: src0 docs (the 'new batch')
+    probe the non-src0 corpus' band index; same shingles/remix/banding."""
+    from .functions.sketch import _PARAMS
+
+    rpb = 64 // bands
+    M = "18446744073709551616"  # 2^64
+    remixes = ", ".join(
+        f"list_min(list_transform(hl, h -> ({a}::HUGEINT * h + {b}) % {M}))"
+        for a, b in _PARAMS
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bkey := [{vals}])".format(
+            i=i, vals=", ".join(f"sig[{i * rpb + j + 1}]" for j in range(rpb))
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, source, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, source, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT doc, any_value(source) AS source,
+             list({X.md5_low60_sql('shingle')}::HUGEINT) AS hl
+      FROM sh GROUP BY doc
+    ),
+    sig_t AS (SELECT doc, source, [{remixes}] AS sig FROM hs),
+    bands_t AS (
+      SELECT doc, source, unnest([{band_structs}]) AS bk FROM sig_t
+    ),
+    b2 AS (SELECT doc, source, bk.band AS band, bk.bkey AS bkey FROM bands_t),
+    cand AS (
+      SELECT DISTINCT n.doc AS new_id, c.doc AS corpus_id
+      FROM b2 n JOIN b2 c ON n.band = c.band AND n.bkey = c.bkey
+      WHERE n.source = 'src0' AND c.source <> 'src0'
+    )
+    SELECT new_id, corpus_id,
+           round(len(list_filter(list_zip(sn.sig, sc.sig), p -> p[1] = p[2])) / 64.0, 6)
+             AS est_jaccard
+    FROM cand
+    JOIN sig_t sn ON sn.doc = new_id
+    JOIN sig_t sc ON sc.doc = corpus_id
+    WHERE round(len(list_filter(list_zip(sn.sig, sc.sig), p -> p[1] = p[2])) / 64.0, 6)
+          >= {threshold}
+    """
+
+
+@declared(
+    "minhash_incremental",
+    oracle=_minhash_incremental_oracle_sql(bands=16, threshold=0.3),
+    doc="incremental near-dup: the src0 'new batch' signs itself and probes "
+    "the non-src0 corpus' persisted signature/band index — per-batch cost "
+    "∝ batch size, the append-only ingest shape "
+    "(operators/dedup.minhash_lsh_probe); md5 family → full DuckDB twin",
+)
+def q_minhash_incremental(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    new = docs.filter(F.col("source") == "src0")
+    corpus_sigs = D.minhash_signatures(corpus, "text", "doc_id", k=3, hash_fn="md5").filter(
+        F.col("signature").isNotNull()
+    )
+    return D.minhash_lsh_probe(
+        new, corpus_sigs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
+    )
+
+
 @declared(
     "ann_quantized",
     oracle=f"""

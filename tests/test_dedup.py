@@ -341,3 +341,41 @@ def test_bloom_filter_membership_properties(spark):
 
     with _pytest.raises(ValueError, match="m_bits"):
         bloom_build(train, "k", m_bits=100)
+
+
+def test_minhash_lsh_probe_matches_cross_boundary_pairs(spark):
+    """The incremental probe over a pre-signed corpus finds EXACTLY the
+    full-corpus LSH pairs that cross the new/corpus boundary — appending a
+    batch via probe loses nothing vs re-running pairwise LSH from scratch."""
+    from team_126_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter("source = 'src0'")
+    corpus = docs.filter("source <> 'src0'")
+    corpus_sigs = D.minhash_signatures(corpus, "text", "doc_id", k=3).filter(
+        "signature IS NOT NULL"
+    )
+    probe = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.minhash_lsh_probe(
+            new, corpus_sigs, "text", "doc_id", k=3, threshold=0.3
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = D.minhash_lsh_pairs(docs, "text", "doc_id", k=3, threshold=0.3).collect()
+    crossing = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a in new_ids) != (b in new_ids):
+            n, c = (a, b) if a in new_ids else (b, a)
+            crossing[(n, c)] = r["est_jaccard"]
+    assert probe == crossing
+    # an explicitly materialized band index gives the identical answer
+    banded = D.banded_signatures(corpus_sigs)
+    again = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.minhash_lsh_probe(
+            new, corpus_sigs, "text", "doc_id", k=3, threshold=0.3, corpus_banded=banded
+        ).collect()
+    }
+    assert again == probe
