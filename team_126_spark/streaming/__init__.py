@@ -3,6 +3,7 @@ from .pipeline import (  # noqa: F401
     run_idempotent_file_sink,
     run_to_memory,
     session_windows,
+    stream_correlate,
     stream_curate,
     stream_dedup,
     stream_events,

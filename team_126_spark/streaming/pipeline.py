@@ -294,3 +294,41 @@ def run_idempotent_file_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_correlate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with the SAME key's
+    right events landing in (left.ts, left.ts + within] — click→purchase /
+    alert→ack correlation. The time bound is MANDATORY state hygiene, not a
+    semantic nicety: with watermarks on both inputs plus a range condition
+    on both event times, Spark can evict buffered rows once the other
+    side's watermark passes their match horizon, so join state is
+    O(key-rate × within), independent of stream length. A stream-stream
+    join without both constraints buffers forever.
+
+    Half-open (strictly after, inclusive end) so an event never correlates
+    with itself when both streams tap the same source. Works identically
+    in batch mode (the unified-model oracle the tests diff against).
+    """
+    lhs = left.withWatermark(ts_col, watermark).alias("l")
+    rhs = right.withWatermark(ts_col, watermark).alias("r")
+    lt, rt = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rt > lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return lhs.join(rhs, cond).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        lt.alias("left_ts"),
+        rt.alias("right_ts"),
+    )

@@ -274,3 +274,35 @@ def test_idempotent_file_sink_exactly_once(spark, tmp_path):
     replay.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
     assert spark.read.parquet(f"{out_dir}/batch=*").count() == n_first
     e.unpersist()
+
+
+def test_stream_stream_correlate_equals_batch(spark, events_batch, stream_dir):
+    """Stream-stream time-bounded join drains to the batch answer (every
+    emitted pair is a true batch pair; completeness up to the final
+    watermark horizon), and the batch run pins exact semantics: same key,
+    strictly-after, within the bound."""
+    lsrc = STR.stream_events(spark, SF, stream_dir)
+    rsrc = STR.stream_events(spark, SF, stream_dir)
+    got = STR.run_to_memory(
+        STR.stream_correlate(lsrc, rsrc, within="2 hours"), "t_corr"
+    )
+    ev = events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = STR.stream_correlate(ev, ev, within="2 hours")
+    assert set(canon(got)) <= set(canon(want))
+    assert got.count() > 0.8 * want.count() and got.count() > 0
+
+    # batch-mode semantics pin: manual recompute on a hand-made frame
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 7),
+        (2, dt.datetime(2024, 1, 1, 10, 30), 7),   # within 2h of 1
+        (3, dt.datetime(2024, 1, 1, 12, 15), 7),   # beyond 2h of 1, within of 2
+        (4, dt.datetime(2024, 1, 1, 10, 15), 8),   # other key
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in STR.stream_correlate(df, df, within="2 hours").collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
