@@ -570,28 +570,34 @@ def gopher_rules(
     boilerplate/template screens every pre-training curation stack runs
     after token-level repetition_ratio.
 
-    All five signals are pure column expressions over ONE projection — no
-    shuffle, no UDF, embarrassingly parallel at 100 TB (this is a per-row
-    filter, the cheapest kind of operator there is). Duplicate-line char
-    mass uses the same sorted-fold trick as repetition_ratio (runs in the
-    sorted line array = occurrence counts). Fractions are rounded to 6
-    before thresholding so the keep flag is oracle-stable.
-    """
+    All five signals are pure column expressions — no shuffle, no UDF,
+    embarrassingly parallel at 100 TB (a per-row filter, the cheapest kind
+    of operator there is). Duplicate-line char mass uses the same
+    sorted-fold trick as repetition_ratio (runs in the sorted line array =
+    occurrence counts). Fractions are rounded to 6 before thresholding so
+    the keep flag is oracle-stable.
+
+    STAGED projections, deliberately: the folds are non-codegen interpreted
+    expressions, and referencing one twice (its output column AND the keep
+    conjunction) re-evaluates the whole fold — the naive single-select
+    version measured 31 s at sf0.1 vs ~1 s staged (same doc_langid lesson,
+    SPARK-36718: CollapseProject refuses to duplicate non-cheap
+    expressions, so explicit stages are what keeps each fold evaluated
+    once)."""
     t = F.col(text_col)
     lines = F.when(t.isNull(), F.array().cast("array<string>")).otherwise(
         # NB: lambda, not bare F.trim — trim's optional second parameter
         # makes transform() pass the element INDEX as the trim-character set
         F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != "")
     )
-    n_lines = F.size(lines)
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
-    )
+    # stage 0: parse once — lines array + token array
+    staged = df.select(F.col(id_col), lines.alias("_lines"), tokens(t).alias("_toks"))
+    lns, toks = F.col("_lines"), F.col("_toks")
     # chars in lines that occur >= 2 times, counting EVERY occurrence: on a
     # sorted array a run's 2nd element retro-charges the 1st (2×len), later
     # elements charge themselves (1×len)
     dup_chars = F.aggregate(
-        F.array_sort(lines),
+        F.array_sort(lns),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
@@ -610,26 +616,37 @@ def gopher_rules(
         ),
         lambda acc: acc["dup"],
     )
-    toks = tokens(t)
-    norm_chars = F.length(F.array_join(toks, " "))
+    # stage 1: every fold/scan evaluated exactly once into scalar columns
+    raw = staged.select(
+        F.col(id_col),
+        F.size(lns).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lns)).cast("bigint").alias("_n_distinct"),
+        F.aggregate(lns, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)).alias(
+            "_line_chars"
+        ),
+        dup_chars.alias("_dup_chars"),
+        F.length(F.array_join(toks, " ")).alias("_norm_chars"),
+        _top_ngram_cover(toks, 2).alias("_cover2"),
+        _top_ngram_cover(toks, 3).alias("_cover3"),
+    )
     frac = lambda num, den: F.round(  # noqa: E731
         F.when(den > 0, F.least(F.lit(1.0), num.cast("double") / den)).otherwise(0.0), 6
     )
-    dup_line_frac = frac((n_lines - F.size(F.array_distinct(lines))), n_lines)
-    dup_line_char_frac = frac(dup_chars, line_chars)
-    top2 = frac(_top_ngram_cover(toks, 2), norm_chars)
-    top3 = frac(_top_ngram_cover(toks, 3), norm_chars)
-    return df.select(
+    # stage 2: cheap arithmetic over the scalars
+    fracs = raw.select(
         F.col(id_col),
-        n_lines.cast("bigint").alias("n_lines"),
-        dup_line_frac.alias("dup_line_frac"),
-        dup_line_char_frac.alias("dup_line_char_frac"),
-        top2.alias("top2_char_frac"),
-        top3.alias("top3_char_frac"),
-        (
-            (dup_line_frac <= max_dup_line_frac)
-            & (dup_line_char_frac <= max_dup_line_char_frac)
-            & (top2 <= max_top2_char_frac)
-            & (top3 <= max_top3_char_frac)
-        ).alias("keep"),
+        F.col("n_lines"),
+        frac(F.col("n_lines") - F.col("_n_distinct"), F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("_dup_chars"), F.col("_line_chars")).alias("dup_line_char_frac"),
+        frac(F.col("_cover2"), F.col("_norm_chars")).alias("top2_char_frac"),
+        frac(F.col("_cover3"), F.col("_norm_chars")).alias("top3_char_frac"),
+    )
+    return fracs.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top2_char_frac") <= max_top2_char_frac)
+        & (F.col("top3_char_frac") <= max_top3_char_frac),
     )
