@@ -1916,7 +1916,7 @@ def q_dedup_components(spark, sf_dir):
         load(spark, sf_dir, "documents"), "text", "doc_id",
         k=3, bands=16, threshold=0.3, hash_fn="md5",
     )
-    return D.dedup_components(pairs)
+    return D.dedup_components(pairs, check_every=2)
 
 
 @declared(
@@ -1963,7 +1963,7 @@ def q_dedup_select(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(
         docs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
     )
-    comps = D.dedup_components(pairs)
+    comps = D.dedup_components(pairs, check_every=2)
     quality = TO.quality_score(docs, "text", "doc_id").select("doc_id", "quality")
     labeled = quality.join(comps, quality["doc_id"] == comps["id"], "left").select(
         quality["doc_id"],
@@ -2026,7 +2026,7 @@ def q_cluster_split(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(
         docs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
     )
-    comps = D.dedup_components(pairs)
+    comps = D.dedup_components(pairs, check_every=2)
     labeled = docs.select("doc_id").join(
         comps, docs["doc_id"] == comps["id"], "left"
     ).select(
