@@ -84,6 +84,7 @@ HEADLINE = [
     "corpus_resample",
     "ann_quantized",
     "dedup_overlap_matrix",
+    "minhash_incremental",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

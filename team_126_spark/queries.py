@@ -3304,6 +3304,26 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+@declared(
+    "length_deciles",
+    oracle=f"""
+    SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens,
+           CAST(ntile(10) OVER (PARTITION BY source
+                ORDER BY {X.token_count_sql('text')}, doc_id) AS INT) AS decile
+    FROM documents
+    """,
+    doc="per-source token-length deciles (ntile) — the curriculum/mixing "
+    "bucketing step (sample per decile, schedule short→long): one window "
+    "shuffle on the source key, deterministic via the doc_id tiebreak",
+)
+def q_length_deciles(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return d.withColumn("decile", F.ntile(10).over(w))
+
+
 def _minhash_incremental_oracle_sql(bands: int = 16, threshold: float = 0.3) -> str:
     """Two-sided variant of _minhash_oracle_sql: src0 docs (the 'new batch')
     probe the non-src0 corpus' band index; same shingles/remix/banding."""
