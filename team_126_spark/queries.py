@@ -3305,6 +3305,36 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "pivot_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot: per-user event-type count matrix. The value list is PINNED "
+    "(groupBy().pivot(col, values)) so Spark skips the extra distinct-scan "
+    "pass AND the output schema is stable under data drift — the unpinned "
+    "form is a schema landmine in production pipelines; lowers to one "
+    "partial-aggregated shuffle exactly like a plain groupBy",
+)
+def q_pivot_counts(spark, sf_dir):
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+        )
+    )
+
+
+@declared(
     "length_deciles",
     oracle=f"""
     SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens,
