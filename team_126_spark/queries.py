@@ -2082,6 +2082,42 @@ def q_interval_join_counts(spark, sf_dir):
 
 
 @declared(
+    "interval_join_outer",
+    oracle="""
+    WITH w AS (
+      SELECT r.i AS w_id,
+             TIMESTAMP '2024-01-01 00:00:00' + r.i * (INTERVAL 6 HOUR) AS w_start
+      FROM range(0, 120) r(i)
+    )
+    SELECT w.w_id, w.w_start, CAST(count(e.ts) AS BIGINT) AS n_events
+    FROM w LEFT JOIN events e
+      ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 1 HOUR
+    GROUP BY w.w_id, w.w_start
+    """,
+    doc="outer point-in-interval join: every window survives, zero-event "
+    "windows exactly once NULL-padded (the r4 right/full fix — the naive "
+    "exploded-side outer join emitted one padded row PER overlapped "
+    "bucket); count(ts) ignores the padding, so empty windows report 0",
+)
+def q_interval_join_outer(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast(dict(e.dtypes)["ts"])
+    w = spark.range(120).select(
+        F.col("id").cast("bigint").alias("w_id"),
+        (base + F.expr("make_interval(0, 0, 0, 0, CAST(id * 6 AS INT), 0, 0)")).alias(
+            "w_start"
+        ),
+    ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    joined = R.interval_join(
+        e.select("ts", "user_id"), w, "ts", "w_start", "w_end",
+        bucket_seconds=3600, how="right",
+    )
+    return joined.groupBy("w_id", "w_start").agg(
+        F.count("ts").cast("bigint").alias("n_events")
+    )
+
+
+@declared(
     "scd2_history",
     oracle="""
     SELECT user_id, event_type, ts AS valid_from,
