@@ -213,7 +213,11 @@ def stratified_sample(
 
 
 def weighted_resample(
-    df: DataFrame, weight_col: str, id_col: str, out_idx: str = "copy_idx"
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    out_idx: str = "copy_idx",
+    max_weight: float | None = 1000.0,
 ) -> DataFrame:
     """Deterministic importance resampling: each row survives with
     multiplicity E[n] = its weight — floor(w) guaranteed copies plus one
@@ -226,14 +230,33 @@ def weighted_resample(
     df.sample()'s partition-order-seeded RNG. The only plan impact is one
     explode; expected output rows = sum(weights) regardless of layout.
     `out_idx` (1..n) keeps the copies distinguishable downstream (e.g. for
-    pack_sequences' shuffle-free ordering)."""
+    pack_sequences' shuffle-free ordering).
+
+    `max_weight` is a runaway guard: a weight column fed garbage (an
+    un-normalized count, a join fan-out) would silently explode one row
+    into millions of copies; any weight above the cap raises in-task
+    instead (pass None to lift it for a deliberate heavy repeat)."""
     from ..functions.text import md5_low60
 
     w = F.col(weight_col).cast("double")
     u = md5_low60(F.concat(F.col(id_col).cast("string"), F.lit(":rs"))) / F.lit(
         float(1 << 60)
     )
-    n = F.when(w.isNull() | (w <= 0), F.lit(0)).otherwise(
+    n = F.when(w.isNull() | (w <= 0), F.lit(0))
+    if max_weight is not None:
+        n = n.when(
+            w > float(max_weight),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"weighted_resample: weight exceeds max_weight={max_weight} on "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(" — un-normalized weight column? Pass max_weight=None if deliberate"),
+                )
+            ).cast("int"),
+        )
+    n = n.otherwise(
         (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
     )
     return (
@@ -433,7 +456,11 @@ def interval_join(
     point_side = "left" if how == "full" else "inner"
     joined = p.join(i, cond(i), point_side).drop("_pbucket", "_ibucket")
     matched_ids = p.join(i, cond(i), "inner").select(i["_iid"]).distinct()
-    pad = [F.lit(None).cast(f.dataType).alias(f.name) for f in p.schema.fields[:-1]]
+    pad = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in p.schema.fields
+        if f.name != "_pbucket"
+    ]
     unmatched = iv.join(matched_ids, "_iid", "left_anti").select(
         *pad, *[F.col(c) for c in iv.columns]
     )

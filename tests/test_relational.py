@@ -532,3 +532,13 @@ def test_weighted_resample_multiplicity(spark):
     assert sorted(r["copy_idx"] for r in idx) == list(range(1, len(idx) + 1))
     again = weighted_resample(df.repartition(7), "w", "doc")
     assert again.count() == total
+
+
+def test_weighted_resample_runaway_guard(spark):
+    from team_126_spark.operators.relational import weighted_resample
+
+    df = spark.createDataFrame([(1, 2.0), (2, 5000.0)], "doc long, w double")
+    with pytest.raises(Exception, match="max_weight"):
+        weighted_resample(df, "w", "doc").count()
+    # lifting the cap allows the heavy repeat
+    assert weighted_resample(df, "w", "doc", max_weight=None).count() >= 5001
