@@ -204,8 +204,13 @@ def minhash_lsh_probe(
     estimate, and hash-family semantics as minhash_lsh_pairs, so md5-family
     runs carry a full DuckDB twin (declared query `minhash_incremental`).
     """
-    new_sigs = minhash_signatures(new_df, text_col, id_col, k, hash_fn).filter(
-        F.col("signature").isNotNull()
+    # Batch signatures feed BOTH the banding and the estimate re-attach; a
+    # lazy localCheckpoint computes the (batch-sized) signature job once
+    # instead of replaying explode+hash+groupBy per consumer.
+    new_sigs = (
+        minhash_signatures(new_df, text_col, id_col, k, hash_fn)
+        .filter(F.col("signature").isNotNull())
+        .localCheckpoint(eager=False)
     )
     banded_new = banded_signatures(new_sigs, bands).alias("n")
     banded_idx = (

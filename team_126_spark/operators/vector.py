@@ -390,6 +390,8 @@ def quantized_knn(
     """
     from ..functions.vector import cosine_similarity
 
+    if len(probe) != dim:
+        raise ValueError(f"quantized_knn: probe has {len(probe)} dims, expected {dim}")
     vec = F.col(vec_col)
     elem = lambda i: F.element_at(vec, i + 1).cast("double")  # noqa: E731
     row = (

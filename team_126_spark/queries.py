@@ -3454,8 +3454,13 @@ def q_minhash_incremental(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != "src0")
     new = docs.filter(F.col("source") == "src0")
-    corpus_sigs = D.minhash_signatures(corpus, "text", "doc_id", k=3, hash_fn="md5").filter(
-        F.col("signature").isNotNull()
+    # lazy checkpoint: the signature job runs once for its two consumers
+    # (banding + estimate re-attach) — production reads PERSISTED parquet
+    # signatures instead, where the double scan is already cheap
+    corpus_sigs = (
+        D.minhash_signatures(corpus, "text", "doc_id", k=3, hash_fn="md5")
+        .filter(F.col("signature").isNotNull())
+        .localCheckpoint(eager=False)
     )
     return D.minhash_lsh_probe(
         new, corpus_sigs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
