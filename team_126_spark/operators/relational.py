@@ -455,7 +455,12 @@ def interval_join(
     i = exploded(iv)
     point_side = "left" if how == "full" else "inner"
     joined = p.join(i, cond(i), point_side).drop("_pbucket", "_ibucket")
-    matched_ids = p.join(i, cond(i), "inner").select(i["_iid"]).distinct()
+    # derive matched ids FROM the joined plan (not a separately-built join)
+    # so the physical planner can reuse the join's exchanges between the
+    # output branch and the anti branch
+    matched_ids = (
+        joined.filter(F.col("_iid").isNotNull()) if how == "full" else joined
+    ).select("_iid").distinct()
     pad = [
         F.lit(None).cast(f.dataType).alias(f.name)
         for f in p.schema.fields
