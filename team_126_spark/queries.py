@@ -3341,6 +3341,114 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "corpus_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({X.token_count_sql('text')}) AS BIGINT) AS n_tokens,
+           round(avg({_QUALITY_SQL}), 6) AS avg_quality,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    doc="per-source dataset-card stats (docs, tokens, mean quality, language "
+    "spread) — the corpus summary every curation run publishes; one "
+    "partial-aggregated shuffle, count_distinct expands via Expand, "
+    "single scan computes every signal",
+)
+def q_corpus_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        X.token_count(F.col("text")).alias("_nt"),
+        TO.quality_expr(F.col("text")).alias("_q"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+@declared(
+    "length_outliers",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens FROM documents
+    ),
+    med AS (
+      SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM l GROUP BY source
+    ),
+    mad AS (
+      SELECT l.source, quantile_cont(abs(l.n_tokens - m.med), 0.5) AS mad
+      FROM l JOIN med m USING (source) GROUP BY l.source
+    )
+    SELECT l.doc_id, l.source, l.n_tokens,
+           round(m.med, 6) AS src_median, round(d.mad, 6) AS src_mad
+    FROM l JOIN med m USING (source) JOIN mad d USING (source)
+    WHERE abs(l.n_tokens - m.med) > 3 * d.mad AND d.mad > 0
+    """,
+    doc="robust per-source length outliers (|len − median| > 3×MAD): the "
+    "truncation/concatenation-artifact screen that survives skewed length "
+    "distributions where mean±3σ misfires. Two tiny grouped medians "
+    "BROADCAST back — the corpus is scanned once per median pass, never "
+    "shuffled on doc keys; exact percentile == quantile_cont parity as in "
+    "quality_gate (swap percentile_approx at extreme group counts)",
+)
+def q_length_outliers(spark, sf_dir):
+    l = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    med = l.groupBy("source").agg(F.percentile("n_tokens", F.lit(0.5)).alias("_med"))
+    with_med = l.join(F.broadcast(med), "source")
+    mad = with_med.groupBy("source").agg(
+        F.percentile(F.abs(F.col("n_tokens") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "source")
+        .filter(
+            (F.abs(F.col("n_tokens") - F.col("_med")) > 3 * F.col("_mad"))
+            & (F.col("_mad") > 0)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("_med", 6).alias("src_median"),
+            F.round("_mad", 6).alias("src_mad"),
+        )
+    )
+
+
+@declared(
+    "conversation_assemble",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+    """,
+    doc="ordered per-entity sequence assembly (the reference's conversation-"
+    "history accumulation, batch form): collect each user's event types in "
+    "strict (ts, event_id) order into one path string — collect_list of "
+    "(ts, id, type) structs + array_sort gives a deterministic ordered agg "
+    "in ONE shuffle (Spark has no ORDER BY inside string_agg; struct sort "
+    "is the idiom)",
+)
+def q_conversation_assemble(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(packed, lambda s: s["event_type"]), ">"
+        ).alias("path"),
+    )
+
+
+@declared(
     "pivot_counts",
     oracle="""
     SELECT user_id,
