@@ -468,6 +468,75 @@ def q_join_anti(spark, sf_dir):
     return c.join(keys, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
+@declared(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier
+               WHERE s_suppkey % 3 = 0),
+    c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY c_nationkey)
+    SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+           s.s_suppkey, s.s_name, c.n_cust
+    FROM s FULL OUTER JOIN c ON s.s_nationkey = c.c_nationkey
+    """,
+    doc="full outer join: supplier subset × per-nation customer counts — "
+    "both unmatched sides survive NULL-padded (nations with no sampled "
+    "supplier AND suppliers in customer-less nations); sort-merge/hash "
+    "planned on the equi-key, never a nested loop",
+)
+def q_join_full_outer(spark, sf_dir):
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_cust"))
+    )
+    return s.join(c, s["s_nationkey"] == c["c_nationkey"], "full_outer").select(
+        F.coalesce(s["s_nationkey"], c["c_nationkey"]).alias("nationkey"),
+        "s_suppkey",
+        "s_name",
+        "n_cust",
+    )
+
+
+@declared(
+    "set_intersect_except",
+    oracle="""
+    WITH i AS (
+      SELECT c_custkey AS custkey FROM customer
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ),
+    e AS (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    SELECT 'with_big_order' AS side, custkey FROM i
+    UNION ALL
+    SELECT 'no_orders' AS side, custkey FROM e
+    """,
+    doc="set operators INTERSECT / EXCEPT (distinct semantics): customers "
+    "with a big order vs customers with none, labeled and unioned — each "
+    "lowers to one aggregate-style shuffle (Catalyst rewrites to "
+    "semi/anti joins), no driver-side set math",
+)
+def q_set_intersect_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    allk = o.select(F.col("o_custkey").alias("custkey"))
+    i = c.intersect(big).select(F.lit("with_big_order").alias("side"), "custkey")
+    e = c.exceptAll(allk).distinct().select(F.lit("no_orders").alias("side"), "custkey")
+    return i.unionByName(e)
+
+
 # ===================================================================
 # §2.5 Windows / sorts / limits   §2.6 Set ops
 # ===================================================================
