@@ -3410,6 +3410,31 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "cube_counts",
+    oracle="""
+    SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(user_id % 5) AS INT) AS g_bucket
+    FROM events GROUP BY CUBE (event_type, user_id % 5)
+    """,
+    doc="CUBE aggregate over (event_type, user-bucket) with GROUPING() "
+    "flags disambiguating subtotal NULLs from data NULLs — all four grain "
+    "levels from one Expand + one partial-aggregated shuffle (the "
+    "multi-grain family's other half next to rollup_counts)",
+)
+def q_cube_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("bigint")
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("user_bucket").cast("int").alias("g_bucket"),
+    )
+
+
+@declared(
     "corpus_stats",
     oracle=f"""
     SELECT source,
