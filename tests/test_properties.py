@@ -134,3 +134,41 @@ def test_dedup_components_chase_invariant(spark, edges):
     # cluster representative is a member of its own cluster with self-label
     labels = dict(fast)
     assert all(labels[c] == c for _, c in fast)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_gopher_signals_match_python_reference(spark, xs):
+    """The sorted-fold n-gram cover and dup-line char mass equal a direct
+    Python recomputation for ANY input (the folds are the subtle part of
+    gopher_rules — runs in a sorted array standing in for occurrence
+    counts)."""
+    import re
+    from collections import Counter
+
+    from team_126_spark.operators.textops import gopher_rules
+
+    df = _df(spark, xs)
+    got = {r["i"]: r for r in gopher_rules(df, "t", "i").collect()}
+
+    for i, x in enumerate(xs):
+        lines = [l for l in (s.strip(" ") for s in x.split("\n")) if l != ""]
+        toks = re.sub(r"\s+", " ", x).strip().lower().split(" ") if x.strip() else []
+        toks = [t for t in toks if t]
+        norm = " ".join(toks)
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        lc = Counter(lines)
+        line_chars = sum(len(l) for l in lines)
+        dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+        want_dup = (
+            round(min(1.0, dup_chars / line_chars), 6) if line_chars else 0.0
+        )
+        assert r["dup_line_char_frac"] == pytest.approx(want_dup), (x, lines)
+        for n, col in ((2, "top2_char_frac"), (3, "top3_char_frac")):
+            grams = Counter(
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            )
+            cover = max((c * len(g) for g, c in grams.items()), default=0)
+            want = round(min(1.0, cover / len(norm)), 6) if norm else 0.0
+            assert r[col] == pytest.approx(want), (x, toks, col)
