@@ -3410,6 +3410,84 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "time_fill",
+    oracle="""
+    WITH grid AS (
+      SELECT TIMESTAMP '2024-01-01 00:00:00' + r.i * (INTERVAL 1 DAY) AS day
+      FROM range(0, 30) r(i)
+    ),
+    agg AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2024-01-31 00:00:00'
+      GROUP BY 1
+    )
+    SELECT g.day, COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total
+    FROM grid g LEFT JOIN agg a USING (day)
+    """,
+    doc="time-series gap filling: a generated day grid LEFT-joined to the "
+    "daily aggregate so silent days appear as explicit zeros (dashboards "
+    "and anomaly detectors break on missing buckets, not zero buckets); "
+    "the grid is sequence()-generated row data, never a driver loop",
+)
+def q_time_fill(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast(dict(e.dtypes)["ts"])
+    grid = spark.range(30).select(
+        (base + F.expr("make_interval(0, 0, 0, CAST(id AS INT), 0, 0, 0)")).alias("day")
+    )
+    agg = (
+        e.filter((F.col("ts") >= base) & (F.col("ts") < base + F.expr("INTERVAL 30 DAY")))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    return grid.join(agg, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@declared(
+    "funnel_counts",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (path LIKE '%view%click%purchase%') AS BIGINT)
+             AS n_converted
+    FROM paths
+    """,
+    doc="funnel analysis: users whose ordered event path contains the "
+    "view→click→purchase SUBSEQUENCE (any interleaving) — ordered "
+    "collect_list per user then one pattern match; event-type names don't "
+    "substring-overlap, so the joined-path LIKE is exact subsequence "
+    "semantics; one shuffle total",
+)
+def q_funnel_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    paths = e.groupBy("user_id").agg(
+        F.array_join(F.transform(packed, lambda s: s["event_type"]), ">").alias("path")
+    )
+    return paths.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count_if(F.col("path").rlike("view.*click.*purchase"))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+
+
+@declared(
     "cube_counts",
     oracle="""
     SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket,
