@@ -271,3 +271,32 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    lat_col: str,
+    lon_col: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition by the Morton key
+    (functions/geo.z_value) and sort within partitions, so every output
+    file covers a compact 2-D tile — per-file lat AND lon min/max stats
+    become tight simultaneously, and bounding-box scans prune most files
+    (the multi-dimensional analog of write_bucketed's pre-paid shuffle;
+    what Delta/Iceberg call OPTIMIZE ZORDER, expressed with stock Spark).
+    The z key is dropped before writing — it's a layout artifact, not data.
+    """
+    from ..functions.geo import z_value
+
+    (
+        df.withColumn("_z", z_value(F.col(lat_col), F.col(lon_col), bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -276,3 +276,72 @@ def test_summarize_envelope_null_status_counts_as_other(spark):
     s = IO.summarize_envelope(df)
     assert s["vacancy_counts"] == {"vacant": 1, "other": 2}
     assert s["vacancy_counts"]["vacant"] + s["vacancy_counts"]["other"] == s["total_records"]
+
+
+def test_zorder_layout_prunes_bbox_files(spark, tmp_path):
+    """Z-order clustering makes per-file lat AND lon min/max tight at the
+    same time: a bounding-box scan intersects strictly fewer files than on
+    a layout with the same file count clustered by neither (round-robin).
+    Checked against the actual parquet footer statistics."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from team_126_spark.functions.geo import z_value
+    from team_126_spark.sources.io import write_zordered
+    from team_126_spark.tables import with_geo, table
+
+    c = with_geo(table(spark, "/root/testdata/sf0.01", "customer"), "c_custkey").select(
+        "c_custkey", "lat", "lon"
+    )
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "plain")
+    write_zordered(c, zpath, "lat", "lon", n_files=8)
+    c.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    def touched(path, lat_rng, lon_rng):
+        import glob
+
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {"lat": None, "lon": None}
+            hi = {"lat": None, "lon": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            if (
+                lo["lat"] is not None
+                and not (hi["lat"] < lat_rng[0] or lo["lat"] > lat_rng[1])
+                and not (hi["lon"] < lon_rng[0] or lo["lon"] > lon_rng[1])
+            ):
+                n += 1
+        return n
+
+    box_lat, box_lon = (32.80, 32.85), (-117.20, -117.15)
+    nz = touched(zpath, box_lat, box_lon)
+    np_ = touched(rpath, box_lat, box_lon)
+    assert nz < np_, (nz, np_)
+    assert nz <= 3  # a small box lands in a few z-tiles, not all 8
+
+    # the filtered scan returns the same rows from both layouts
+    pred = (
+        (F.col("lat").between(*box_lat)) & (F.col("lon").between(*box_lon))
+    )
+    a = sorted(r["c_custkey"] for r in spark.read.parquet(zpath).filter(pred).collect())
+    b = sorted(r["c_custkey"] for r in spark.read.parquet(rpath).filter(pred).collect())
+    assert a == b and a
+
+    # z_value basics: interleaving is monotone-ish in locality (same cell →
+    # same key), clamps out-of-range coords, nulls propagate
+    row = spark.createDataFrame(
+        [(32.8, -117.2), (32.8, -117.2), (89.9999, 179.9999), (-999.0, 999.0), (None, 0.0)],
+        "lat double, lon double",
+    ).select(z_value(F.col("lat"), F.col("lon")).alias("z")).collect()
+    assert row[0]["z"] == row[1]["z"]
+    assert row[2]["z"] == (1 << 32) - 1  # top-right corner = all ones
+    assert row[3]["z"] is not None  # clamped, not an error
+    assert row[4]["z"] is None
