@@ -300,3 +300,33 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_mb) files of roughly even size. Returns the
+    output file count.
+
+    The 100 TB hygiene op: streaming sinks, fine-grained partitioning, and
+    per-batch appends all accrete kilobyte files whose per-file open/footer
+    cost eventually dominates scans (the classic small-files problem).
+    Sizing reads the directory length through the Hadoop FileSystem API (so
+    it works on HDFS/S3A, not just local), and the rewrite is one
+    repartition — round-robin, no skew. Writes to a NEW path: compacting
+    in place while readers stream the source is a data-loss footgun, so
+    the atomic swap (rename/retarget) is left to the caller's catalog.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src_path).repartition(n).write.mode("error").parquet(dst_path)
+    return n

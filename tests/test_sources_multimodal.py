@@ -345,3 +345,22 @@ def test_zorder_layout_prunes_bbox_files(spark, tmp_path):
     assert row[2]["z"] == (1 << 32) - 1  # top-right corner = all ones
     assert row[3]["z"] is not None  # clamped, not an error
     assert row[4]["z"] is None
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from team_126_spark.sources.io import compact_parquet
+
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).selectExpr("id", "CAST(id AS STRING) AS s")
+    df.repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert n == len(files) == 1  # a few hundred KB fits one 128 MB target
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
+    # refuses to clobber an existing destination (mode='error')
+    with pytest.raises(Exception):
+        compact_parquet(spark, src, dst)
