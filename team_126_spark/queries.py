@@ -3410,6 +3410,63 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "temperature_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {X.token_count_sql('text')} AS nt FROM documents
+    ),
+    s AS (SELECT source, sum(nt) AS n_s FROM t GROUP BY source),
+    tot AS (SELECT sum(n_s) AS n_tot, sum(sqrt(n_s)) AS r_tot FROM s),
+    m AS (
+      SELECT source,
+             round((sqrt(n_s) / r_tot) / (n_s / n_tot), 6) AS mult
+      FROM s, tot
+    ),
+    w AS (
+      SELECT t.doc_id, t.source, m.mult,
+             {X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':rs'")}
+               / 1152921504606846976.0 AS u
+      FROM t JOIN m USING (source)
+    ),
+    n AS (
+      SELECT doc_id, source, mult,
+             CAST(floor(mult) + CASE WHEN u < mult - floor(mult)
+                  THEN 1 ELSE 0 END AS INT) AS nc
+      FROM w
+    )
+    SELECT doc_id, source, mult AS weight, CAST(c.ci AS INT) AS copy_idx
+    FROM n, unnest(range(1, nc + 1)) AS c(ci)
+    """,
+    doc="temperature-mixed corpus (alpha = 0.5 via sqrt — IEEE-exact in "
+    "both engines, unlike pow): per-source sampling multiplier "
+    "(share^alpha re-normalized) / natural share, so small sources "
+    "up-sample and dominant sources thin — the multinomial data-recipe "
+    "reweighting every multi-source pre-training run applies; 20-row "
+    "multiplier table broadcast into weighted_resample's one explode",
+)
+def q_temperature_mix(spark, sf_dir):
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("nt")
+    )
+    s = t.groupBy("source").agg(F.sum("nt").alias("n_s"))
+    tot = s.agg(
+        F.sum("n_s").alias("n_tot"), F.sum(F.sqrt("n_s")).alias("r_tot")
+    )
+    m = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            (F.sqrt("n_s") / F.col("r_tot")) / (F.col("n_s") / F.col("n_tot")), 6
+        ).alias("mult"),
+    )
+    w = t.join(F.broadcast(m), "source").select(
+        "doc_id", "source", F.col("mult").alias("wt")
+    )
+    return R.weighted_resample(w, "wt", "doc_id").select(
+        "doc_id", "source", F.col("wt").alias("weight"), "copy_idx"
+    )
+
+
+@declared(
     "time_fill",
     oracle="""
     WITH grid AS (

@@ -162,3 +162,44 @@ def test_quality_gate_approx_dial_bounded_error(spark):
         assert r["lo"] - 1e-6 <= am[r["source"]] <= r["hi"] + 1e-6, (
             r["source"], r["lo"], am[r["source"]], r["hi"],
         )
+
+
+def test_temperature_mix_semantics_and_float_margins(spark):
+    """alpha=0.5 temperature mixing: the smallest source's multiplier > 1
+    (up-sampled), the largest < 1 (thinned), expected volume ≈ corpus size.
+    Plus the ann_lsh-style margin guard: no multiplier sits within
+    float-summation noise of a round-6 boundary, and no doc's md5-uniform
+    sits at its fractional-part decision edge — so cross-engine
+    summation-order ulps can't flip the gate."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        stats = duckdb.sql(
+            "SELECT source, sum(CASE WHEN t IS NULL OR t = '' THEN 0"
+            " ELSE len(str_split(t, ' ')) END) AS n FROM ("
+            "  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t,"
+            f"        source FROM read_parquet('{sf}/documents.parquet'))"
+            " GROUP BY source"
+        ).fetchall()
+        n = {s: int(c) for s, c in stats}
+        n_tot = sum(n.values())
+        r_tot = sum(math.sqrt(v) for v in n.values())
+        mult = {s: (math.sqrt(v) / r_tot) / (v / n_tot) for s, v in n.items()}
+        small = min(n, key=n.get)
+        big = max(n, key=n.get)
+        assert mult[small] > 1.0 > mult[big]
+        for s, m in mult.items():
+            d = abs(m * 1e6 - round(m * 1e6) - 0.5)
+            assert d > 1e-6, (sf, s, m, "round-6 boundary")
+        rows = duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+        for (doc_id,) in rows:
+            h = hashlib.md5(f"{doc_id}:rs".encode()).hexdigest()
+            u = int(h[17:32], 16) / float(1 << 60)
+            for m in set(round(v, 6) for v in mult.values()):
+                frac = m - math.floor(m)
+                assert abs(u - frac) > 1e-9, (sf, doc_id, m, "frac edge")
