@@ -664,3 +664,46 @@ def embedding_neardup_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring contamination with POSITIONS: every k-token window
+    of an eval document that appears verbatim anywhere in the training
+    corpus, as (id, pos) rows (pos = 0-based token offset). Where
+    `decontaminate` scores documents (drop/keep), this locates the spans —
+    the input a redaction pass needs to cut the leaked benchmark text
+    instead of discarding the whole document (the exact-substring
+    treatment of Lee et al. 2022).
+
+    Plan: train reduces to DISTINCT window strings once (set semantics —
+    duplicates in train add nothing); eval explodes its windows WITH
+    offsets (posexplode keeps duplicates — the same leaked string at two
+    offsets is two spans) and a left-SEMI join on the window string keeps
+    matching positions. Shuffle keys are window strings (uniform); output
+    is bounded by eval token count, never |train| × |eval|.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    nt = F.size(toks)
+    win = F.when(nt < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nt - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    train_wins = (
+        spread(train, id_col).select(F.explode(win).alias("w")).distinct()
+    )
+    ev = spread(eval_df, id_col).select(
+        F.col(id_col), F.posexplode(win).alias("pos", "w")
+    )
+    return (
+        ev.join(train_wins, "w", "left_semi")
+        .select(F.col(id_col), F.col("pos").cast("int").alias("pos"))
+    )

@@ -3410,6 +3410,52 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "contamination_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, source, {X.normalize_ws_sql('text')} AS nt
+            FROM documents)
+    ),
+    tw AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4])) AS w
+      FROM tok WHERE source <> 'src0' AND len(t) >= 5
+    )
+    SELECT e.doc_id, CAST(e.s.i - 1 AS INT) AS pos
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> {{'i': i,
+                     'w': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                          t[i+3] || ' ' || t[i+4]}})) AS s
+      FROM tok WHERE source = 'src0' AND len(t) >= 5
+    ) e
+    WHERE e.s.w IN (SELECT w FROM tw)
+    """,
+    doc="exact-substring contamination with POSITIONS (Lee et al. 2022): "
+    "every 5-token window of a src0 doc appearing verbatim in the rest of "
+    "the corpus, as (doc, token-offset) rows — the span inventory a "
+    "redaction pass cuts, where decontaminate only scores whole docs; "
+    "train reduces to DISTINCT windows once, eval posexplodes with "
+    "offsets, left-semi join on the window string "
+    "(operators/dedup.contamination_spans)",
+)
+def q_contamination_spans(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.contamination_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        k=5,
+    )
+
+
+@declared(
     "temperature_mix",
     oracle=f"""
     WITH t AS (
