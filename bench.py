@@ -85,6 +85,8 @@ HEADLINE = [
     "ann_quantized",
     "dedup_overlap_matrix",
     "minhash_incremental",
+    "temperature_mix",
+    "contamination_spans",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

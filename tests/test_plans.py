@@ -184,3 +184,31 @@ def test_bloom_probe_is_broadcast_no_cartesian(spark):
     plan = plan_of(spark, "bloom_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pivot_counts",
+        "cube_counts",
+        "corpus_stats",
+        "funnel_counts",
+        "time_fill",
+        "conversation_assemble",
+        "length_deciles",
+        "interval_join_outer",
+        "contamination_spans",
+    ],
+)
+def test_r4_queries_no_cartesian(spark, name):
+    """None of the round-4 declared queries may degenerate into a cartesian
+    or nested-loop join — every join is an equi-join (or an intentional
+    single-row broadcast, which these queries don't use)."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pivot_partial_aggregation(spark):
+    plan = plan_of(spark, "pivot_counts")
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
