@@ -44,11 +44,17 @@ def _bit_positions(key, m_bits: int, k: int) -> list:
 def bloom_build(
     df: DataFrame, key_col: str, m_bits: int = 1 << 15, k: int = 4
 ) -> DataFrame:
-    """Build the filter table (word_idx, word) over df[key_col].
+    """Build the filter table (word_idx, word, m_bits, k) over df[key_col].
 
     One explode (k slim rows per key) + one groupBy(bit_or) shuffle on the
     word index — at most m_bits/32 groups regardless of corpus size, so the
     reduce side is trivially small. NULL keys contribute nothing.
+
+    The sizing parameters ride along as constant columns: a probe computed
+    with DIFFERENT m_bits/k than the build produces silent FALSE NEGATIVES
+    (bits land in other words), the one failure mode a Bloom filter must
+    never have — so bloom_probe reads the parameters off the table and
+    refuses a mismatch instead of trusting the call site.
     """
     if m_bits % BITS_PER_WORD:
         raise ValueError(f"m_bits must be a multiple of {BITS_PER_WORD}")
@@ -58,8 +64,11 @@ def bloom_build(
     # shiftleft's Python binding takes only a literal shift amount, so the
     # data-dependent bit mask goes through the SQL form
     mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BITS_PER_WORD} AS INT))")
-    return sel.groupBy(F.shiftright(F.col("p"), 5).alias("word_idx")).agg(
-        F.bit_or(mask).alias("word")
+    return (
+        sel.groupBy(F.shiftright(F.col("p"), 5).alias("word_idx"))
+        .agg(F.bit_or(mask).alias("word"))
+        .withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("k", F.lit(int(k)))
     )
 
 
@@ -67,19 +76,46 @@ def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     key_col: str,
-    m_bits: int = 1 << 15,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
     out: str = "maybe_member",
 ) -> DataFrame:
     """Append `out`: True iff ALL k of the key's bits are set in `bloom`
     (so: definitely-absent keys get False — no false negatives; a small
     deterministic fraction of absent keys get True).
 
+    Sizing defaults to the parameters EMBEDDED in the filter table by
+    bloom_build (one bounded first() over the ≤ m/32-row table); passing
+    them explicitly is allowed but a mismatch with the embedded values
+    raises — probing with the wrong geometry produces silent false
+    negatives, the one thing this structure promises never to do.
+
     Plan: explode the k probe positions, broadcast-join the filter table,
     bool_and per key, join the verdict back. The probed corpus shuffles
     once on its own key (the verdict re-attach); the filter never shuffles
     anything at probe time. NULL keys probe False.
     """
+    if "m_bits" in bloom.columns and "k" in bloom.columns:
+        params = bloom.select("m_bits", "k").first()
+        if params is not None:
+            bm, bk = int(params["m_bits"]), int(params["k"])
+            if m_bits is not None and m_bits != bm:
+                raise ValueError(
+                    f"bloom_probe: m_bits={m_bits} != filter's m_bits={bm} — "
+                    f"mismatched geometry would yield silent false negatives"
+                )
+            if k is not None and k != bk:
+                raise ValueError(
+                    f"bloom_probe: k={k} != filter's k={bk} — mismatched "
+                    f"geometry would yield silent false negatives"
+                )
+            m_bits, k = bm, bk
+        bloom = bloom.drop("m_bits", "k")
+    if m_bits is None or k is None:
+        raise ValueError(
+            "bloom_probe: filter table has no embedded parameters; pass "
+            "m_bits and k explicitly (matching the build)"
+        )
     key = F.col(key_col)
     probes = df.select(key.alias("_bk")).where(key.isNotNull()).distinct()
     pos = F.explode(F.array(*_bit_positions(F.col("_bk"), m_bits, k))).alias("p")

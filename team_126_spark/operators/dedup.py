@@ -108,10 +108,15 @@ N_MINHASH = 64  # signature length; 16 bands × 4 rows
 # Last persisted signature table PER SparkSession (see minhash_lsh_pairs).
 # Keyed by the session object itself, weakly (ADVICE r3: id(session) can be
 # recycled by the allocator after GC, aliasing a dead session's entry onto a
-# new one) — a collected session drops its entry automatically, and a live
-# session can never collide with another. The lock keeps concurrent calls —
-# or two sessions in one process — from unpersisting each other's live cache
-# mid-query.
+# new one) — identity keying means a live session can never collide with
+# another. NB the weak key rarely collects in practice: the cached DataFrame
+# VALUE strongly references its session (DataFrame._session), so an
+# abandoned-but-unstopped session stays pinned — which is the honest
+# lifecycle anyway, since its JVM-side cached table outlives Python refs
+# regardless; the isStopped() sweep below is what actually frees entries,
+# and stop()/release_signature_cache() are the deliberate cleanup paths.
+# The lock keeps concurrent calls — or two sessions in one process — from
+# unpersisting each other's live cache mid-query.
 _sig_cache_lock = threading.Lock()
 _live_sigs: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
@@ -159,6 +164,12 @@ def banded_signatures(sigs: DataFrame, bands: int = 16) -> DataFrame:
     the LSH band index. At ingest this is what you PERSIST (partitioned or
     bucketed by band/bkey hash), so later batches probe it without touching
     raw text or re-banding the corpus (see minhash_lsh_probe)."""
+    if bands < 1 or N_MINHASH % bands:
+        raise ValueError(
+            f"bands must divide N_MINHASH={N_MINHASH} (got {bands}) — a "
+            f"non-divisor would silently drop the trailing signature "
+            f"positions from every band key"
+        )
     rows_per_band = N_MINHASH // bands
     return sigs.select(
         "doc",
@@ -262,7 +273,6 @@ def minhash_lsh_pairs(
     16 — still slim — and it removes the last xxhash64 from the pair
     pipeline, so with hash_fn='md5' the whole operator has a DuckDB twin.
     """
-    rows_per_band = N_MINHASH // bands
     sigs_plan = minhash_signatures(df, text_col, id_col, k, hash_fn).filter(
         F.col("signature").isNotNull()
     )

@@ -446,6 +446,16 @@ def interval_join(
         i = exploded(intervals)
         return p.join(i, cond(i), how).drop("_pbucket", "_ibucket")
 
+    # right/full re-assemble the output via unionByName, which (unlike the
+    # join itself) cannot represent two same-named columns — fail loudly up
+    # front instead of with an opaque analyzer error mid-plan
+    shared = sorted(set(points.columns) & set(intervals.columns))
+    if shared:
+        raise ValueError(
+            f"interval_join: how={how!r} requires disjoint column names "
+            f"between points and intervals; rename the shared columns "
+            f"{shared} on one side first"
+        )
     # right/full: per-row id assigned ONCE (lazy localCheckpoint cuts the
     # lineage so the matched branch and the anti branch read the same ids —
     # monotonically_increasing_id over a recomputed plan would not be safe)

@@ -402,6 +402,13 @@ def quantized_knn(
         )
         .first()
     )
+    if row is None or any(row[f"mn{i}"] is None for i in range(dim)):
+        bad = [i for i in range(dim) if row is None or row[f"mn{i}"] is None]
+        raise ValueError(
+            f"quantized_knn: no bounds for dim(s) {bad[:5]}{'...' if len(bad) > 5 else ''} — "
+            f"the corpus has no non-null vectors, or its vectors are shorter "
+            f"than dim={dim}"
+        )
     mins = [float(row[f"mn{i}"]) for i in range(dim)]
     spans = [
         (float(row[f"mx{i}"]) - mins[i]) or 1.0 for i in range(dim)

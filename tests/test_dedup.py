@@ -379,3 +379,30 @@ def test_minhash_lsh_probe_matches_cross_boundary_pairs(spark):
         ).collect()
     }
     assert again == probe
+
+
+def test_banded_signatures_rejects_non_divisor_bands(spark, docs_df):
+    import pytest as _pytest
+
+    sigs = D.minhash_signatures(docs_df, "text", "doc_id")
+    with _pytest.raises(ValueError, match="divide"):
+        D.banded_signatures(sigs, bands=12)
+    with _pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_pairs(docs_df, "text", "doc_id", bands=12)
+
+
+def test_bloom_probe_rejects_mismatched_geometry(spark):
+    import pytest as _pytest
+
+    from team_126_spark.operators.bloom import bloom_build, bloom_probe
+
+    train = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS key")
+    bloom = bloom_build(train, "key", m_bits=1 << 15, k=4)
+    # embedded params make explicit args optional...
+    hits = bloom_probe(train, bloom, "key")
+    assert hits.filter("NOT maybe_member").count() == 0
+    # ...and a mismatch raises instead of silently false-negating
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(train, bloom, "key", m_bits=1 << 20)
+    with _pytest.raises(ValueError, match="k="):
+        bloom_probe(train, bloom, "key", k=6)

@@ -542,3 +542,21 @@ def test_weighted_resample_runaway_guard(spark):
         weighted_resample(df, "w", "doc").count()
     # lifting the cap allows the heavy repeat
     assert weighted_resample(df, "w", "doc", max_weight=None).count() >= 5001
+
+
+def test_interval_join_outer_rejects_shared_column_names(spark):
+    from datetime import datetime
+
+    from team_126_spark.operators.relational import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0))], "user_id long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0), datetime(2024, 1, 1, 11, 0))],
+        "user_id long, s timestamp, e timestamp",
+    )
+    with pytest.raises(ValueError, match="user_id"):
+        interval_join(pts, ivs, "ts", "s", "e", how="right")
+    # inner/left keep their existing (lenient) behavior
+    assert interval_join(pts, ivs, "ts", "s", "e", how="inner").count() == 1
