@@ -34,6 +34,23 @@ def _minhash_lsh_pairs_xx(spark, sf_dir):
     )
 
 
+def _minhash_incremental_xx(spark, sf_dir):
+    docs = _table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    corpus_sigs = (
+        _D.minhash_signatures(
+            docs.filter(F.col("source") != "src0"), "text", "doc_id", k=3
+        )
+        .filter(F.col("signature").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    return _D.minhash_lsh_probe(
+        docs.filter(F.col("source") == "src0"), corpus_sigs, "text", "doc_id",
+        k=3, bands=16, threshold=0.3,
+    )
+
+
 # Production-hash-family twins of the benched sketch rows. The REGISTRY
 # versions run hash_fn='md5' so DuckDB can mirror every intermediate (the
 # correctness choice); md5 costs 2-5x the xxhash64 default, which made the
@@ -43,6 +60,7 @@ def _minhash_lsh_pairs_xx(spark, sf_dir):
 EXTRA_BENCH = {
     "simhash_xx": _simhash_xx,
     "minhash_lsh_pairs_xx": _minhash_lsh_pairs_xx,
+    "minhash_incremental_xx": _minhash_incremental_xx,
 }
 
 HEADLINE = [
