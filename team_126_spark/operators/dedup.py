@@ -717,3 +717,38 @@ def contamination_spans(
         ev.join(train_wins, "w", "left_semi")
         .select(F.col(id_col), F.col("pos").cast("int").alias("pos"))
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content fingerprint:
+    (id, status ∈ added | removed | changed | unchanged) — the audit step
+    between two ingest runs (what changed since the last training mix?),
+    and the input to incremental re-processing (only 'added'/'changed'
+    docs re-enter the pipeline).
+
+    One FULL OUTER equi-join on the id; comparison is the md5 content
+    fingerprint (whitespace/case-insensitive, functions/text.fingerprint)
+    under NULL-SAFE equality, so two null-text versions compare unchanged
+    rather than changed. Presence is tracked with explicit flags — a null
+    fingerprint (null text) must not masquerade as an absent row.
+    """
+    of = old.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(F.col(text_col)).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    nf = new.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(F.col(text_col)).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = of.join(nf, "_id", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))

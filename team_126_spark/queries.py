@@ -3419,6 +3419,92 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "corpus_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             {X.fingerprint_sql(
+                 "CASE WHEN doc_id % 5 = 0 THEN concat_ws(' ', text, 'vnew') ELSE text END"
+             )} AS fp
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    """,
+    doc="corpus snapshot diff by content fingerprint: added/removed/changed/"
+    "unchanged per doc between two synthetic snapshot slices — the audit "
+    "step between ingest runs and the trigger list for incremental "
+    "re-processing; one FULL OUTER equi-join, NULL-SAFE fingerprint "
+    "comparison (operators/dedup.corpus_diff)",
+)
+def q_corpus_diff(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws(" ", F.col("text"), F.lit("vnew"))
+        ).otherwise(F.col("text")),
+    )
+    return D.corpus_diff(old, new, "text", "doc_id")
+
+
+@declared(
+    "cluster_size_hist",
+    oracle="""
+    WITH RECURSIVE pairs AS ({minhash_sql}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM e
+      UNION
+      SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cl
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    sizes AS (SELECT cl, count(*) AS sz FROM lab GROUP BY cl)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+    """.format(minhash_sql=_minhash_oracle_sql(bands=16, threshold=0.3)),
+    doc="dedup report: histogram of near-dup cluster sizes over the WHOLE "
+    "corpus (singletons = size 1 via the coalesce-to-own-id label) — the "
+    "one-page summary every dedup run prints (how much of the corpus is "
+    "duplicated, and how deep); composes minhash pairs + components + two "
+    "tiny aggregates",
+)
+def q_cluster_size_hist(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, bands=16, threshold=0.3, hash_fn="md5"
+    )
+    comps = D.dedup_components(pairs, check_every=2)
+    labeled = docs.select("doc_id").join(
+        comps, docs["doc_id"] == comps["id"], "left"
+    ).select(F.coalesce(comps["cluster_id"], docs["doc_id"]).alias("cl"))
+    return (
+        labeled.groupBy("cl")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+    )
+
+
+@declared(
     "contamination_spans",
     oracle=f"""
     WITH tok AS (
