@@ -330,3 +330,18 @@ def compact_parquet(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.parquet(src_path).repartition(n).write.mode("error").parquet(dst_path)
     return n
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC sink (columnar alternative where the downstream stack is
+    Hive/Presto-flavored): same partition-pruning layout semantics as
+    write_parquet; ORC ships in Spark core, no extra package."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

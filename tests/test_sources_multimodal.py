@@ -364,3 +364,19 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     # refuses to clobber an existing destination (mode='error')
     with pytest.raises(Exception):
         compact_parquet(spark, src, dst)
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    from team_126_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b"), (3, "z", "a")], ["id", "v", "part"]
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+    pruned = back.filter(F.col("part") == "a")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert pruned.count() == 2
