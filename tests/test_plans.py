@@ -212,3 +212,38 @@ def test_r4_queries_no_cartesian(spark, name):
 def test_pivot_partial_aggregation(spark):
     plan = plan_of(spark, "pivot_counts")
     assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_cartesian_allowlist_pinned(spark):
+    """Every CartesianProduct/BroadcastNestedLoopJoin in the registry is on
+    the documented allowlist (single-row probe broadcasts, scalar-count
+    assembly, salt replication, the declared O(n^2) oracle baseline). A new
+    query that silently degenerates to a cross join fails HERE, not in a
+    production run at 1000x the data."""
+    ALLOWED = {
+        # single-row probe / scalar broadcast joins (bounded by construction)
+        "vec_knn", "vec_knn_batch", "vec_threshold", "vec_euclidean_match",
+        "hybrid_fusion", "hybrid_fusion_fast", "doc_tfidf", "doc_rarity",
+        "dashboard_counts", "temperature_mix",
+        # deterministic salt replication of the SMALL side
+        "salted_join_fk",
+        # declared exact O(n^2) oracle baseline (guarded by max_rows for
+        # library callers)
+        "embedding_neardup",
+    }
+    import contextlib
+    import io as _io
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.fn(spark, SF).explain("formatted")
+        plan = buf.getvalue()
+        cart = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if cart and name not in ALLOWED:
+            offenders[name] = True
+        if not cart and name in ALLOWED:
+            # keep the allowlist honest: prune entries that stop needing it
+            offenders[name] = "no longer needs allowlisting"
+    assert not offenders, offenders
