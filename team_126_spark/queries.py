@@ -3711,6 +3711,44 @@ def q_cube_counts(spark, sf_dir):
 
 
 @declared(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           round(l_quantity, 2) AS value
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', round(l_extendedprice, 2)
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 2)
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    doc="UNPIVOT/melt — pivot's inverse: wide per-line metrics to long "
+    "(key, metric, value) rows, the shape feature stores and metric "
+    "pipelines ingest; Spark's native unpivot generates rows without a "
+    "shuffle or an explode-side blowup beyond x n_metrics",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("quantity"),
+            F.round("l_extendedprice", 2).alias("extendedprice"),
+            F.round("l_discount", 2).alias("discount"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+
+
+@declared(
     "corpus_stats",
     oracle=f"""
     SELECT source,
