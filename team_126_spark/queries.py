@@ -469,6 +469,50 @@ def q_join_anti(spark, sf_dir):
 
 
 @declared(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE o_orderkey % 7 END AS grp
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    b AS (
+      SELECT CASE WHEN r.i = 7 THEN NULL ELSE r.i END AS grp,
+             'g' || CAST(r.i AS VARCHAR) AS tag
+      FROM range(0, 8) r(i)
+    )
+    SELECT a.o_orderkey, a.grp, b.tag
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match the NULL dim row instead of dropping — the semantics fact-to-dim "
+    "joins with an 'unknown' bucket need; still plans as a hash join on the "
+    "null-safe key, never a nested loop",
+)
+def q_join_null_safe(spark, sf_dir):
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("o_orderkey") % 7)
+            .alias("grp"),
+        )
+    )
+    b = spark.range(8).select(
+        F.when(F.col("id") == 7, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id"))
+        .alias("bgrp"),
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("tag"),
+    )
+    return a.join(
+        F.broadcast(b), a["grp"].eqNullSafe(b["bgrp"])
+    ).select("o_orderkey", "grp", "tag")
+
+
+@declared(
     "join_full_outer",
     oracle="""
     WITH s AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier
