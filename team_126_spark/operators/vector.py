@@ -294,6 +294,11 @@ def ivf_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: corpus has no non-null vectors to sample "
+            "centroids from — an empty index is a config error, not a result"
+        )
     return [[float(x) for x in r["_v"]] for r in rows]
 
 

@@ -60,6 +60,29 @@ def load(spark, sf_dir, name):
 # Shared probe constants (FIXTURES.md §8 analog, inside the derived geo box).
 PROBE_LAT, PROBE_LON = 32.9, -117.15
 
+
+def _probe_row(spark, sf_dir, vec_id: int = 1):
+    """The fixture probe row for interactive-search queries. A missing or
+    null-embedding probe is a data/config error (truncated embeddings
+    table) — raise it as one instead of a NoneType subscript TypeError
+    (empty-input sweep, round 4)."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding", "label")
+        .first()
+    )
+    if row is None or row["embedding"] is None:
+        raise ValueError(
+            f"probe embedding vec_id={vec_id} missing from {sf_dir}/embeddings"
+            " — interactive-search queries probe a driver-generated fixture row"
+        )
+    return row
+
+
+def _probe_embedding(spark, sf_dir, vec_id: int = 1) -> list[float]:
+    return [float(x) for x in _probe_row(spark, sf_dir, vec_id)["embedding"]]
+
 # ===================================================================
 # §2.2 Projections / filters / predicates
 # ===================================================================
@@ -1005,7 +1028,7 @@ def q_vec_knn(spark, sf_dir):
 )
 def q_vec_knn_scoped(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 1).first()
+    row = _probe_row(spark, sf_dir)
     probe, scope = list(row["embedding"]), row["label"]
     pv = F.array(*[F.lit(float(x)) for x in probe])
     # round BEFORE the ordered limit (like q_vec_knn): ranking unrounded
@@ -2549,7 +2572,7 @@ def _lsh_ann_oracle_sql(
 )
 def q_ann_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    probe = _probe_embedding(spark, sf_dir)
     # Scalar columns only: the driver canonicalizer cannot sort raw array
     # columns (round-1 harness abort) — project like vec_knn does.
     # n_tables=8/n_probe_bits=6: the measured recall@10>=0.8 operating point
@@ -4062,7 +4085,7 @@ def q_minhash_incremental(spark, sf_dir):
 )
 def q_ann_quantized(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    probe = _probe_embedding(spark, sf_dir)
     return OV.quantized_knn(emb, "embedding", "vec_id", probe, k=10, dim=64)
 
 

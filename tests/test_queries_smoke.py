@@ -203,3 +203,41 @@ def test_temperature_mix_semantics_and_float_margins(spark):
             for m in set(round(v, 6) for v in mult.values()):
                 frac = m - math.floor(m)
                 assert abs(u - frac) > 1e-9, (sf, doc_id, m, "frac edge")
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path_factory):
+    """Empty-corpus totality sweep: every declared query over 0-row tables
+    either returns a well-formed (possibly non-empty: generated grids,
+    global aggregates, padded windows) result, or raises a deliberate
+    ValueError naming the missing fixture — never a NoneType subscript,
+    analyzer error, or executor crash. The failure mode this pins: a
+    production partition pruned to nothing, or a truncated fixture table."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.tables import table
+
+    dst = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        table(spark, SF_SMOKE, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+
+    # queries that NEED a fixture probe row raise a deliberate ValueError
+    EXPECT_RAISE = {
+        "ann_lsh", "ann_ivf", "ann_quantized", "vec_knn_scoped", "multimodal_knn",
+    }
+    bad = {}
+    for name, q in REGISTRY.items():
+        try:
+            q.fn(spark, dst).collect()
+            if name in EXPECT_RAISE:
+                bad[name] = "expected ValueError, got a result"
+        except ValueError:
+            if name not in EXPECT_RAISE:
+                bad[name] = "unexpected ValueError"
+        except Exception as e:  # noqa: BLE001
+            bad[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:80]}"
+    assert not bad, bad
