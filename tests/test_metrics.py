@@ -1,0 +1,49 @@
+"""Pipeline-metrics (observe API) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_126_spark.metrics import observe_counts, standard_corpus_metrics
+from team_126_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_observe_counts_no_extra_jobs(spark):
+    """Metrics ride the SAME job as the action: the observation's values
+    match a direct recomputation, and the instrumented action runs exactly
+    one job (tracked via the status API) — the zero-extra-scan property
+    that makes per-stage health counters affordable at 100 TB."""
+    docs = table(spark, SF, "documents")
+    out, obs = observe_counts(docs, "ingest", standard_corpus_metrics())
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    n = out.count()
+    got = obs.get
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 2  # the count's own job(s); no per-metric jobs
+    assert got["rows"] == n == 500
+    want_nulls = docs.filter(F.col("text").isNull()).count()
+    want_chars = docs.agg(
+        F.sum(F.coalesce(F.length("text"), F.lit(0)))
+    ).first()[0]
+    assert got["null_text"] == want_nulls
+    assert got["total_chars"] == want_chars
+
+
+def test_observe_composes_with_curation(spark):
+    from team_126_spark.operators.textops import curate_corpus
+
+    docs = table(spark, SF, "documents")
+    curated = curate_corpus(docs, "text", "doc_id")
+    # NB: DISTINCT aggregates are rejected in observed metrics
+    # (INVALID_OBSERVED_METRICS); the sketch version is the observable one
+    out, obs = observe_counts(
+        curated, "curated", {"rows": F.count(F.lit(1)),
+                             "splits": F.approx_count_distinct(F.col("split"))}
+    )
+    n = out.count()
+    got = obs.get
+    assert got["rows"] == n > 0
+    assert 1 <= got["splits"] <= 3
