@@ -47,3 +47,34 @@ def test_observe_composes_with_curation(spark):
     got = obs.get
     assert got["rows"] == n > 0
     assert 1 <= got["splits"] <= 3
+
+
+def test_observe_metrics_in_streaming_progress(spark, tmp_path):
+    """The same observe() instrumentation surfaces per-micro-batch through
+    StreamingQueryProgress.observedMetrics — pipeline health counters for
+    the streaming ingest path with no side actions."""
+    from team_126_spark import streaming as STR
+
+    docs = table(spark, SF, "events")
+    d = str(tmp_path / "stream_src")
+    docs.limit(100).coalesce(1).write.parquet(d)
+    src = STR.stream_events(spark, SF, d)
+    instrumented = src.observe(
+        "ingest_health",
+        F.count(F.lit(1)).alias("rows"),
+        F.count_if(F.col("value").isNull()).alias("null_values"),
+    )
+    q = (
+        instrumented.writeStream.format("memory")
+        .queryName("t_obs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["observedMetrics"]]
+    assert progresses, "no observedMetrics in any micro-batch progress"
+    got = sum(
+        p["observedMetrics"]["ingest_health"]["rows"] for p in progresses
+    )
+    assert got == 100
