@@ -650,3 +650,51 @@ def gopher_rules(
         & (F.col("top2_char_frac") <= max_top2_char_frac)
         & (F.col("top3_char_frac") <= max_top3_char_frac),
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) — the
+    vocabulary-diversity quality signal: keyword-stuffed/template pages
+    score near 0, diverse prose scores near ln(n_distinct). Complements
+    repetition_ratio (which only sees the TOP token) with the whole
+    distribution.
+
+    Pure per-row computation, no shuffle: H = ln(n) − (Σ c·ln c)/n where
+    the run lengths of the SORTED token array are the per-token counts c —
+    the same one-fold trick as repetition_ratio/_top_ngram_cover, O(n log
+    n) per row. Empty docs → 0.0. Rounded to 6; cross-engine libm-log ulp
+    margins are pinned by a boundary test (test_functions.py).
+    """
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # fold state: (prev token, current run, accumulated Σ c·ln c); closing a
+    # run adds run·ln(run) — the final run is closed in the finish lambda
+    clogc = F.aggregate(
+        F.array_sort(F.col("_toks")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("double").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(acc["prev"] == t, acc["run"] + 1).otherwise(F.lit(1.0)).alias("run"),
+            (
+                acc["acc"]
+                + F.when(
+                    (acc["prev"] != t) & (acc["run"] > 0),
+                    acc["run"] * F.log(acc["run"]),
+                ).otherwise(F.lit(0.0))
+            ).alias("acc"),
+        ),
+        lambda acc: acc["acc"]
+        + F.when(acc["run"] > 0, acc["run"] * F.log(acc["run"])).otherwise(F.lit(0.0)),
+    )
+    h = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.log(n.cast("double")) - clogc / n.cast("double")
+    )
+    return toks_df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(h, 6).alias("token_entropy"),
+    )

@@ -3486,6 +3486,34 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "doc_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(nt, ' ')) AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS nt FROM documents)
+      WHERE nt IS NOT NULL AND nt <> ''
+    ),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    agg AS (
+      SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clogc
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+           round(CASE WHEN a.n IS NULL THEN 0.0
+                 ELSE ln(a.n) - a.clogc / a.n END, 6) AS token_entropy
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="per-doc Shannon entropy of the token distribution (nats) — the "
+    "vocabulary-diversity quality screen (template/keyword-stuffed pages "
+    "→ near 0). Spark side is ONE sorted-array fold per row (run lengths "
+    "= counts, H = ln n − Σc·ln c / n), no shuffle; oracle recomputes "
+    "relationally; libm-log round-6 margins pinned by test",
+)
+def q_doc_entropy(spark, sf_dir):
+    return TO.token_entropy(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
     "corpus_diff",
     oracle=f"""
     WITH old AS (

@@ -473,3 +473,51 @@ def test_gopher_rules_values(spark):
     # pair this filter with a min-length gate (quality_expr) as Gopher does
     r6 = got[6]
     assert r6["top3_char_frac"] == pytest.approx(1.0) and not r6["keep"]
+
+
+def test_token_entropy_values_and_round_margins(spark):
+    """Hand-checked entropy values + the libm-margin guard: at the declared
+    scale factors no document's entropy sits within 1e-12 of a round-6
+    boundary, so Spark's Math.log vs DuckDB's libm log (each within 1 ulp)
+    can never round differently."""
+    import math
+    import re
+    from collections import Counter
+
+    from team_126_spark.operators.textops import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),              # one token -> H = 0
+            (2, "a b c d"),              # uniform over 4 -> ln 4
+            (3, "a a b"),                # 2/3,1/3 mix
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df, "text", "doc_id").collect()}
+    assert got[1]["token_entropy"] == 0.0
+    assert got[2]["token_entropy"] == pytest.approx(round(math.log(4), 6))
+    h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert got[3]["token_entropy"] == pytest.approx(round(h3, 6))
+    assert got[4]["token_entropy"] == 0.0 and got[4]["n_tokens"] == 0
+    assert got[5]["token_entropy"] == 0.0
+
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf}/documents.parquet') WHERE text IS NOT NULL"
+        ).fetchall()
+        for (text,) in texts:
+            toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+            toks = [t for t in toks if t]
+            if not toks:
+                continue
+            n = len(toks)
+            h = math.log(n) - sum(
+                c * math.log(c) for c in Counter(toks).values()
+            ) / n
+            d = abs(h * 1e6 - math.floor(h * 1e6) - 0.5)
+            assert d > 1e-6, (sf, h, "round-6 boundary")
