@@ -698,3 +698,57 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n.cast("bigint").alias("n_tokens"),
         F.round(h, 6).alias("token_entropy"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str, id_col: str, k_smooth: float = 0.5
+) -> DataFrame:
+    """Bigram-LM surprisal: −mean ln P(tokᵢ | tokᵢ₋₁) under an add-k
+    smoothed bigram model fit on the corpus ITSELF — the step up from
+    doc_rarity's unigram view: it scores word-ORDER plausibility, so
+    shuffled/garbled text scores high even when every word is common (the
+    cheap stand-in for KenLM perplexity filtering in curation stacks).
+
+    P = (c(prev,tok) + k) / (c(prev,·) + k·V), V = corpus vocabulary size.
+    Plan: one exploded bigram scan → two count tables (bigram, prefix) —
+    both partial-aggregated on uniform keys — joined back onto the doc's
+    bigram occurrences, vocab as a broadcast scalar (the doc_rarity
+    pattern, no driver collect), one avg per doc. Docs with < 2 tokens
+    score 0.0.
+    """
+    from ..tables import spread
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs = F.when(n < 2, F.array().cast("array<struct<prev:string,tok:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("tok")
+            ),
+        )
+    )
+    big = spread(df, id_col).select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("bg")
+    ).select("doc", "bg.prev", "bg.tok")
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("c2"))
+    c1 = big.groupBy("prev").agg(F.count("*").cast("double").alias("c1"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).agg(F.count_distinct("token").cast("double").alias("v"))
+    p = (F.col("c2") + k_smooth) / (F.col("c1") + k_smooth * F.col("v"))
+    per_doc = (
+        big.join(c2, ["prev", "tok"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(F.round(F.avg(-F.log(p)), 6).alias("surprisal"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("surprisal"), F.lit(0.0)).alias("surprisal"),
+        )
+    )

@@ -3486,6 +3486,49 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "doc_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS nt FROM documents)
+    ),
+    big AS (
+      SELECT doc_id, s.prev, s.tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {{'prev': t[i], 'tok': t[i + 1]}})) AS s
+        FROM tok WHERE len(t) >= 2
+      )
+    ),
+    c2 AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS c2
+           FROM big GROUP BY prev, tok),
+    c1 AS (SELECT prev, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY prev),
+    v AS (
+      SELECT CAST(count(DISTINCT u.tk) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS tk FROM tok) u
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             round(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS surprisal
+      FROM big b JOIN c2 USING (prev, tok) JOIN c1 USING (prev), v
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.surprisal, 0.0) AS surprisal
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="bigram-LM surprisal: −mean ln P(tok|prev) under an add-0.5-smoothed "
+    "bigram model fit on the corpus itself — the word-ORDER plausibility "
+    "screen (KenLM-perplexity stand-in) a step above doc_rarity's unigram "
+    "view; two partial-aggregated count tables + broadcast vocab scalar, "
+    "no driver collect (operators/textops.bigram_surprisal)",
+)
+def q_doc_surprisal(spark, sf_dir):
+    return TO.bigram_surprisal(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@declared(
     "doc_entropy",
     oracle=f"""
     WITH tok AS (

@@ -521,3 +521,24 @@ def test_token_entropy_values_and_round_margins(spark):
             ) / n
             d = abs(h * 1e6 - math.floor(h * 1e6) - 0.5)
             assert d > 1e-6, (sf, h, "round-6 boundary")
+
+
+def test_bigram_surprisal_orders_garbled_above_natural(spark):
+    """The property the signal exists for: a doc whose bigrams are common in
+    the corpus scores LOWER than one with the same tokens in a never-seen
+    order; short docs score 0."""
+    from team_126_spark.operators.textops import bigram_surprisal
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "dog the over quick lazy brown jumps fox the"),  # same bag, garbled
+        (5, "xx"),                                           # 1 token -> 0
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["surprisal"] for r in bigram_surprisal(df, "text", "doc_id").collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] > got[1]
+    assert got[5] == 0.0 and got[6] == 0.0
