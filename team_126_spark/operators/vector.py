@@ -440,3 +440,87 @@ def quantized_knn(
         .limit(k)
         .select(id_col, "q_sim")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column — the clustering companion to
+    IVF (whose centroids are a cheap md5 sample; run this when cluster
+    QUALITY matters: corpus topic bucketing, balanced ANN cells, diversity-
+    aware sampling). Deterministic end to end: init = the md5-sample
+    centroids (ivf_centroids), ties in assignment break toward the lowest
+    cell index, and centroid updates are rounded to 6 decimals each round
+    (quantized state also keeps any cross-engine reproduction exact).
+
+    Spark shape per iteration — the iterative-algorithm pattern shared
+    with dedup.dedup_components: assignment is a pure codegen expression
+    over CENTROID LITERALS (no join, no shuffle); the update is one
+    posexplode + partial-aggregated avg per (cell, dim) — k·dim tiny rows —
+    collected to the driver (bounded, like the IVF centroid sample) to
+    become the next round's literals. Per round: ONE job, no growing
+    lineage (each round's plan starts from the raw scan + fresh literals).
+    Empty cells keep their previous centroid (the standard Lloyd fix).
+    Pass `stats={}` to read back per-round inertia (monotonically
+    non-increasing — property-tested).
+    """
+    cents = ivf_centroids(df, vec_col, id_col, k)
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_lloyd: corpus has only {len(cents)} non-null vectors < k={k}"
+        )
+    vec = F.col(vec_col)
+    base = df.filter(vec.isNotNull())
+    inertia_hist: list[float] = []
+
+    def assigned(centroids):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    vec, F.array(*[F.lit(c) for c in cent]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            for cent in centroids
+        ]
+        best = F.array_position(
+            F.array(*dists), F.array_min(F.array(*dists))
+        ).cast("int") - 1
+        return base.select(
+            F.col(id_col), vec.alias("_v"), best.alias("cell"),
+            F.array_min(F.array(*dists)).alias("_d2"),
+        )
+
+    for _ in range(int(iters)):
+        assign = assigned(cents)
+        upd = (
+            assign.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        inertia = assign.agg(F.sum("_d2")).first()[0]
+        inertia_hist.append(round(float(inertia), 6))
+        nxt = [list(c) for c in cents]  # empty cells keep previous centroid
+        acc: dict[int, dict[int, float]] = {}
+        for r in upd:
+            acc.setdefault(r["cell"], {})[r["pos"]] = round(float(r["m"]), 6)
+        for cell, posmap in acc.items():
+            for pos, m in posmap.items():
+                nxt[cell][pos] = m
+        cents = nxt
+    if stats is not None:
+        stats["inertia"] = inertia_hist
+        stats["centroids"] = cents
+    # final pass: the returned assignment is consistent with the RETURNED
+    # centroids (a loop-internal assignment would predate the last update —
+    # the classic Lloyd off-by-one)
+    return assigned(cents).select(id_col, "cell")

@@ -343,3 +343,44 @@ def test_quantized_knn_recall_vs_exact(spark):
     for r in quant:
         if r["vec_id"] in e_sim:
             assert abs(r["q_sim"] - e_sim[r["vec_id"]]) < 0.02, r
+
+
+def test_kmeans_lloyd_properties(spark):
+    """Lloyd iterations: inertia monotonically non-increasing; final
+    assignment is the true argmin against the final centroids; fully
+    deterministic across reruns and layouts; undersized corpora rejected."""
+    from team_126_spark.operators.vector import kmeans_lloyd
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    stats = {}
+    got = {r["vec_id"]: r["cell"] for r in kmeans_lloyd(
+        emb, "embedding", "vec_id", k=8, iters=4, stats=stats
+    ).collect()}
+    inertia = stats["inertia"]
+    assert len(inertia) == 4
+    assert all(b <= a + 1e-6 for a, b in zip(inertia, inertia[1:])), inertia
+    assert inertia[-1] < inertia[0]  # it actually improved
+
+    # determinism under repartitioning
+    again = {r["vec_id"]: r["cell"] for r in kmeans_lloyd(
+        emb.repartition(13), "embedding", "vec_id", k=8, iters=4
+    ).collect()}
+    assert again == got
+
+    # every vector sits in its nearest final centroid's cell
+    import numpy as np
+
+    cents = np.array(stats["centroids"])
+    rows = emb.filter("embedding IS NOT NULL").collect()
+    for r in rows[:200]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        d = ((cents - v) ** 2).sum(axis=1)
+        assert int(d.argmin()) == got[r["vec_id"]], r["vec_id"]
+    emb.unpersist()
+
+    import pytest as _pytest
+
+    tiny = emb.limit(3)
+    with _pytest.raises(ValueError, match="< k"):
+        kmeans_lloyd(tiny, "embedding", "vec_id", k=8, iters=1)
