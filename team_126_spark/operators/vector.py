@@ -524,3 +524,37 @@ def kmeans_lloyd(
     # centroids (a loop-internal assignment would predate the last update —
     # the classic Lloyd off-by-one)
     return assigned(cents).select(id_col, "cell")
+
+
+def diversity_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    per_cell: int,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Diversity-aware subset selection: cluster the embedding space with
+    kmeans_lloyd, then keep `per_cell` rows per cluster in stable
+    md5-priority order — the embedding-space analog of cap_per_source
+    (quota by TOPIC rather than provenance), used to keep a downsampled
+    corpus from collapsing onto its dominant mode.
+
+    One extra window shuffle on the (low-cardinality) cell key after the
+    k-means passes; selection order is a pure hash of the id, so the kept
+    set is stable under reruns, appends, and physical layout (the
+    stratified_sample rationale)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_low32
+
+    cells = kmeans_lloyd(df, vec_col, id_col, k=k, iters=iters)
+    w = Window.partitionBy("cell").orderBy(
+        md5_low32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(cells, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(per_cell))
+        .drop("_rn")
+    )

@@ -384,3 +384,25 @@ def test_kmeans_lloyd_properties(spark):
     tiny = emb.limit(3)
     with _pytest.raises(ValueError, match="< k"):
         kmeans_lloyd(tiny, "embedding", "vec_id", k=8, iters=1)
+
+
+def test_diversity_sample_quota_and_stability(spark):
+    from team_126_spark.operators.vector import diversity_sample, kmeans_lloyd
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    got = diversity_sample(emb, "embedding", "vec_id", per_cell=5, k=8, iters=2)
+    rows = got.collect()
+    from collections import Counter
+
+    per = Counter(r["cell"] for r in rows)
+    assert all(v <= 5 for v in per.values())
+    assert len(per) >= 4  # spans several clusters, not one mode
+    # stable under repartitioning
+    again = diversity_sample(
+        emb.repartition(9), "embedding", "vec_id", per_cell=5, k=8, iters=2
+    )
+    assert sorted(r["vec_id"] for r in again.collect()) == sorted(
+        r["vec_id"] for r in rows
+    )
+    emb.unpersist()
