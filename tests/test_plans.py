@@ -224,7 +224,7 @@ def test_cartesian_allowlist_pinned(spark):
         # single-row probe / scalar broadcast joins (bounded by construction)
         "vec_knn", "vec_knn_batch", "vec_threshold", "vec_euclidean_match",
         "hybrid_fusion", "hybrid_fusion_fast", "doc_tfidf", "doc_rarity",
-        "dashboard_counts", "temperature_mix",
+        "doc_surprisal", "dashboard_counts", "temperature_mix",
         # deterministic salt replication of the SMALL side
         "salted_join_fk",
         # declared exact O(n^2) oracle baseline (guarded by max_rows for
