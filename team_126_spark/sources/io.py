@@ -345,3 +345,13 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None,
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """CSV sink (the report-export format; quoted/escaped per RFC defaults).
+    Not a scale format — no column pruning, no predicate pushdown, strings
+    all the way down — so it's for EXPORTS, not for the next stage's input:
+    feed pipelines parquet/ORC."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -380,3 +380,16 @@ def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(part" in plan
     assert pruned.count() == 2
+
+
+def test_write_csv_roundtrips_through_bom_reader(spark, tmp_path):
+    from team_126_spark.sources.io import write_csv
+
+    df = spark.createDataFrame(
+        [(1, 'say "hi", ok'), (2, None)], ["id", "note"]
+    )
+    path = str(tmp_path / "csvout")
+    write_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    rows = {int(r["id"]): r["note"] for r in back.collect()}
+    assert rows == {1: 'say "hi", ok', 2: None}  # quoting/escaping survives
