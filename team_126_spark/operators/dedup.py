@@ -752,3 +752,73 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance ≤ `max_hamming`
+    — the JOIN step the simhash fingerprint exists for, made scale-safe by
+    pigeonhole banding: split the 64-bit fingerprint into max_hamming+1
+    blocks; any pair within distance d must agree EXACTLY on at least one
+    block (d flipped bits can dirty at most d blocks), so candidates come
+    from a self-equi-join on (block_idx, block_value) — shuffle ∝ corpus ×
+    (d+1) slim rows, never all-pairs — and the exact bit_count(xor) refine
+    keeps true pairs only. Same pigeonhole trade as MinHash banding, but
+    for the Hamming metric (token-frequency-weighted bit agreement) rather
+    than set Jaccard.
+
+    Output: (id_a, id_b, hamming), id_a < id_b. md5 family → full DuckDB
+    twin (declared query `simhash_pairs`).
+    """
+    n_blocks = int(max_hamming) + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    sh = simhash64(df, text_col, id_col, hash_fn)  # (doc, simhash)
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bidx"),
+                    F.shiftright(F.col("simhash"), offs[i])
+                    # -1 == all-ones mask for the d=0 single 64-bit block
+                    # ((1<<64)-1 would overflow the int64 literal)
+                    .bitwiseAND(
+                        F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1)
+                    )
+                    .alias("bval"),
+                )
+                for i in range(n_blocks)
+            ]
+        )
+    ).alias("b")
+    banded = sh.select("doc", blocks).select("doc", "b.bidx", "b.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bidx") == F.col("b.bidx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("doc").alias("id_a"), F.col("simhash").alias("_ha"))
+    sb = sh.select(F.col("doc").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -3486,6 +3486,44 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 @declared(
+    "simhash_pairs",
+    # pigeonhole banding over the 60-effective-bit md5-family simhash:
+    # 4 blocks of 16 bits (offsets 0/16/32/48); DuckDB recomputes the
+    # fingerprints via the proven simhash CTE, the block join, and the
+    # exact bit_count(xor) refine
+    oracle="""
+    WITH sh AS ({simhash_sql}),
+    blk AS (
+      SELECT doc, b.i AS bidx,
+             (simhash >> (b.i * 16)) & 65535 AS bval
+      FROM sh, range(0, 4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM blk a JOIN blk b
+        ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc < b.doc
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sh sa ON sa.doc = id_a
+    JOIN sh sb ON sb.doc = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """.format(simhash_sql=_simhash_oracle_sql()),
+    doc="SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding: any "
+    "pair within distance d agrees exactly on one of d+1 fingerprint "
+    "blocks, so candidates are an equi-join on (block, value) — the "
+    "Hamming-metric sibling of MinHash banding; exact bit_count(xor) "
+    "refine (operators/dedup.simhash_pairs, md5 family)",
+)
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, hash_fn="md5",
+    )
+
+
+@declared(
     "doc_surprisal",
     oracle=f"""
     WITH tok AS (

@@ -406,3 +406,30 @@ def test_bloom_probe_rejects_mismatched_geometry(spark):
         bloom_probe(train, bloom, "key", m_bits=1 << 20)
     with _pytest.raises(ValueError, match="k="):
         bloom_probe(train, bloom, "key", k=6)
+
+
+def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
+    """Pigeonhole banding is EXACT for the Hamming metric (unlike MinHash's
+    probabilistic bands): the banded join recovers every pair within
+    max_hamming — verified against brute-force over all fingerprints —
+    and no pair beyond the threshold leaks through the refine."""
+    sh = {r["doc"]: r["simhash"] for r in D.simhash64(docs_df, "text", "doc_id").collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    for d in (0, 3, 8):
+        want = {
+            (a, b): hamming(sh[a], sh[b])
+            for a in sh for b in sh if a < b and hamming(sh[a], sh[b]) <= d
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_pairs(docs_df, "text", "doc_id", max_hamming=d).collect()
+        }
+        assert got == want, d
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_pairs(docs_df, "text", "doc_id", max_hamming=64)
