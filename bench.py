@@ -105,6 +105,8 @@ HEADLINE = [
     "minhash_incremental",
     "temperature_mix",
     "contamination_spans",
+    "simhash_pairs",
+    "doc_surprisal",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",
