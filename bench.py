@@ -107,6 +107,8 @@ HEADLINE = [
     "contamination_spans",
     "simhash_pairs",
     "doc_surprisal",
+    "segment_dedup",
+    "cdc_apply",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

@@ -480,3 +480,46 @@ def interval_join(
         *pad, *[F.col(c) for c in iv.columns]
     )
     return joined.unionByName(unmatched).drop("_iid")
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot (MERGE INTO semantics as a pure
+    batch op): `changes` carries the snapshot's columns plus `seq_col`
+    (per-key monotone version; (keys, seq) must be unique) and `op_col`
+    ('I' insert, 'U' upsert, 'D' delete). For each key only the
+    highest-seq change counts; a key's base row is replaced by that
+    change's payload, or removed when it is a delete; untouched base rows
+    pass through. I and U are deliberately synonymous on apply (both mean
+    "the row now looks like this") — the distinction matters to changelog
+    *producers*, not to snapshot rebuild.
+
+    This is the incremental-ingest half of corpus_diff: diff tells you
+    what changed between snapshots, cdc_apply folds a change stream into
+    the next snapshot without reprocessing the 100 TB that didn't move.
+
+    Scale shape: one window shuffle on the key over the (small) changelog,
+    one left_anti and one union against base — base shuffles once on the
+    key; with AQE the changelog side of the anti join broadcasts when it
+    is small, so the dominant cost is a single pass over base. Output
+    column order = base's.
+    """
+    missing = [c for c in [*keys, seq_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"cdc_apply: changes is missing columns {missing}")
+    payload = [c for c in base.columns]
+    extra = [c for c in payload if c not in changes.columns]
+    if extra:
+        raise ValueError(f"cdc_apply: changes lacks snapshot columns {extra}")
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    survivors = base.join(latest.select(*keys), list(keys), "left_anti")
+    upserts = latest.filter(F.col(op_col) != F.lit("D")).select(*payload)
+    return survivors.unionByName(upserts)

@@ -752,3 +752,76 @@ def bigram_surprisal(
             F.coalesce(F.col("surprisal"), F.lit(0.0)).alias("surprisal"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 16,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Segment-level exact dedup (C4 / Lee et al. 2022 line dedup,
+    generalized to fixed-size token segments because the corpus has no
+    newlines): split every doc into consecutive non-overlapping
+    `seg_tokens`-token segments, and for any segment text occurring at
+    more than `max_freq` (doc, position) sites corpus-wide, keep ONLY its
+    globally-first occurrence (lexicographic min over (doc_id, start)) and
+    drop every other copy; rebuild each doc's text from the surviving
+    segments in order.
+
+    This is the sub-document counterpart of exact_dedup (whole-doc) and
+    contamination_spans (train-vs-eval): boilerplate headers, navigation
+    chrome, and license blocks vanish from every doc but one while the
+    unique prose around them survives.
+
+    Scale shape: one explode (rows ∝ tokens/seg_tokens), one groupBy on
+    the segment text (equi-shuffle, map-side combined), one equi-join back,
+    one groupBy on the doc key — never doc × doc. At 100 TB you would
+    group on xxhash64(seg) and carry the text only on the probe side to
+    slim the shuffle; the text-keyed form here is the exact-oracle family
+    (same trade as md5-vs-xxhash64 in the sketch ops).
+
+    Zero-token docs emit no row (the oracles' `WHERE norm <> ''` shape);
+    docs whose every segment was dropped come back with text = '' so the
+    removal is visible, not silent. Output: (id, text, n_kept, n_removed).
+    """
+    if seg_tokens <= 0:
+        raise ValueError(f"seg_tokens must be positive, got {seg_tokens}")
+    if max_freq < 1:
+        raise ValueError(f"max_freq must be >= 1, got {max_freq}")
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    segs = toks_df.filter(n > 0).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(seg_tokens))).alias("_start"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("_start"),
+        F.array_join(F.slice(F.col("_toks"), F.col("_start") + 1, seg_tokens), " ").alias("_seg"),
+    )
+    freq = segs.groupBy("_seg").agg(
+        F.count("*").alias("_freq"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_start").alias("s"))).alias("_first"),
+    )
+    joined = segs.join(freq, "_seg")
+    kept = (F.col("_freq") <= max_freq) | (
+        (F.col(id_col) == F.col("_first.d")) & (F.col("_start") == F.col("_first.s"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct(F.col("_start"), F.col("_seg"))))
+                    ),
+                    lambda x: x["_seg"],
+                ),
+                " ",
+            ).alias("text"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_removed"),
+        )
+    )

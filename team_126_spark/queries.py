@@ -4282,6 +4282,104 @@ def q_corpus_resample(spark, sf_dir):
     )
 
 
+@declared(
+    "segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(norm, ' ') AS toks
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ), segs AS (
+      SELECT doc_id, start,
+             array_to_string(list_slice(toks, start + 1, start + 4), ' ') AS seg
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS start FROM toks)
+    ), freq AS (
+      SELECT seg, count(*) AS freq, min(doc_id) AS fdoc FROM segs GROUP BY seg
+    ), fpos AS (
+      SELECT s.seg, min(s.start) AS fstart
+      FROM segs s JOIN freq f ON s.seg = f.seg AND s.doc_id = f.fdoc
+      GROUP BY s.seg
+    ), j AS (
+      SELECT s.doc_id, s.start, s.seg,
+             (f.freq <= 1 OR (s.doc_id = f.fdoc AND s.start = p.fstart)) AS keep
+      FROM segs s JOIN freq f ON s.seg = f.seg JOIN fpos p ON s.seg = p.seg
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list(seg ORDER BY start) FILTER (WHERE keep), ' '), '')
+             AS text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+    FROM j GROUP BY doc_id
+    """,
+    doc="L60 C4-style segment-level exact dedup: any 4-token segment occurring "
+    "at >1 (doc,pos) sites keeps only its globally-first occurrence; docs "
+    "rebuilt from surviving segments in order (one explode + two equi-shuffles, "
+    "never doc x doc; operators/textops.segment_dedup)",
+)
+def q_segment_dedup(spark, sf_dir):
+    return TO.segment_dedup(
+        load(spark, sf_dir, "documents"), "text", "doc_id", seg_tokens=4, max_freq=1
+    )
+
+
+@declared(
+    "cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+    ), changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice, 2, 'U'
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D'
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice / 2 AS o_totalprice, 4, 'U'
+      FROM orders WHERE o_orderkey % 9 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op <> 'D'
+    """,
+    doc="L61 CDC changelog apply (MERGE INTO as a batch op): latest-seq change "
+    "per key wins, D removes, I/U upsert, untouched base rows pass through — "
+    "one window over the changelog + one anti-join pass over base "
+    "(operators/relational.cdc_apply); the arithmetic (+1000.0, /2) is "
+    "IEEE-exact cross-engine, no round needed",
+)
+def q_cdc_apply(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    base = o.filter(k % 5 != 0)
+
+    def chg(pred, price, seq, op):
+        return o.filter(pred).select(
+            "o_orderkey",
+            "o_orderstatus",
+            price.alias("o_totalprice"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    tp = F.col("o_totalprice")
+    changes = (
+        chg(k % 5 == 0, tp, 1, "I")
+        .unionByName(chg(k % 3 == 0, tp + 1000.0, 2, "U"))
+        .unionByName(chg(k % 7 == 0, tp, 3, "D"))
+        .unionByName(chg(k % 9 == 0, tp / 2, 4, "U"))
+    )
+    return R.cdc_apply(base, changes, ["o_orderkey"], "seq", "op")
+
+
 # ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================

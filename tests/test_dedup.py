@@ -433,3 +433,62 @@ def test_simhash_pairs_pigeonhole_complete(spark, docs_df):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         D.simhash_pairs(docs_df, "text", "doc_id", max_hamming=64)
+
+
+def test_segment_dedup_keeps_first_occurrence_and_rebuilds(spark):
+    from team_126_spark.operators.textops import segment_dedup
+
+    rows = [
+        (1, "a b c d x y z w"),            # segs: "a b c d", "x y z w"
+        (2, "a b c d p q r s"),            # "a b c d" dup of doc1 seg0
+        (3, "p q r s a b c d"),            # both segs are dups
+        (4, "u v"),                        # short doc, unique partial seg
+        (5, ""),                           # zero tokens -> no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, "text", "doc_id", seg_tokens=4).collect()
+    }
+    # doc1 holds the first occurrence of "a b c d" -> untouched
+    assert out[1]["text"] == "a b c d x y z w"
+    assert out[1]["n_removed"] == 0
+    # doc2 loses the duplicated head segment, keeps its unique tail
+    assert out[2]["text"] == "p q r s"
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (1, 1)
+    # doc3: "p q r s" first occurred at doc2 pos 4; "a b c d" at doc1 -> all gone
+    assert out[3]["text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_removed"]) == (0, 2)
+    assert out[4]["text"] == "u v"
+    assert 5 not in out
+
+
+def test_segment_dedup_max_freq_tolerates_copies(spark):
+    from team_126_spark.operators.textops import segment_dedup
+
+    rows = [(i, "same four token run") for i in range(1, 4)]  # 3 copies, 4-token seg + "run"
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in segment_dedup(df, "text", "doc_id", seg_tokens=4, max_freq=3).collect()
+    }
+    assert all(t == "same four token run" for t in out.values())
+    strict = {
+        r["doc_id"]: r["text"]
+        for r in segment_dedup(df, "text", "doc_id", seg_tokens=4, max_freq=1).collect()
+    }
+    # doc1 keeps everything; docs 2-3 lose BOTH segments ("same four token" and "run")
+    assert strict[1] == "same four token run"
+    assert strict[2] == "" and strict[3] == ""
+
+
+def test_segment_dedup_validates_params(spark):
+    import pytest
+
+    from team_126_spark.operators.textops import segment_dedup
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        segment_dedup(df, "text", "doc_id", seg_tokens=0)
+    with pytest.raises(ValueError):
+        segment_dedup(df, "text", "doc_id", max_freq=0)

@@ -560,3 +560,40 @@ def test_interval_join_outer_rejects_shared_column_names(spark):
         interval_join(pts, ivs, "ts", "s", "e", how="right")
     # inner/left keep their existing (lenient) behavior
     assert interval_join(pts, ivs, "ts", "s", "e", how="inner").count() == 1
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from team_126_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b", 21.0, 1, "U"),   # update 2
+            (2, "b", 22.0, 2, "U"),   # later update wins
+            (3, "c", 30.0, 1, "D"),   # delete 3
+            (4, "d", 40.0, 1, "I"),   # insert new key
+            (5, "e", 50.0, 1, "I"),   # insert then delete -> absent
+            (5, "e", 50.0, 2, "D"),
+            (6, "f", 60.0, 1, "D"),   # delete then re-insert -> present
+            (6, "f", 61.0, 2, "I"),
+        ],
+        ["k", "s", "v", "seq", "op"],
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in cdc_apply(base, changes, ["k"], "seq", "op").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b", 22.0), 4: ("d", 40.0), 6: ("f", 61.0)}
+
+
+def test_cdc_apply_validates_columns(spark):
+    import pytest
+
+    from team_126_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], ["k", "s"])
+    missing_meta = spark.createDataFrame([(1, "a")], ["k", "s"])
+    with pytest.raises(ValueError):
+        cdc_apply(base, missing_meta, ["k"], "seq", "op")
+    missing_payload = spark.createDataFrame([(1, 1, "I")], ["k", "seq", "op"])
+    with pytest.raises(ValueError):
+        cdc_apply(base, missing_payload, ["k"], "seq", "op")
