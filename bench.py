@@ -108,6 +108,7 @@ HEADLINE = [
     "simhash_pairs",
     "doc_surprisal",
     "segment_dedup",
+    "boilerplate_report",
     "cdc_apply",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)

@@ -754,6 +754,58 @@ def bigram_surprisal(
     )
 
 
+def doc_segments(
+    df: DataFrame, text_col: str, id_col: str, seg_tokens: int = 16
+) -> DataFrame:
+    """Consecutive non-overlapping `seg_tokens`-token segments per doc
+    (the final one may be short): (id, start, segment). The shared
+    segmentation under segment_dedup and boilerplate_report — one
+    tokenization + one explode, rows ∝ tokens/seg_tokens, no shuffle.
+    Zero-token docs emit no rows (the oracles' WHERE norm <> '' shape)."""
+    if seg_tokens <= 0:
+        raise ValueError(f"seg_tokens must be positive, got {seg_tokens}")
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    return (
+        toks_df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n - 1, F.lit(seg_tokens))).alias("start"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.array_join(F.slice(F.col("_toks"), F.col("start") + 1, seg_tokens), " ").alias(
+                "segment"
+            ),
+        )
+    )
+
+
+def boilerplate_report(
+    df: DataFrame, text_col: str, id_col: str, seg_tokens: int = 16, top: int = 20
+) -> DataFrame:
+    """The diagnostic companion to segment_dedup: the `top` most repeated
+    k-token segments corpus-wide with total site count and distinct-doc
+    spread — what segment_dedup WOULD remove, surfaced for human review
+    (navigation chrome, license blocks, templated headers). Deterministic
+    order: (sites desc, docs desc, segment) — ties can't reshuffle the
+    page between runs. One groupBy with map-side partials + a
+    TakeOrderedAndProject top-k; never materializes the full ranking."""
+    segs = doc_segments(df, text_col, id_col, seg_tokens)
+    return (
+        segs.groupBy("segment")
+        .agg(
+            F.count("*").alias("sites"),
+            F.count_distinct(id_col).alias("docs"),
+        )
+        .filter(F.col("sites") > 1)
+        .orderBy(F.col("sites").desc(), F.col("docs").desc(), F.col("segment"))
+        .limit(top)
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str,
@@ -786,20 +838,10 @@ def segment_dedup(
     docs whose every segment was dropped come back with text = '' so the
     removal is visible, not silent. Output: (id, text, n_kept, n_removed).
     """
-    if seg_tokens <= 0:
-        raise ValueError(f"seg_tokens must be positive, got {seg_tokens}")
     if max_freq < 1:
         raise ValueError(f"max_freq must be >= 1, got {max_freq}")
-    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    n = F.size(F.col("_toks"))
-    segs = toks_df.filter(n > 0).select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), n - 1, F.lit(seg_tokens))).alias("_start"),
-        F.col("_toks"),
-    ).select(
-        F.col(id_col),
-        F.col("_start"),
-        F.array_join(F.slice(F.col("_toks"), F.col("_start") + 1, seg_tokens), " ").alias("_seg"),
+    segs = doc_segments(df, text_col, id_col, seg_tokens).withColumnsRenamed(
+        {"start": "_start", "segment": "_seg"}
     )
     freq = segs.groupBy("_seg").agg(
         F.count("*").alias("_freq"),

@@ -4323,6 +4323,34 @@ def q_segment_dedup(spark, sf_dir):
 
 
 @declared(
+    "boilerplate_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(norm, ' ') AS toks
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ), segs AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, start + 1, start + 4), ' ') AS segment
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS start FROM toks)
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS sites,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+    FROM segs GROUP BY segment HAVING count(*) > 1
+    ORDER BY sites DESC, docs DESC, segment LIMIT 20
+    """,
+    doc="L62 boilerplate diagnostic: top-20 most repeated 4-token segments "
+    "(total sites + distinct-doc spread) — what segment_dedup would remove, "
+    "for human review; deterministic (sites,docs,segment) tiebreak, "
+    "TakeOrderedAndProject top-k (operators/textops.boilerplate_report)",
+)
+def q_boilerplate_report(spark, sf_dir):
+    return TO.boilerplate_report(
+        load(spark, sf_dir, "documents"), "text", "doc_id", seg_tokens=4, top=20
+    )
+
+
+@declared(
     "cdc_apply",
     oracle="""
     WITH base AS (

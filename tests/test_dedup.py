@@ -492,3 +492,43 @@ def test_segment_dedup_validates_params(spark):
         segment_dedup(df, "text", "doc_id", seg_tokens=0)
     with pytest.raises(ValueError):
         segment_dedup(df, "text", "doc_id", max_freq=0)
+
+
+def test_boilerplate_report_ranks_repeated_segments(spark):
+    from team_126_spark.operators.textops import boilerplate_report
+
+    rows = [
+        (1, "x y z w a b c d"),
+        (2, "x y z w p q r s"),
+        (3, "x y z w a b c d"),
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_report(df, "text", "doc_id", seg_tokens=4, top=10).collect()
+    assert [(r["segment"], r["sites"], r["docs"]) for r in out] == [
+        ("x y z w", 3, 3),
+        ("a b c d", 2, 2),
+    ]
+
+
+def test_segment_dedup_identity_on_unique_corpus(spark):
+    """When no segment repeats, segment_dedup must be a lossless
+    round-trip: output text == whitespace-normalized input, zero removals
+    — including the short final segment."""
+    from team_126_spark.functions.text import normalize_ws
+    from team_126_spark.operators.textops import segment_dedup
+
+    rows = [
+        (1, "  alpha   beta gamma\tdelta epsilon  "),
+        (2, "one two three four five six seven"),
+        (3, "lone"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expect = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_ws(F.col("text")).alias("n")).collect()
+    }
+    for seg in (2, 3, 16):
+        out = segment_dedup(df, "text", "doc_id", seg_tokens=seg).collect()
+        assert {r["doc_id"]: r["text"] for r in out} == expect
+        assert all(r["n_removed"] == 0 for r in out)
