@@ -393,3 +393,33 @@ def test_write_csv_roundtrips_through_bom_reader(spark, tmp_path):
     back = spark.read.option("header", "true").csv(path)
     rows = {int(r["id"]): r["note"] for r in back.collect()}
     assert rows == {1: 'say "hi", ok', 2: None}  # quoting/escaping survives
+
+
+def test_synthdocs_datasource_deterministic_and_partitioned(spark):
+    """Python DataSource generator: reproducible rows, honored partition
+    count, planted exact duplicates, and composes with the dedup operators."""
+    from team_126_spark.sources.synth import register
+
+    register(spark)
+    opts = dict(rows="200", partitions="7", seed="42")
+    a = spark.read.format("synthdocs").options(**opts).load()
+    assert a.rdd.getNumPartitions() == 7
+    assert a.count() == 200
+    b = spark.read.format("synthdocs").options(**opts).load()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # planted duplicates: every doc_id ending in 9 repeats its block's first doc
+    rows = {r["doc_id"]: r["text"] for r in a.collect()}
+    assert rows[9] == rows[0]
+    assert rows[19] == rows[10]
+    assert rows[199] == rows[190]
+    # n_chars is consistent with text
+    assert all(len(t) == n for t, n in
+               [(r["text"], r["n_chars"]) for r in a.limit(20).collect()])
+    # composes with exact dedup: the planted copies collapse
+    from team_126_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(a, "text", "doc_id").count()
+    assert kept < 200
+    # different seed -> different corpus
+    c = spark.read.format("synthdocs").options(rows="200", partitions="7", seed="43").load()
+    assert c.exceptAll(a).count() > 0
