@@ -37,6 +37,12 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/minhash kernels) falls back to
+        # SORT-based aggregation after only 128 in-memory keys by default —
+        # at any real per-partition group count that turns linear aggs
+        # superlinear (measured 9x on simhash at 400k docs). 64k keys ×
+        # ~1KB list state ≈ 64MB/task worst case: safe at executor sizes.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # managed tables (bucketed layouts) land in /tmp, never the repo
@@ -65,6 +71,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.shuffle.partitions", str(cpu_count())),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536"),
     ]:
         try:
             spark.conf.set(key, value)

@@ -532,3 +532,30 @@ def test_segment_dedup_identity_on_unique_corpus(spark):
         out = segment_dedup(df, "text", "doc_id", seg_tokens=seg).collect()
         assert {r["doc_id"]: r["text"] for r in out} == expect
         assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_simhash_relational_matches_arrow_kernel(spark):
+    """The r4 hash-aggregable simhash (64 conditional ±1 sums + codegen bit
+    assembly) must be bit-identical to the retained Arrow reference kernel
+    (functions/sketch.simhash_from_hashes) on both hash families."""
+    from team_126_spark.functions.sketch import simhash_from_hashes
+    from team_126_spark.functions.text import tokens
+    from team_126_spark.operators.dedup import _token_hash, simhash64
+
+    rows = [(i, f"tok{i % 7} alpha beta {i} gamma tok{i % 3} " * (1 + i % 4)) for i in range(60)]
+    rows.append((60, "single"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fam in ("xxhash64", "md5"):
+        ref = (
+            df.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(tokens(F.col("text"))).alias("t"),
+            )
+            .select("doc", _token_hash(F.col("t"), fam).alias("h"))
+            .groupBy("doc")
+            .agg(simhash_from_hashes(F.collect_list("h")).alias("ref"))
+        )
+        got = simhash64(df, "text", "doc_id", hash_fn=fam)
+        joined = got.join(ref, "doc")
+        assert joined.count() == 61
+        assert joined.filter(F.col("simhash") != F.col("ref")).count() == 0, fam

@@ -172,3 +172,46 @@ def test_gopher_signals_match_python_reference(spark, xs):
             cover = max((c * len(g) for g, c in grams.items()), default=0)
             want = round(min(1.0, cover / len(norm)), 6) if norm else 0.0
             assert r[col] == pytest.approx(want), (x, toks, col)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_segment_dedup_conservation(spark, xs):
+    """For ANY corpus and segment width: (a) n_kept + n_removed ==
+    ceil(n_tokens / k) per doc, (b) every output token multiset is a
+    subset of the input's, (c) total kept segment text concatenates to a
+    subsequence of the input's segment sequence (order preserved)."""
+    import math
+
+    from team_126_spark.operators.textops import doc_segments, segment_dedup
+
+    df = _df(spark, xs)
+    k = 3
+    out = {r["i"]: r for r in segment_dedup(df, "t", "i", seg_tokens=k).collect()}
+    toks = {
+        r["i"]: r["tk"]
+        for r in df.select("i", tokens(F.col("t")).alias("tk")).collect()
+    }
+    segs = {}
+    for r in doc_segments(df, "t", "i", seg_tokens=k).collect():
+        segs.setdefault(r["i"], []).append((r["start"], r["segment"]))
+    for i, tk in toks.items():
+        if not tk:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r["n_kept"] + r["n_removed"] == math.ceil(len(tk) / k)
+        out_toks = r["text"].split(" ") if r["text"] else []
+        # (b) multiset subset
+        from collections import Counter
+
+        assert not Counter(out_toks) - Counter(tk)
+        # (c) output == concat of a SUBSEQUENCE of the doc's segments in
+        # order (greedy earliest-match decides subsequence existence; equal
+        # -text alternatives are interchangeable)
+        ordered = [s.split(" ") for _, s in sorted(segs[i])]
+        p = 0
+        for seg_toks in ordered:
+            if out_toks[p : p + len(seg_toks)] == seg_toks:
+                p += len(seg_toks)
+        assert p == len(out_toks), f"doc {i}: output is not a segment subsequence"
