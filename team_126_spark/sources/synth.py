@@ -119,3 +119,58 @@ class SynthDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent format registration: spark.read.format('synthdocs')."""
     spark.dataSource.register(SynthDocsDataSource)
+
+
+class SynthVecsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", "1000"))
+        self.parts = max(1, int(options.get("partitions", "8")))
+        self.seed = int(options.get("seed", "0"))
+        self.dim = int(options.get("dim", "64"))
+        self.labels = int(options.get("labels", "10"))
+        if self.rows < 0 or self.dim <= 0 or self.labels <= 0:
+            raise ValueError("rows must be >= 0 and dim/labels positive")
+
+    def partitions(self):
+        per = -(-self.rows // self.parts)
+        return [
+            _RangePartition(i * per, min((i + 1) * per, self.rows))
+            for i in range(self.parts)
+            if i * per < self.rows
+        ] or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        import numpy as np
+
+        for vec_id in range(partition.start, partition.end):
+            h = hashlib.md5(f"v{self.seed}:{vec_id}".encode()).digest()
+            label = h[0] % self.labels
+            # cluster structure: a label-anchored direction + per-vector
+            # noise, so ANN/k-means actually have geometry to find
+            rng = np.random.default_rng(int.from_bytes(h[4:12], "big"))
+            anchor_rng = np.random.default_rng(self.seed * 1_000_003 + label)
+            v = anchor_rng.standard_normal(self.dim) + 0.35 * rng.standard_normal(self.dim)
+            v = (v / np.linalg.norm(v)).astype("float32")
+            yield (vec_id, [float(x) for x in v], int(label))
+
+
+class SynthVecsDataSource(DataSource):
+    """format("synthvecs") — embeddings-shaped (vec_id, embedding, label)
+    table generated executor-side: unit-norm float32 vectors with planted
+    label-cluster geometry (anchor + noise), matching the fixtures'
+    embeddings schema. Same zero-I/O scale story as synthdocs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthvecs"
+
+    def schema(self) -> str:
+        return "vec_id bigint, embedding array<float>, label int"
+
+    def reader(self, schema) -> SynthVecsReader:
+        return SynthVecsReader(self.options)
+
+
+def register_vecs(spark) -> None:
+    """Idempotent format registration: spark.read.format('synthvecs')."""
+    spark.dataSource.register(SynthVecsDataSource)

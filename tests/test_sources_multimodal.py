@@ -423,3 +423,35 @@ def test_synthdocs_datasource_deterministic_and_partitioned(spark):
     # different seed -> different corpus
     c = spark.read.format("synthdocs").options(rows="200", partitions="7", seed="43").load()
     assert c.exceptAll(a).count() > 0
+
+
+def test_synthvecs_datasource_geometry_and_determinism(spark):
+    """synthvecs: reproducible unit vectors, fixture-compatible schema,
+    and real cluster geometry (same-label cosine > cross-label cosine)."""
+    import numpy as np
+
+    from team_126_spark.sources.synth import register_vecs
+
+    register_vecs(spark)
+    opts = dict(rows="300", partitions="5", seed="3", dim="16", labels="4")
+    a = spark.read.format("synthvecs").options(**opts).load()
+    assert a.schema.simpleString() == "struct<vec_id:bigint,embedding:array<float>,label:int>"
+    assert a.count() == 300 and a.rdd.getNumPartitions() == 5
+    b = spark.read.format("synthvecs").options(**opts).load()
+    assert a.exceptAll(b).count() == 0
+    rows = a.collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"]), r["label"]) for r in rows}
+    for v, _ in vecs.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    same, cross, ns, nc = 0.0, 0.0, 0, 0
+    ids = sorted(vecs)[:80]
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            cos = float(vecs[i][0] @ vecs[j][0])
+            if vecs[i][1] == vecs[j][1]:
+                same += cos; ns += 1
+            else:
+                cross += cos; nc += 1
+    assert same / ns > cross / nc + 0.3  # planted anchors dominate noise
