@@ -4421,6 +4421,15 @@ def q_cdc_apply(spark, sf_dir):
 # order-insensitive; tests/test_queries_smoke.py pins this ordering so
 # future insertions can't silently demote a query out of driver coverage.
 
+# Round-5 note: once CORRECTNESS_r04 lands green rows for this set, the
+# next rotation should move the round-4 additions (gopher_rules,
+# bloom_decontaminate, corpus_resample, ann_quantized,
+# dedup_overlap_matrix, minhash_incremental, temperature_mix,
+# contamination_spans, simhash_pairs, doc_surprisal, doc_entropy,
+# cluster_size_hist, corpus_diff, the §2.13 general-engine set,
+# segment_dedup, cdc_apply, boilerplate_report, …) into the front 50 —
+# they are the remaining never-driver-sampled queries. Update the pin in
+# tests/test_queries_smoke.py in the same commit.
 DRIVER_SAMPLE_R4: tuple[str, ...] = (
     "rollup_counts", "rolling_features", "asof_join", "corpus_curate",
     "doc_len_quantiles", "vec_centroids", "build_vocab", "pack_sequences",
