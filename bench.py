@@ -161,6 +161,15 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
+    # Box-contention telemetry: three straight rounds burned a verdict
+    # cycle adjudicating "regressions" that were other tenants on the box
+    # (r2 simhash/minhash, r3 embedding_neardup, r4 full-suite-vs-bench
+    # overlap). The 1/5/15-minute load averages let the reader see a noisy
+    # run for what it is without re-measuring.
+    try:
+        la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
+    except OSError:  # pragma: no cover
+        la1 = la5 = la15 = None
     print(
         json.dumps(
             {
@@ -169,6 +178,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg": [la1, la5, la15],
             }
         )
     )
