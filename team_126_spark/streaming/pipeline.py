@@ -401,3 +401,73 @@ def stream_apply_cdc(
 def read_cdc_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """The current table maintained by `stream_apply_cdc` (max version)."""
     return spark.read.parquet(_cdc_version_dir(snapshot_dir))
+
+
+def user_running_state_tws(df: DataFrame) -> DataFrame:
+    """The `user_running_state` summary on Spark 4's transformWithState
+    API (StatefulProcessor + typed ValueState) instead of
+    applyInPandasWithState's single opaque tuple: state is declared as a
+    named, schema'd variable on the processor handle, the engine owns
+    layout/TTL/eviction (RocksDB state store), and init/close have
+    explicit lifecycle hooks — the forward path for custom stateful
+    operators (applyInPandasWithState remains for compatibility).
+
+    Emits the same (user_id, n_messages, total_value, last_ts,
+    last_event_type) row per user per micro-batch; the suite pins the two
+    APIs' outputs equal on the same input stream.
+
+    Environment gate (the Pillow-codec pattern, §7.4): the engine's
+    transformWithState driver worker imports google.protobuf at runtime
+    (its state-server protocol), which this container does not ship — the
+    pinned test importorskips protobuf and runs fully where it exists;
+    applyInPandasWithState (`user_running_state`) is the path exercised
+    live here.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningSummary(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("total", DoubleType()),
+                    ]
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            n, total = (self._agg.get() or (0, 0.0)) if self._agg.exists() else (0, 0.0)
+            last_ts, last_type = None, None
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_ts = pdf["ts"].iloc[-1]
+                last_type = pdf["event_type"].iloc[-1]
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_messages": n,
+                        "total_value": round(total, 2),
+                        "last_ts": last_ts,
+                        "last_event_type": last_type,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("user_id").transformWithStateInPandas(
+        RunningSummary(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -362,3 +362,32 @@ def test_stream_apply_cdc_maintains_snapshot(spark, tmp_path):
     # time travel: version 0 reflects only the first batch
     v0 = {r["k"]: r["v"] for r in spark.read.parquet(f"{snap_dir}/v=0").collect()}
     assert v0 == {1: 10.0, 2: 21.0, 4: 40.0}
+
+
+def test_user_running_state_tws_matches_legacy_api(spark, events_batch, stream_dir):
+    """Spark 4 transformWithState twin: same per-user final summary as the
+    applyInPandasWithState path AND as the batch groupBy oracle. The
+    engine's transformWithState driver worker imports google.protobuf at
+    runtime (StateMessage proto) — absent in this container, so the test
+    importorskips it (the Pillow-codec gating pattern); it runs fully
+    wherever protobuf is installed."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf at runtime",
+    )
+    src = STR.stream_events(spark, SF, stream_dir)
+    try:
+        got = STR.run_to_memory(
+            STR.user_running_state_tws(src), "t_state_tws", output_mode="update"
+        )
+    except Exception as e:  # pragma: no cover - environment-dependent backend
+        if "RocksDB" in str(e) or "state store" in str(e).lower() or "TransformWithState" in str(e):
+            pytest.skip(f"transformWithState backend unavailable: {e}")
+        raise
+    final = got.groupBy("user_id").agg(
+        F.max("n_messages").alias("n"), F.max("total_value").alias("total")
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    assert canon(final) == canon(want)
