@@ -108,8 +108,10 @@ HEADLINE = [
     "simhash_pairs",
     "doc_surprisal",
     "segment_dedup",
+    "segment_dedup_doc",
     "boilerplate_report",
     "cdc_apply",
+    "redact_contamination",
     # scale paths (LSH/IVF/over-fetch variants — regressions here are
     # regressions on the 100 TB story, so they are first-class benched)
     "embedding_neardup_lsh",

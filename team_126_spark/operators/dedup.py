@@ -843,3 +843,54 @@ def simhash_pairs(
         .filter(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def redact_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Apply a contamination-span inventory (contamination_spans output:
+    (id, pos) = start offsets of leaked k-token windows) by CUTTING every
+    covered token from the document and rebuilding the text — the
+    redaction half of the Lee et al. 2022 exact-substring treatment:
+    keep the document, lose the leaked benchmark text. Overlapping spans
+    union (each token cut once); docs with no spans pass through
+    unchanged; fully-covered docs come back with text = '' so the cut is
+    visible; zero-token docs emit no row (the segment_dedup convention).
+
+    Plan: docs posexplode to (id, idx, token); spans explode to covered
+    indices (rows ∝ spans × k, distinct-ed); one left_anti equi-join on
+    (id, idx); one ordered rebuild per doc — all equi-shuffles on the doc
+    key, output ∝ eval corpus, never train × eval (the expensive train
+    side was already reduced by contamination_spans).
+
+    Output: (id, text, n_kept, n_redacted).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks_df = spread(df, id_col).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_idx", "_tok")
+    )
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("_idx"),
+    ).distinct()
+    kept = toks_df.join(covered, [id_col, "_idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_idx"), F.col("_tok")))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    base = spread(df, id_col).select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("bigint").alias("_n")
+    ).filter(F.col("_n") > 0)
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_redacted"),
+    )

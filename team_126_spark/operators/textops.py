@@ -812,6 +812,7 @@ def segment_dedup(
     id_col: str,
     seg_tokens: int = 16,
     max_freq: int = 1,
+    scope: str = "corpus",
 ) -> DataFrame:
     """Segment-level exact dedup (C4 / Lee et al. 2022 line dedup,
     generalized to fixed-size token segments because the corpus has no
@@ -821,6 +822,13 @@ def segment_dedup(
     globally-first occurrence (lexicographic min over (doc_id, start)) and
     drop every other copy; rebuild each doc's text from the surviving
     segments in order.
+
+    `scope="doc"` restricts the frequency count and the first-occurrence
+    rule to WITHIN each document (C4 also dedups lines per page before the
+    corpus pass): a segment repeated inside one doc keeps its earliest
+    position there, but identical segments in different docs are never
+    touched — the grouping key gains the doc id, so the shuffle is finer
+    and strictly cheaper than the corpus pass.
 
     This is the sub-document counterpart of exact_dedup (whole-doc) and
     contamination_spans (train-vs-eval): boilerplate headers, navigation
@@ -840,14 +848,17 @@ def segment_dedup(
     """
     if max_freq < 1:
         raise ValueError(f"max_freq must be >= 1, got {max_freq}")
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     segs = doc_segments(df, text_col, id_col, seg_tokens).withColumnsRenamed(
         {"start": "_start", "segment": "_seg"}
     )
-    freq = segs.groupBy("_seg").agg(
+    group_keys = ["_seg"] if scope == "corpus" else [id_col, "_seg"]
+    freq = segs.groupBy(*group_keys).agg(
         F.count("*").alias("_freq"),
         F.min(F.struct(F.col(id_col).alias("d"), F.col("_start").alias("s"))).alias("_first"),
     )
-    joined = segs.join(freq, "_seg")
+    joined = segs.join(freq, group_keys)
     kept = (F.col("_freq") <= max_freq) | (
         (F.col(id_col) == F.col("_first.d")) & (F.col("_start") == F.col("_first.s"))
     )

@@ -3727,6 +3727,75 @@ def q_contamination_spans(spark, sf_dir):
 
 
 @declared(
+    "redact_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, source, {X.normalize_ws_sql('text')} AS nt
+            FROM documents)
+    ),
+    tw AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4])) AS w
+      FROM tok WHERE source <> 'src0' AND len(t) >= 5
+    ),
+    spans AS (
+      SELECT e.doc_id, CAST(e.s.i - 1 AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                 i -> {{'i': i,
+                       'w': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4]}})) AS s
+        FROM tok WHERE source = 'src0' AND len(t) >= 5
+      ) e
+      WHERE e.s.w IN (SELECT w FROM tw)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS idx FROM spans
+    ),
+    base AS (SELECT doc_id, t FROM tok WHERE source = 'src0' AND len(t) >= 1),
+    toks AS (
+      SELECT doc_id, CAST(s.i - 1 AS BIGINT) AS idx, s.tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                     i -> {{'i': i, 'tok': t[i]}})) AS s
+            FROM base)
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.idx, tk.tok
+      FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.idx = c.idx
+      WHERE c.idx IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY idx), ' ') AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(r.text, '') AS text,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(b.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_redacted
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="L52b redaction: cut every token covered by a contaminated 5-token "
+    "window (contamination_spans inventory) from the src0 docs and rebuild "
+    "the text — keep the doc, lose the leaked benchmark text (Lee et al. "
+    "2022); overlapping spans union, untouched docs pass through "
+    "(operators/dedup.redact_spans)",
+)
+def q_redact_contamination(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    spans = D.contamination_spans(
+        docs.filter(F.col("source") != "src0"), ev, "text", "doc_id", k=5
+    )
+    return D.redact_spans(ev, spans, "text", "doc_id", k=5)
+
+
+@declared(
     "temperature_mix",
     oracle=f"""
     WITH t AS (
@@ -4319,6 +4388,43 @@ def q_corpus_resample(spark, sf_dir):
 def q_segment_dedup(spark, sf_dir):
     return TO.segment_dedup(
         load(spark, sf_dir, "documents"), "text", "doc_id", seg_tokens=4, max_freq=1
+    )
+
+
+@declared(
+    "segment_dedup_doc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(norm, ' ') AS toks
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ), segs AS (
+      SELECT doc_id, start,
+             array_to_string(list_slice(toks, start + 1, start + 2), ' ') AS seg
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 2)) AS start FROM toks)
+    ), freq AS (
+      SELECT doc_id, seg, count(*) AS freq, min(start) AS fstart
+      FROM segs GROUP BY doc_id, seg
+    ), j AS (
+      SELECT s.doc_id, s.start, s.seg,
+             (f.freq <= 1 OR s.start = f.fstart) AS keep
+      FROM segs s JOIN freq f ON s.doc_id = f.doc_id AND s.seg = f.seg
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list(seg ORDER BY start) FILTER (WHERE keep), ' '), '')
+             AS text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+    FROM j GROUP BY doc_id
+    """,
+    doc="L60 doc-scoped variant: segments repeated WITHIN one doc keep only "
+    "their earliest position there (C4's per-page line dedup); the group "
+    "key gains the doc id so the shuffle is finer than the corpus pass "
+    "(operators/textops.segment_dedup scope='doc')",
+)
+def q_segment_dedup_doc(spark, sf_dir):
+    return TO.segment_dedup(
+        load(spark, sf_dir, "documents"), "text", "doc_id", seg_tokens=2, scope="doc"
     )
 
 

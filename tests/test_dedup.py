@@ -559,3 +559,61 @@ def test_simhash_relational_matches_arrow_kernel(spark):
         joined = got.join(ref, "doc")
         assert joined.count() == 61
         assert joined.filter(F.col("simhash") != F.col("ref")).count() == 0, fam
+
+
+def test_segment_dedup_doc_scope_keeps_cross_doc_copies(spark):
+    from team_126_spark.operators.textops import segment_dedup
+
+    rows = [
+        (1, "a b a b c d"),   # "a b" repeats WITHIN doc 1
+        (2, "a b x y"),       # "a b" also in doc 2 - untouched by doc scope
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    doc = {r["doc_id"]: r for r in segment_dedup(df, "text", "doc_id", seg_tokens=2, scope="doc").collect()}
+    assert doc[1]["text"] == "a b c d" and doc[1]["n_removed"] == 1
+    assert doc[2]["text"] == "a b x y" and doc[2]["n_removed"] == 0
+    # corpus scope would also strip doc 2's copy
+    corp = {r["doc_id"]: r for r in segment_dedup(df, "text", "doc_id", seg_tokens=2).collect()}
+    assert corp[2]["text"] == "x y"
+    import pytest
+
+    with pytest.raises(ValueError, match="scope"):
+        segment_dedup(df, "text", "doc_id", scope="global")
+
+
+def test_redact_spans_cuts_covered_tokens(spark):
+    from team_126_spark.operators.dedup import contamination_spans, redact_spans
+
+    train = spark.createDataFrame([(100, "secret eval answer key here")], ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [
+            (1, "intro text secret eval answer key here outro text"),  # one 5-window hit x2 offsets
+            (2, "totally clean document with fresh words"),
+            (3, "secret eval answer key here"),                        # fully covered
+            (4, ""),                                                   # zero tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    spans = contamination_spans(train, ev, "text", "doc_id", k=5)
+    out = {r["doc_id"]: r for r in redact_spans(ev, spans, "text", "doc_id", k=5).collect()}
+    # doc 1: windows starting at 2 and 3 ("secret...here" is 5 tokens at idx 2..6)
+    assert out[1]["text"] == "intro text outro text"
+    assert out[1]["n_redacted"] == 5
+    assert out[2]["text"] == "totally clean document with fresh words"
+    assert out[2]["n_redacted"] == 0
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_redacted"] == 5
+    assert 4 not in out
+
+
+def test_redact_spans_overlapping_spans_union(spark):
+    from team_126_spark.operators.dedup import redact_spans
+
+    ev = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    spans = spark.createDataFrame([(1, 0), (1, 2)], ["doc_id", "pos"])  # cover 0-2 and 2-4
+    out = redact_spans(ev, spans, "text", "doc_id", k=3).collect()[0]
+    assert out["text"] == "f g h"
+    assert out["n_redacted"] == 5 and out["n_kept"] == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        redact_spans(ev, spans, "text", "doc_id", k=0)
