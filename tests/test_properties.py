@@ -215,3 +215,41 @@ def test_segment_dedup_conservation(spark, xs):
             if out_toks[p : p + len(seg_toks)] == seg_toks:
                 p += len(seg_toks)
         assert p == len(out_toks), f"doc {i}: output is not a segment subsequence"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),          # key
+            st.sampled_from(["I", "U", "D"]),               # op
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_cdc_apply_matches_dict_model(spark, log):
+    """cdc_apply == folding the changelog into a dict in seq order, for ANY
+    random I/U/D log over a fixed base (seq = list position, unique per key
+    by construction)."""
+    from team_126_spark.operators.relational import cdc_apply
+
+    base_rows = [(k, float(k * 10)) for k in range(4)]
+    model = dict(base_rows)
+    for seq, (k, op, v) in enumerate(log):
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = round(v, 3)
+
+    base = spark.createDataFrame(base_rows, "k long, v double")
+    if log:
+        changes = spark.createDataFrame(
+            [(k, round(v, 3), seq, op) for seq, (k, op, v) in enumerate(log)],
+            "k long, v double, seq long, op string",
+        )
+    else:
+        changes = spark.createDataFrame([], "k long, v double, seq long, op string")
+    got = {r["k"]: r["v"] for r in cdc_apply(base, changes, ["k"], "seq", "op").collect()}
+    assert got == model
