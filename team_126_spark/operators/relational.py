@@ -523,3 +523,39 @@ def cdc_apply(
     survivors = base.join(latest.select(*keys), list(keys), "left_anti")
     upserts = latest.filter(F.col(op_col) != F.lit("D")).select(*payload)
     return survivors.unionByName(upserts)
+
+
+def expect_checks(
+    df: DataFrame,
+    checks: dict[str, Column],
+    fail_on_violation: bool = False,
+) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test / Great-
+    Expectations shape as one operator): `checks` maps check name → a
+    boolean Column that should hold for EVERY row; the result is ONE row
+    with total row count plus a violation count per check (rows where the
+    predicate is false or NULL — an unevaluable expectation is a failing
+    one, so NULL-poisoned predicates can't hide).
+
+    One aggregate over one scan regardless of how many checks (conditional
+    sums share the pass — the dashboard_counts pattern); no shuffle beyond
+    the single global agg. With `fail_on_violation`, raises ValueError
+    naming the failed checks and counts — the circuit-breaker form a
+    pipeline puts between ingest and an expensive training run.
+    """
+    if not checks:
+        raise ValueError("expect_checks: checks must be a non-empty dict")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")] + [
+        F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+        .cast("bigint")
+        .alias(name)
+        for name, cond in checks.items()
+    ]
+    out = df.agg(*aggs)
+    if fail_on_violation:
+        row = out.first()
+        bad = {name: row[name] for name in checks if row[name]}
+        if bad:
+            raise ValueError(f"expect_checks: violations {bad} over {row['n_rows']} rows")
+        return out.sparkSession.createDataFrame([row], out.schema)
+    return out

@@ -4392,6 +4392,39 @@ def q_segment_dedup(spark, sf_dir):
 
 
 @declared(
+    "data_checks",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT)
+             AS positive_price,
+           CAST(sum(CASE WHEN coalesce(o_orderdate IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT)
+             AS orderdate_present,
+           CAST(sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 0 ELSE 1 END) AS BIGINT)
+             AS status_in_domain,
+           CAST(sum(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false)
+                    THEN 0 ELSE 1 END) AS BIGINT)
+             AS priority_format
+    FROM orders
+    """,
+    doc="declarative data-quality expectations (dbt-test shape): one scan, "
+    "one aggregate, a violation count per named check; NULL predicates "
+    "count as violations so they can't hide (operators/relational."
+    "expect_checks; the circuit-breaker before an expensive training run)",
+)
+def q_data_checks(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return R.expect_checks(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "orderdate_present": F.col("o_orderdate").isNotNull(),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+    )
+
+
+@declared(
     "segment_dedup_doc",
     oracle=f"""
     WITH toks AS (

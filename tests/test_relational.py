@@ -597,3 +597,25 @@ def test_cdc_apply_validates_columns(spark):
     missing_payload = spark.createDataFrame([(1, 1, "I")], ["k", "seq", "op"])
     with pytest.raises(ValueError):
         cdc_apply(base, missing_payload, ["k"], "seq", "op")
+
+
+def test_expect_checks_counts_and_circuit_breaker(spark):
+    from team_126_spark.operators.relational import expect_checks
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)], "id long, v double"
+    )
+    out = expect_checks(
+        df, {"v_positive": F.col("v") > 0, "id_low": F.col("id") < 100}
+    ).first()
+    # NULL predicate (v=None) counts as a violation alongside v=-5
+    assert (out["n_rows"], out["v_positive"], out["id_low"]) == (4, 2, 0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="v_positive.*2"):
+        expect_checks(df, {"v_positive": F.col("v") > 0}, fail_on_violation=True)
+    ok = expect_checks(df, {"id_low": F.col("id") < 100}, fail_on_violation=True)
+    assert ok.first()["id_low"] == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        expect_checks(df, {})
