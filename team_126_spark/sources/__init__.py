@@ -11,3 +11,5 @@ from .io import (  # noqa: F401
     write_jdbc,
     write_parquet,
 )
+
+from . import external, synth  # noqa: F401, E402  (pluggable lookup + generator sources)
