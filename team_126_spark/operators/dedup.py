@@ -719,15 +719,9 @@ def contamination_spans(
     matching positions. Shuffle keys are window strings (uniform); output
     is bounded by eval token count, never |train| × |eval|.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
-    nt = F.size(toks)
-    win = F.when(nt < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), nt - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+    from ..functions.text import token_windows
+
+    win = token_windows(tokens(F.col(text_col)), k)
     train_wins = (
         spread(train, id_col).select(F.explode(win).alias("w")).distinct()
     )

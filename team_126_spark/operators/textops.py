@@ -526,13 +526,9 @@ def _top_ngram_cover(toks, n: int):
     sorted n-gram array ARE the occurrence counts), never a per-distinct
     rescan: pathological repetitive docs are exactly the input this signal
     must survive."""
-    sz = F.size(toks)
-    grams = F.when(sz < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), sz - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    from ..functions.text import token_windows
+
+    grams = token_windows(toks, n)
     return F.aggregate(
         F.array_sort(grams),
         F.struct(
@@ -715,22 +711,24 @@ def bigram_surprisal(
     bigram occurrences, vocab as a broadcast scalar (the doc_rarity
     pattern, no driver collect), one avg per doc. Docs with < 2 tokens
     score 0.0.
+
+    Bigram construction is slice + arrays_zip — ALL codegen-native. The
+    previous `transform(sequence, i -> element_at…)` form ran on the
+    interpreted higher-order-function path per element (the same pitfall
+    SCALING.md's map-only-sketch negative result documents) and measured
+    10× slower at 400k docs (357s → 34s) for identical output.
     """
     from ..tables import spread
 
     t = tokens(F.col(text_col))
     n = F.size(t)
-    pairs = F.when(n < 2, F.array().cast("array<struct<prev:string,tok:string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("tok")
-            ),
-        )
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
     )
     big = spread(df, id_col).select(
-        F.col(id_col).alias("doc"), F.explode(pairs).alias("bg")
-    ).select("doc", "bg.prev", "bg.tok")
+        F.col(id_col).alias("doc"), F.explode(zipped).alias("bg")
+    ).select("doc", F.col("bg.0").alias("prev"), F.col("bg.1").alias("tok"))
     c2 = big.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("c2"))
     c1 = big.groupBy("prev").agg(F.count("*").cast("double").alias("c1"))
     vocab = df.select(
