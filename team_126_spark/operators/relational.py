@@ -516,9 +516,43 @@ def cdc_apply(
     extra = [c for c in payload if c not in changes.columns]
     if extra:
         raise ValueError(f"cdc_apply: changes lacks snapshot columns {extra}")
+    # Malformed changelog rows raise at execution instead of silently
+    # corrupting the snapshot (ADVICE r4): an op outside {I,U,D} — including
+    # NULL, which `op != 'D'` would silently treat as a delete — and a NULL
+    # key — which would never match the anti join, leaving BOTH the base row
+    # and the change row in the output — are producer bugs, not data. The
+    # checks ride the columns the plan already evaluates, so they cost no
+    # extra pass. (NULL keys in BASE pass through as survivors — documented:
+    # an anti join never matches them, which is the right untouched-row
+    # semantics.)
+    checked_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cdc_apply: invalid {op_col}="),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                F.lit(" (expected I/U/D)"),
+            )
+        )
+    )
+    checked_keys = {
+        k: F.when(
+            F.col(k).isNotNull(), F.col(k)
+        ).otherwise(
+            F.raise_error(F.lit(f"cdc_apply: NULL key {k} in changes")).cast(
+                changes.schema[k].dataType
+            )
+        )
+        for k in keys
+    }
+    changes = changes.withColumns({op_col: checked_op, **checked_keys})
+    rn = "_rn"
+    while rn in changes.columns:  # collision-proof temp name (ADVICE r4)
+        rn += "_"
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        changes.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
     )
     survivors = base.join(latest.select(*keys), list(keys), "left_anti")
     upserts = latest.filter(F.col(op_col) != F.lit("D")).select(*payload)
@@ -545,8 +579,15 @@ def expect_checks(
     """
     if not checks:
         raise ValueError("expect_checks: checks must be a non-empty dict")
+    if "n_rows" in checks:
+        # reserved for the row-count column: a check of the same name would
+        # produce two `n_rows` columns and ambiguous row[name] reads
+        # downstream (ADVICE r4)
+        raise ValueError("expect_checks: check name 'n_rows' is reserved")
     aggs = [F.count("*").cast("bigint").alias("n_rows")] + [
-        F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+        # coalesce(..., 0): sum over an EMPTY frame is NULL, but zero
+        # violations is the honest answer for zero rows (ADVICE r4)
+        F.coalesce(F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)), F.lit(0))
         .cast("bigint")
         .alias(name)
         for name, cond in checks.items()

@@ -334,19 +334,39 @@ def stream_correlate(
     )
 
 
-def _cdc_version_dir(snapshot_dir: str, before: int | None = None) -> str:
-    """Latest committed snapshot version directory: the max integer
-    `v=<batch_id>` (strictly below `before` when given, so a RETRIED batch
-    re-derives from its predecessor, never from its own partial output),
-    falling back to the seeded `v=base`."""
-    import os
+def _cdc_version_dir(
+    spark: SparkSession, snapshot_dir: str, before: int | None = None
+) -> str:
+    """Latest COMMITTED snapshot version directory: the max integer
+    `v=<batch_id>` that contains a `_SUCCESS` marker (strictly below
+    `before` when given, so a RETRIED batch re-derives from its
+    predecessor, never from its own partial output), falling back to the
+    seeded `v=base`.
 
+    Listing goes through the Hadoop FileSystem for `snapshot_dir`'s scheme
+    (works on s3a://, hdfs://, file:..., not just the driver-local
+    filesystem), only fully-numeric `v=N` suffixes count as versions (a
+    stray `v=tmp` dir is ignored rather than crashing int()), and a dir
+    without `_SUCCESS` — a mid-write crash — is skipped, matching the
+    'latest committed version' contract (ADVICE r4)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     versions = []
-    for name in os.listdir(snapshot_dir):
-        if name.startswith("v=") and name != "v=base":
-            v = int(name.split("=", 1)[1])
-            if before is None or v < before:
-                versions.append(v)
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        suffix = name.split("=", 1)[1]
+        if not suffix.isdigit():
+            continue  # v=base seed and any unexpected v=* entry
+        v = int(suffix)
+        if before is not None and v >= before:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            versions.append(v)
     return f"{snapshot_dir}/v={max(versions)}" if versions else f"{snapshot_dir}/v=base"
 
 
@@ -385,7 +405,7 @@ def stream_apply_cdc(
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        prev = spark.read.parquet(_cdc_version_dir(snapshot_dir, before=batch_id))
+        prev = spark.read.parquet(_cdc_version_dir(spark, snapshot_dir, before=batch_id))
         out = cdc_apply(prev, bdf, key_list, seq_col, op_col)
         out.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
 
@@ -400,7 +420,7 @@ def stream_apply_cdc(
 
 def read_cdc_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """The current table maintained by `stream_apply_cdc` (max version)."""
-    return spark.read.parquet(_cdc_version_dir(snapshot_dir))
+    return spark.read.parquet(_cdc_version_dir(spark, snapshot_dir))
 
 
 def user_running_state_tws(df: DataFrame) -> DataFrame:

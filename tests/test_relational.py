@@ -599,6 +599,42 @@ def test_cdc_apply_validates_columns(spark):
         cdc_apply(base, missing_payload, ["k"], "seq", "op")
 
 
+def test_cdc_apply_rejects_malformed_changelog(spark):
+    """ADVICE r4: a NULL/unknown op must raise, not silently delete; a NULL
+    key must raise, not survive on both sides of the anti join; a
+    pre-existing `_rn` column must not be clobbered by the internal window
+    rank."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from team_126_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame([(1, "a", 10.0)], ["k", "s", "v"])
+    null_op = spark.createDataFrame(
+        [(1, "a", 11.0, 1, None)], "k long, s string, v double, seq long, op string"
+    )
+    with pytest.raises(SparkRuntimeException, match="invalid op"):
+        cdc_apply(base, null_op, ["k"], "seq", "op").collect()
+    bad_op = spark.createDataFrame(
+        [(1, "a", 11.0, 1, "X")], "k long, s string, v double, seq long, op string"
+    )
+    with pytest.raises(SparkRuntimeException, match="invalid op=X"):
+        cdc_apply(base, bad_op, ["k"], "seq", "op").collect()
+    null_key = spark.createDataFrame(
+        [(None, "a", 11.0, 1, "U")], "k long, s string, v double, seq long, op string"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL key k"):
+        cdc_apply(base, null_key, ["k"], "seq", "op").collect()
+
+    # a user column named `_rn` passes through untouched
+    base_rn = spark.createDataFrame([(1, "a", 7)], ["k", "s", "_rn"])
+    chg_rn = spark.createDataFrame(
+        [(1, "b", 9, 1, "U")], ["k", "s", "_rn", "seq", "op"]
+    )
+    out = cdc_apply(base_rn, chg_rn, ["k"], "seq", "op").collect()
+    assert [(r["k"], r["s"], r["_rn"]) for r in out] == [(1, "b", 9)]
+
+
 def test_expect_checks_counts_and_circuit_breaker(spark):
     from team_126_spark.operators.relational import expect_checks
 
@@ -619,3 +655,9 @@ def test_expect_checks_counts_and_circuit_breaker(spark):
     assert ok.first()["id_low"] == 0
     with pytest.raises(ValueError, match="non-empty"):
         expect_checks(df, {})
+    # ADVICE r4: reserved name collision raises; empty input counts 0, not NULL
+    with pytest.raises(ValueError, match="reserved"):
+        expect_checks(df, {"n_rows": F.col("v") > 0})
+    empty = df.filter(F.col("id") < 0)
+    row = expect_checks(empty, {"v_positive": F.col("v") > 0}).first()
+    assert (row["n_rows"], row["v_positive"]) == (0, 0)
