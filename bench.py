@@ -123,6 +123,19 @@ HEADLINE = [
     "tumbling_window",
     "sessionize",
     "schedule_expand",
+    "event_correlate",
+    # round-5 additions (VERDICT r4 #7: every declared family gets a
+    # measured number — the dedup-report, snapshot-diff, entropy, and
+    # §2.13 relational families were declared in r4 but unbenched)
+    "cluster_size_hist",
+    "corpus_diff",
+    "doc_entropy",
+    "cube_counts",
+    "pivot_counts",
+    "funnel_counts",
+    "time_fill",
+    "unpivot_metrics",
+    "profile_approx",
 ]
 
 

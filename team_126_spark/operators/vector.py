@@ -367,6 +367,45 @@ def ivf_ann(
     return knn(cands, vec_col, probe, k, id_col).drop("ivf_cell")
 
 
+def ann_observed_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str,
+    k: int,
+    name: str = "ann_recall",
+):
+    """Instrument an ANN result with observed recall@k against an exact
+    result — recall drift becomes a metric the job's EXISTING action emits
+    (VERDICT r4 #8), not a pytest-only property.
+
+    Returns (instrumented_df, observation): run one action on the
+    DataFrame, then `observation.get` reports `approx_rows`, `hits`
+    (approx ids that appear in the exact top-k), and `recall_at_k`
+    (hits / k). Production shape: `exact` is the brute-force top-k for a
+    SAMPLED probe set (both sides are k-row frames, so the broadcast
+    membership join costs nothing against the corpus scan that produced
+    them); a monitoring pass attaches this around the ANN call it already
+    runs and alerts on recall_at_k dropping below the dial's measured
+    floor (SCALING.md's 0.86 for the sf0.1 uniform corpus).
+    """
+    from ..metrics import observe_counts
+
+    marked = exact.select(F.col(id_col), F.lit(1).alias("_exact_hit"))
+    tagged = approx.join(F.broadcast(marked), id_col, "left").withColumn(
+        "_exact_hit", F.coalesce(F.col("_exact_hit"), F.lit(0))
+    )
+    inst, obs = observe_counts(
+        tagged,
+        name,
+        {
+            "approx_rows": F.count(F.lit(1)),
+            "hits": F.coalesce(F.sum("_exact_hit"), F.lit(0)).cast("bigint"),
+            "recall_at_k": F.coalesce(F.sum("_exact_hit"), F.lit(0)) / F.lit(float(k)),
+        },
+    )
+    return inst.drop("_exact_hit"), obs
+
+
 def quantized_knn(
     df: DataFrame,
     vec_col: str,

@@ -78,3 +78,30 @@ def test_observe_metrics_in_streaming_progress(spark, tmp_path):
         p["observedMetrics"]["ingest_health"]["rows"] for p in progresses
     )
     assert got == 100
+
+
+def test_ann_observed_recall_metric(spark):
+    """VERDICT r4 #8: recall@k rides the job's existing action as an
+    observed metric. LSH-ANN vs brute-force on the sf0.01 embeddings; the
+    observation must equal the manually computed overlap."""
+    from team_126_spark.operators.vector import ann_observed_recall, knn, lsh_bucket_ann
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    probe = [float(x) for x in emb.first()["embedding"]]
+    exact = knn(emb, "embedding", probe, 10, "vec_id").select("vec_id")
+    approx = lsh_bucket_ann(
+        emb, "embedding", probe, 10, "vec_id", dim=64, n_tables=8, n_probe_bits=6
+    )
+    inst, obs = ann_observed_recall(approx, exact, "vec_id", 10)
+    rows = inst.collect()  # the ONE action; metrics ride it
+    got = obs.get
+    expected_hits = len(
+        {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact.collect()}
+    )
+    assert got["approx_rows"] == len(rows) == 10
+    assert got["hits"] == expected_hits
+    assert got["recall_at_k"] == expected_hits / 10.0
+    assert 0.0 <= got["recall_at_k"] <= 1.0
+    # instrumentation must not leak its helper column
+    assert "_exact_hit" not in inst.columns

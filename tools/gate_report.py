@@ -1,0 +1,50 @@
+"""Report which environment-gated twins are live in this container
+(VERDICT r4 #9): the suite importorskips tests whose third-party
+dependency is absent, each with a live-exercised twin — this one-liner
+makes the gate state visible in CI output so a container upgrade flips
+skips to passes without code changes (and without anyone re-reading the
+skip list to notice).
+
+Usage: python tools/gate_report.py   # prints one line per gate + a summary
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+# gate name -> (module probe, what the gated test exercises, the live twin)
+GATES = {
+    "pillow": (
+        "PIL.Image",
+        "real image decode/feature path (operators/multimodal.py)",
+        "deterministic fake codec exercised by test_sources_multimodal",
+    ),
+    "protobuf": (
+        "google.protobuf",
+        "transformWithStateInPandas twin (streaming/pipeline.py)",
+        "applyInPandasWithState twin exercised by test_streaming",
+    ),
+}
+
+
+def main() -> int:
+    n_live = 0
+    for name, (module, gated, twin) in GATES.items():
+        live = importlib.util.find_spec(module.split(".")[0]) is not None
+        if live:
+            # submodule probe without importing heavyweight packages
+            try:
+                live = importlib.util.find_spec(module) is not None
+            except ModuleNotFoundError:
+                live = False
+        n_live += live
+        state = "LIVE   " if live else "GATED  "
+        print(f"{state} {name:10s} {gated}")
+        if not live:
+            print(f"        -> covered meanwhile by: {twin}")
+    print(f"\n{n_live}/{len(GATES)} gated twins live in this container")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
