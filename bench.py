@@ -136,6 +136,9 @@ HEADLINE = [
     "time_fill",
     "unpivot_metrics",
     "profile_approx",
+    "bpe_pair_counts",
+    "ngram_diversity",
+    "cosine_calibration",
 ]
 
 

@@ -327,6 +327,89 @@ def ngram_counts(
     )
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
+    """One BPE merge round: the frequency of every adjacent character pair
+    across the corpus, weighted by word occurrence — the inner loop of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016), whose
+    highest-count pair becomes the next merge rule.
+
+    Scale shape — the trick that makes tokenizer training corpus-size-
+    independent per round: the corpus FIRST collapses to its word-frequency
+    vocabulary (one token explode + one groupBy — the only pass that
+    touches the 100 TB), then pair extraction and counting run over the
+    VOCAB (≪ corpus, ~zipf-bounded); iterating rounds re-symbolizes the
+    vocab table only, never re-reading the corpus. The 2-char substring
+    inside the transform lambda is interpreted, but over vocab rows that
+    cost is noise. Output: (pair, n_occurrences), count-desc, ties to the
+    lexicographically first pair.
+    """
+    from ..functions.text import tokens
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    word = F.col("w")
+    pairs = F.when(
+        F.length(word) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word) - 1),
+            lambda i: F.substring(word, i, 2),
+        )
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def ngram_diversity(
+    df: DataFrame, text_col: str, source_col: str, max_n: int = 3
+) -> DataFrame:
+    """Per-source n-gram diversity report: for n = 1..max_n, total n-gram
+    occurrences, distinct n-grams, and their ratio (the type-token ratio
+    generalized to n-grams) — the one-page memorization/templating signal a
+    corpus audit prints: a source whose trigram diversity collapses is
+    boilerplate or near-duplicate spam even when exact dedup passes.
+
+    One scan per n (column-pruned to text+source), each a single
+    count/count_distinct shuffle keyed by (source, n-gram) partials;
+    n-grams built with the zip-shifted-slice windows (token_windows), never
+    per-element slicing. Output: (source, n, total_ngrams, distinct_ngrams,
+    diversity) with diversity rounded to 6 places for the cross-engine cut.
+    """
+    from ..functions.text import token_windows, tokens
+
+    toks = tokens(F.col(text_col))
+    parts = [
+        df.select(
+            F.col(source_col).alias("source"),
+            F.lit(n).alias("n"),
+            F.explode(token_windows(toks, n)).alias("gram"),
+        )
+        for n in range(1, max_n + 1)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("source", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("total_ngrams"),
+            F.count_distinct("gram").cast("bigint").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "diversity",
+            F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame, text_col: str, id_col: str, budget: int = 64, n_shards: int = 8
 ) -> DataFrame:

@@ -367,6 +367,54 @@ def ivf_ann(
     return knn(cands, vec_col, probe, k, id_col).drop("ivf_cell")
 
 
+def cosine_calibration(
+    df: DataFrame, vec_col: str, id_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic sample of vector
+    pairs — the calibration step BEFORE picking an embedding near-dup
+    threshold: run this, look where the background-similarity mass ends,
+    set `embedding_neardup`'s threshold above it. Guessing 0.95 on a corpus
+    whose random-pair cosine already sits at 0.9 (common for
+    anisotropic/un-centered embedding spaces) silently deletes half the
+    corpus; this makes the threshold an observed quantity.
+
+    Sampling is n/2 DISJOINT pairs, never n²: each vector lands in an
+    md5 bucket (uniform, content-independent), consecutive id-ranked
+    vectors within a bucket pair up (rank 2i-1 with rank 2i via one
+    equi-join on (bucket, pair-index)). One window shuffle on the bucket
+    key + one slim equi-join — scale-safe, and deterministic under reruns
+    and repartitioning. Output: (bin, cos_lo, n_pairs) where bin =
+    floor(round(cos, 6) * 10), i.e. 0.1-wide bins labeled by their lower
+    edge.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_low60
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(n_buckets)).alias("b"),
+    )
+    w = Window.partitionBy("b").orderBy("id")
+    r = base.withColumn("rn", F.row_number().over(w))
+    lhs = r.filter(F.col("rn") % 2 == 1).select(
+        "b", ((F.col("rn") + 1) / 2).cast("bigint").alias("i"), F.col("v").alias("va")
+    )
+    rhs = r.filter(F.col("rn") % 2 == 0).select(
+        "b", (F.col("rn") / 2).cast("bigint").alias("i"), F.col("v").alias("vb")
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        lhs.join(rhs, ["b", "i"])
+        .select(F.floor(F.round(cos, 6) * 10).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .withColumn("cos_lo", F.round(F.col("bin") / 10.0, 1))
+        .select("bin", "cos_lo", "n_pairs")
+    )
+
+
 def ann_observed_recall(
     approx: DataFrame,
     exact: DataFrame,

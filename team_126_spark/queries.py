@@ -4635,6 +4635,114 @@ def q_cdc_apply(spark, sf_dir):
 
 
 # ===================================================================
+# Round-5 additions: tokenizer-training, corpus-audit, and
+# threshold-calibration operators (SURVEY §2.14)
+# ===================================================================
+
+
+@declared(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(str_split(norm, ' ')) AS w
+        FROM (SELECT {X.normalize_ws_sql('text')} AS norm FROM documents)
+        WHERE norm <> ''
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair,
+             freq
+      FROM vocab WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+    doc="one BPE merge round: adjacent character-pair counts weighted by "
+    "word frequency — the tokenizer-training inner loop; corpus collapses "
+    "to its word-frequency vocab first so pair counting is corpus-size-"
+    "independent (operators/textops.bpe_pair_counts)",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    return TO.bpe_pair_counts(load(spark, sf_dir, "documents"), "text", top_n=50)
+
+
+@declared(
+    "ngram_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, str_split(norm, ' ') AS t
+      FROM (SELECT source, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm <> ''
+    ),
+    grams AS (
+      SELECT source, 1 AS n, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT source, 2, unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1]))
+      FROM tok WHERE len(t) >= 2
+      UNION ALL
+      SELECT source, 3, unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      FROM tok WHERE len(t) >= 3
+    )
+    SELECT source, n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           round(count(DISTINCT gram) / count(*), 6) AS diversity
+    FROM grams GROUP BY source, n
+    """,
+    doc="per-source n-gram diversity (type-token ratio for n=1..3): the "
+    "memorization/templating audit signal — a source whose trigram "
+    "diversity collapses is boilerplate even when exact dedup passes "
+    "(operators/textops.ngram_diversity)",
+)
+def q_ngram_diversity(spark, sf_dir):
+    return TO.ngram_diversity(
+        load(spark, sf_dir, "documents"), "text", "source", max_n=3
+    )
+
+
+@declared(
+    "cosine_calibration",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding AS v,
+             {X.md5_low60_sql('CAST(vec_id AS VARCHAR)')} % 64 AS b
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    r AS (
+      SELECT id, v, b, row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+      FROM base
+    ),
+    pr AS (
+      SELECT a.v AS va, bb.v AS vb
+      FROM (SELECT b, (rn + 1) // 2 AS i, v FROM r WHERE rn % 2 = 1) a
+      JOIN (SELECT b, rn // 2 AS i, v FROM r WHERE rn % 2 = 0) bb
+        USING (b, i)
+    ),
+    binned AS (
+      SELECT CAST(floor(round({V.cosine_similarity_sql('va', 'vb')}, 6) * 10)
+                  AS INT) AS bin
+      FROM pr
+    )
+    SELECT bin, round(bin / 10.0, 1) AS cos_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY bin
+    """,
+    doc="embedding-threshold calibration: cosine histogram over n/2 "
+    "deterministic md5-bucketed disjoint pairs (never n²) — where the "
+    "background-similarity mass ends is where the near-dup threshold "
+    "belongs (operators/vector.cosine_calibration)",
+)
+def q_cosine_calibration(spark, sf_dir):
+    return OV.cosine_calibration(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id", n_buckets=64
+    )
+
+
+# ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================
 # The driver's CORRECTNESS gate samples exactly the first 50 REGISTRY

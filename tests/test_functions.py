@@ -542,3 +542,57 @@ def test_bigram_surprisal_orders_garbled_above_natural(spark):
     assert got[1] == got[2] == got[3]
     assert got[4] > got[1]
     assert got[5] == 0.0 and got[6] == 0.0
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    """Hand-computable BPE pair round: 'low low lower' -> vocab
+    {low:2, lower:1}; pairs: lo(2+1), ow(2+1), we(1), er(1)."""
+    from team_126_spark.operators.textops import bpe_pair_counts
+
+    df = spark.createDataFrame([("low low lower",), ("",), (None,)], ["text"])
+    got = {r["pair"]: r["n_occurrences"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got == {"lo": 3, "ow": 3, "we": 1, "er": 1}
+    # ordering: count desc, then lexicographic
+    rows = bpe_pair_counts(df, "text").collect()
+    assert [r["pair"] for r in rows] == ["lo", "ow", "er", "we"]
+
+
+def test_ngram_diversity_bounds_and_known_values(spark):
+    from team_126_spark.operators.textops import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("a b a b", "s1"),    # unigrams: 4 total / 2 distinct; bigrams: 3/2; trigrams: 2/2
+            ("x", "s2"),          # only a unigram row
+        ],
+        ["text", "source"],
+    )
+    got = {(r["source"], r["n"]): r for r in ngram_diversity(df, "text", "source").collect()}
+    assert got[("s1", 1)]["total_ngrams"] == 4 and got[("s1", 1)]["distinct_ngrams"] == 2
+    assert got[("s1", 2)]["total_ngrams"] == 3 and got[("s1", 2)]["distinct_ngrams"] == 2
+    assert got[("s1", 3)]["total_ngrams"] == 2 and got[("s1", 3)]["distinct_ngrams"] == 2
+    assert got[("s1", 1)]["diversity"] == 0.5
+    assert ("s2", 2) not in got and ("s2", 3) not in got  # too short for bigrams
+    assert all(0.0 < r["diversity"] <= 1.0 for r in got.values())
+
+
+def test_cosine_calibration_pair_budget_and_bins(spark):
+    """n/2 disjoint pairs (minus bucket-odd leftovers), bins in [-10, 10],
+    deterministic under repartitioning."""
+    from team_126_spark.operators.vector import cosine_calibration
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    hist = cosine_calibration(emb, "embedding", "vec_id", n_buckets=8).collect()
+    n_vec = emb.filter(F.col("embedding").isNotNull()).count()
+    n_pairs = sum(r["n_pairs"] for r in hist)
+    # each of the 8 buckets can strand at most one odd vector
+    assert n_vec // 2 - 8 <= n_pairs <= n_vec // 2
+    assert all(-10 <= r["bin"] <= 10 for r in hist)
+    assert all(abs(r["cos_lo"] - r["bin"] / 10.0) < 1e-9 for r in hist)
+    again = cosine_calibration(
+        emb.repartition(13), "embedding", "vec_id", n_buckets=8
+    ).collect()
+    assert sorted((r["bin"], r["n_pairs"]) for r in hist) == sorted(
+        (r["bin"], r["n_pairs"]) for r in again
+    )
