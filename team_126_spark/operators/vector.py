@@ -380,10 +380,12 @@ def cosine_calibration(
 
     Sampling is n/2 DISJOINT pairs, never n²: each vector lands in an
     md5 bucket (uniform, content-independent), consecutive id-ranked
-    vectors within a bucket pair up (rank 2i-1 with rank 2i via one
-    equi-join on (bucket, pair-index)). One window shuffle on the bucket
-    key + one slim equi-join — scale-safe, and deterministic under reruns
-    and repartitioning. Output: (bin, cos_lo, n_pairs) where bin =
+    vectors within a bucket pair up — every EVEN-ranked row pairs with its
+    lag(1) predecessor, so row_number and lag compute in the SAME Window
+    node: ONE shuffle on the bucket key, no join at all (the first cut
+    split odd/even frames and equi-joined them back — that plan scanned
+    and window-sorted the corpus twice). Deterministic under reruns and
+    repartitioning. Output: (bin, cos_lo, n_pairs) where bin =
     floor(round(cos, 6) * 10), i.e. 0.1-wide bins labeled by their lower
     edge.
     """
@@ -397,16 +399,14 @@ def cosine_calibration(
         F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(n_buckets)).alias("b"),
     )
     w = Window.partitionBy("b").orderBy("id")
-    r = base.withColumn("rn", F.row_number().over(w))
-    lhs = r.filter(F.col("rn") % 2 == 1).select(
-        "b", ((F.col("rn") + 1) / 2).cast("bigint").alias("i"), F.col("v").alias("va")
+    r = base.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.lag("v").over(w).alias("va"),
     )
-    rhs = r.filter(F.col("rn") % 2 == 0).select(
-        "b", (F.col("rn") / 2).cast("bigint").alias("i"), F.col("v").alias("vb")
-    )
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("v"))
     return (
-        lhs.join(rhs, ["b", "i"])
+        r.filter(F.col("rn") % 2 == 0)
         .select(F.floor(F.round(cos, 6) * 10).cast("int").alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))

@@ -4713,19 +4713,15 @@ def q_ngram_diversity(spark, sf_dir):
       FROM embeddings WHERE embedding IS NOT NULL
     ),
     r AS (
-      SELECT id, v, b, row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+      SELECT v AS vb,
+             row_number() OVER (PARTITION BY b ORDER BY id) AS rn,
+             lag(v) OVER (PARTITION BY b ORDER BY id) AS va
       FROM base
-    ),
-    pr AS (
-      SELECT a.v AS va, bb.v AS vb
-      FROM (SELECT b, (rn + 1) // 2 AS i, v FROM r WHERE rn % 2 = 1) a
-      JOIN (SELECT b, rn // 2 AS i, v FROM r WHERE rn % 2 = 0) bb
-        USING (b, i)
     ),
     binned AS (
       SELECT CAST(floor(round({V.cosine_similarity_sql('va', 'vb')}, 6) * 10)
                   AS INT) AS bin
-      FROM pr
+      FROM r WHERE rn % 2 = 0
     )
     SELECT bin, round(bin / 10.0, 1) AS cos_lo,
            CAST(count(*) AS BIGINT) AS n_pairs
