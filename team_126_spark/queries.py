@@ -4686,21 +4686,26 @@ def q_bpe_pair_counts(spark, sf_dir):
       SELECT source, 3, unnest(list_transform(range(1, len(t) - 1),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
       FROM tok WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT source, n, {X.md5_low60_sql('gram')} AS gh FROM grams
     )
     SELECT source, n,
            CAST(count(*) AS BIGINT) AS total_ngrams,
-           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
-           round(count(DISTINCT gram) / count(*), 6) AS diversity
-    FROM grams GROUP BY source, n
+           CAST(count(DISTINCT gh) AS BIGINT) AS distinct_ngrams,
+           round(count(DISTINCT gh) / count(*), 6) AS diversity
+    FROM hashed GROUP BY source, n
     """,
     doc="per-source n-gram diversity (type-token ratio for n=1..3): the "
     "memorization/templating audit signal — a source whose trigram "
-    "diversity collapses is boilerplate even when exact dedup passes "
-    "(operators/textops.ngram_diversity)",
+    "diversity collapses is boilerplate even when exact dedup passes. "
+    "Distinct counted over the gram's md5_low60 hash (8-byte shuffle keys, "
+    "identical hash family on both engines — see "
+    "operators/textops.ngram_diversity for the measured rationale)",
 )
 def q_ngram_diversity(spark, sf_dir):
     return TO.ngram_diversity(
-        load(spark, sf_dir, "documents"), "text", "source", max_n=3
+        load(spark, sf_dir, "documents"), "text", "source", max_n=3, hash_fn="md5"
     )
 
 

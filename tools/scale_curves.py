@@ -76,6 +76,8 @@ def main() -> None:
         "minhash_lsh_pairs": lambda df: D.minhash_lsh_pairs(
             df, "text", "doc_id", k=3, bands=16, threshold=0.3
         ),
+        "bpe_pair_counts": lambda df: TO.bpe_pair_counts(df, "text", top_n=50),
+        "ngram_diversity": lambda df: TO.ngram_diversity(df, "text", "source", max_n=3),
     }
     vec_ops = {
         "knn_brute": lambda df: OV.knn(df, "embedding", probe, 10, "vec_id"),
@@ -83,6 +85,9 @@ def main() -> None:
         "ann_ivf": lambda df: OV.ivf_ann(df, "embedding", probe, 10, "vec_id"),
         "ann_quantized": lambda df: OV.quantized_knn(df, "embedding", "vec_id", probe, 10),
         "kmeans_lloyd": lambda df: OV.kmeans_lloyd(df, "embedding", "vec_id", k=8, iters=5),
+        "cosine_calibration": lambda df: OV.cosine_calibration(
+            df, "embedding", "vec_id", n_buckets=64
+        ),
     }
 
     print(f"load_avg={tuple(round(x, 2) for x in os.getloadavg())}")
