@@ -355,3 +355,30 @@ def write_csv(
     all the way down — so it's for EXPORTS, not for the next stage's input:
     feed pipelines parquet/ORC."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion for the multimodal surface: Spark's binaryFile
+    source reads each file as one row — (path, modificationTime, length,
+    content binary) — the standard on-ramp that turns an image/audio
+    directory into the opaque-binary-column table the multimodal operators
+    (operators/multimodal.py) consume. Scan parallelism = files across the
+    cluster; pair with `media_meta`/`featurize` Pandas UDFs downstream.
+
+    `glob` filters by pathGlobFilter at the SOURCE (pushed into file
+    listing — never list-then-filter) and `max_bytes` guards against a
+    stray multi-GB asset inflating a task: the length predicate prunes on
+    the file-status metadata column, no content is read for skipped files.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df

@@ -296,6 +296,37 @@ def run_idempotent_file_sink(
     q.awaitTermination()
 
 
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: Iterable[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to every
+    streaming event — the lookup shape of every ingest pipeline (event →
+    user profile, doc → source metadata). The static side is re-evaluated
+    per MICRO-BATCH (Spark's stream-static join contract), so a dimension
+    refreshed on disk between batches is picked up without restarting the
+    query — slowly-changing enrichment for free; the broadcast hint keeps
+    each micro-batch a map-side hash join, no stream-side shuffle.
+
+    Stateless (no watermark needed): each event joins the dimension AS OF
+    its own micro-batch, nothing is buffered. `how` is 'inner' or 'left'
+    ('left' keeps events whose key has no dimension row — NULL-padded, the
+    honest default for late-arriving dimension data); right/full are
+    rejected — they would need the full stream history on the static side.
+
+    Works identically on batch frames (the unified-model oracle the tests
+    diff against).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream_enrich: how must be 'inner' or 'left', got {how!r} — "
+            f"right/full outer would require unbounded stream history"
+        )
+    return stream.join(F.broadcast(dim), list(keys), how)
+
+
 def stream_correlate(
     left: DataFrame,
     right: DataFrame,

@@ -455,3 +455,25 @@ def test_synthvecs_datasource_geometry_and_determinism(spark):
             else:
                 cross += cos; nc += 1
     assert same / ns > cross / nc + 0.3  # planted anchors dominate noise
+
+
+def test_read_binary_dir_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: each asset file becomes one (path, length,
+    content) row; pathGlobFilter prunes at listing; max_bytes prunes on
+    file-status metadata."""
+    from team_126_spark.sources.io import read_binary_dir
+
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "a.img").write_bytes(b"\x89IMG" + b"\x00" * 60)
+    (assets / "b.img").write_bytes(b"\x89IMG" + b"\xff" * 200)
+    (assets / "notes.txt").write_text("not an image")
+
+    df = read_binary_dir(spark, str(assets), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"]["length"] == 64
+    assert bytes(rows["a.img"]["content"])[:4] == b"\x89IMG"
+
+    small = read_binary_dir(spark, str(assets), glob="*.img", max_bytes=100)
+    assert [r["path"].rsplit("/", 1)[-1] for r in small.collect()] == ["a.img"]

@@ -391,3 +391,30 @@ def test_user_running_state_tws_matches_legacy_api(spark, events_batch, stream_d
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     assert canon(final) == canon(want)
+
+
+def test_stream_enrich_equals_batch(spark, events_batch, stream_dir):
+    """Stream-static enrichment drains to exactly the batch join answer
+    (stateless — no watermark horizon to lose rows to), left-keeps events
+    with no dimension row, and rejects outer modes that would need stream
+    history."""
+    import pytest
+
+    dim = spark.createDataFrame(
+        [(uid, f"segment_{uid % 3}") for uid in range(0, 8)],
+        "user_id long, segment string",
+    )
+    src = STR.stream_events(spark, SF, stream_dir)
+    got = STR.run_to_memory(
+        STR.stream_enrich(src, dim, ["user_id"]), "t_enrich"
+    )
+    ev = events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = STR.stream_enrich(ev, dim, ["user_id"])
+    assert sorted(canon(got)) == sorted(canon(want))
+    assert got.count() == events_batch.count()  # left join keeps every event
+    # events with user_id outside the dim get NULL segment, not dropped
+    missing = got.filter(F.col("segment").isNull()).count()
+    batch_missing = ev.join(dim, "user_id", "left_anti").count()
+    assert missing == batch_missing
+    with pytest.raises(ValueError, match="inner.*left|right/full"):
+        STR.stream_enrich(src, dim, ["user_id"], how="full")
