@@ -253,3 +253,58 @@ def test_cdc_apply_matches_dict_model(spark, log):
         changes = spark.createDataFrame([], "k long, v double, seq long, op string")
     got = {r["k"]: r["v"] for r in cdc_apply(base, changes, ["k"], "seq", "op").collect()}
     assert got == model
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_bpe_pair_counts_matches_python_model(spark, xs):
+    """bpe_pair_counts == the straightforward Python reference (whitespace
+    tokenize, adjacent 2-char substrings per word occurrence) on ANY
+    corpus, including the count-desc/lexicographic tie order."""
+    import re
+    from collections import Counter
+
+    from team_126_spark.operators.textops import bpe_pair_counts
+
+    model: Counter = Counter()
+    for t in xs:
+        norm = re.sub(r"\s+", " ", t or "").strip().lower()
+        for w in (norm.split(" ") if norm else []):
+            for i in range(len(w) - 1):
+                model[w[i : i + 2]] += 1
+    want = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in bpe_pair_counts(_df(spark, xs), "t", top_n=50).collect()
+    ]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_ngram_diversity_matches_python_model(spark, xs):
+    """Per-source totals/distincts for n=1..3 equal the Python reference;
+    xxhash64-distinct must not change any count on these corpus sizes."""
+    import re
+
+    from team_126_spark.operators.textops import ngram_diversity
+
+    df = spark.createDataFrame(
+        [(i, x, f"s{i % 2}") for i, x in enumerate(xs)], ["i", "t", "src"]
+    )
+    model: dict = {}
+    for i, t in enumerate(xs):
+        src = f"s{i % 2}"
+        norm = re.sub(r"\s+", " ", t or "").strip().lower()
+        toks = norm.split(" ") if norm else []
+        for n in (1, 2, 3):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if grams:
+                tot, dis = model.get((src, n), (0, set()))
+                model[(src, n)] = (tot + len(grams), dis | set(grams))
+    got = {
+        (r["source"], r["n"]): (r["total_ngrams"], r["distinct_ngrams"])
+        for r in ngram_diversity(df, "t", "src", max_n=3).collect()
+    }
+    want = {k: (tot, len(dis)) for k, (tot, dis) in model.items()}
+    assert got == want
