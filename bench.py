@@ -171,13 +171,21 @@ def main() -> None:
     # median damps the box's documented contention noise (SCALING.md) that
     # made r02's simhash/minhash rows look regressed.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in benched.items():
         runs = []
         for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        med = sorted(runs)[1]
+        timings[name] = round(med, 3)
+        # per-row noise indicator: (max-min)/median. A row with spread > ~1
+        # was hit by contention mid-measurement — read its median with that
+        # in mind instead of adjudicating it as a regression (three straight
+        # verdict rounds did exactly that; see README "Benchmark
+        # methodology").
+        spread[name] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
 
     # Box-contention telemetry: three straight rounds burned a verdict
     # cycle adjudicating "regressions" that were other tenants on the box
@@ -195,6 +203,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "load_avg": [la1, la5, la15],
             }

@@ -105,3 +105,24 @@ def test_ann_observed_recall_metric(spark):
     assert 0.0 <= got["recall_at_k"] <= 1.0
     # instrumentation must not leak its helper column
     assert "_exact_hit" not in inst.columns
+
+
+def test_job_metrics_tool(spark):
+    """tools/job_metrics reads executed-plan SQL metrics: parser units plus
+    one live query whose metrics must be self-consistent."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.job_metrics import _parse_bytes, _parse_count, query_metrics
+
+    assert _parse_bytes("216.0 B") == 216
+    assert _parse_bytes("1.5 KiB") == 1536
+    assert _parse_bytes("total (min, med, max (stageId: taskId))\n2.0 MiB") == 2 * 2**20
+    assert _parse_count("15,000") == 15000
+    assert _parse_count("no digits here") == 0
+
+    from team_126_spark.queries import REGISTRY
+
+    m = query_metrics(spark, REGISTRY["agg_global"].fn, "/root/testdata/sf0.001")
+    assert m["sec"] > 0 and m["max_rows"] > 0
+    assert m["shuffle_mb"] >= 0 and m["spill_mb"] == 0  # tiny agg never spills
