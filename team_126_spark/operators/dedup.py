@@ -273,6 +273,15 @@ def minhash_lsh_pairs(
     key is the EXACT slice of signature values (no band-hash): ~40 B/row vs
     16 — still slim — and it removes the last xxhash64 from the pair
     pipeline, so with hash_fn='md5' the whole operator has a DuckDB twin.
+
+    PIPELINE-ORDER HAZARD: run `exact_dedup` FIRST. A clique of m exact
+    copies shares every band key, so one bucket emits m(m-1)/2 candidate
+    pairs — the output itself is quadratic in the clique size, and no
+    banding dial can fix that because the pairs are all true near-dups.
+    Deduping exact copies first collapses the clique to one row (the
+    composed-chain order in tools/composed_chain.py and the e2e test);
+    tests/test_dedup.py::test_exact_dedup_first_bounds_lsh_pairs pins the
+    m=200 case: 19,900 pairs raw vs 0 after exact-dedup-first.
     """
     sigs_plan = minhash_signatures(df, text_col, id_col, k, hash_fn).filter(
         F.col("signature").isNotNull()

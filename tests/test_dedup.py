@@ -617,3 +617,27 @@ def test_redact_spans_overlapping_spans_union(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         redact_spans(ev, spans, "text", "doc_id", k=0)
+
+
+def test_exact_dedup_first_bounds_lsh_pairs(spark):
+    """A clique of m exact copies emits m(m-1)/2 LSH candidate pairs — the
+    quadratic-output hazard no banding dial can fix; exact_dedup FIRST
+    collapses the clique (the composed-chain pipeline order)."""
+    from team_126_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    m = 200
+    clique = [(i, "the same exact duplicated document text appears here") for i in range(m)]
+    unique = [(1000 + i, f"wholly distinct document number {i} with words {i * 7} and {i * 13}")
+              for i in range(50)]
+    docs = spark.createDataFrame(clique + unique, ["doc_id", "text"])
+
+    raw = minhash_lsh_pairs(docs, "text", "doc_id", k=3, bands=16, threshold=0.9)
+    assert raw.count() >= m * (m - 1) // 2  # the clique alone is quadratic
+
+    groups = exact_dedup(docs, "text", "doc_id")
+    survivors = docs.join(
+        groups.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    assert survivors.count() == 1 + 50
+    after = minhash_lsh_pairs(survivors, "text", "doc_id", k=3, bands=16, threshold=0.9)
+    assert after.count() == 0  # clique collapsed; uniques share no bands
