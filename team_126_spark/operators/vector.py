@@ -546,6 +546,46 @@ def quantized_knn(
 KMEANS_MAX_KDIM = 32_768
 
 
+def kmeans_assign_broadcast(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Centroid assignment for LARGE k — the alternative the kmeans_lloyd
+    max_kdim guardrail names, shipped: centroids become a (cell, centroid)
+    TABLE (k rows, broadcast), every vector joins against all k, and one
+    min_by aggregate picks the nearest cell. No k-literal codegen
+    expression, so k is bounded by broadcast size (~k·dim·8 bytes — k=100k
+    at dim=64 is 51 MB, still broadcastable), not by Janino method limits.
+
+    Scale shape: broadcast nested-loop join emits n·k slim (id, cell, d2)
+    rows, but rows for one id are CONSECUTIVE in the same task, so the
+    min_by partial aggregation collapses them map-side — the shuffle
+    carries n rows, not n·k. Tie-break matches the codegen path exactly:
+    equal distances go to the lowest cell index (min_by on the
+    (d2, cell) struct's lexicographic order).
+    """
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _centroid array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .join(F.broadcast(cdf))
+        .select(F.col(id_col), F.col("cell"), d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(F.min_by("cell", F.struct("_d2", "cell")).alias("cell"))
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str,
@@ -580,10 +620,10 @@ def kmeans_lloyd(
             f"kmeans_lloyd: k*dim = {k * dim} > max_kdim={max_kdim} — the "
             f"assignment step inlines k centroid literals into one codegen "
             f"expression, which degrades (interpreted fallback, Janino "
-            f"method-size limit) at this size; for large k restructure "
-            f"assignment as a broadcast join against an exploded "
-            f"(cell, centroid) table + min_by(cell, dist), or pass a higher "
-            f"max_kdim (or None) if you really mean it"
+            f"method-size limit) at this size; for large k use "
+            f"kmeans_assign_broadcast (the shipped (cell, centroid) "
+            f"broadcast-join + min_by path), or pass a higher max_kdim "
+            f"(or None) if you really mean it"
         )
     cents = ivf_centroids(df, vec_col, id_col, k)
     if len(cents) < k:

@@ -428,3 +428,40 @@ def test_diversity_sample_quota_and_stability(spark):
         r["vec_id"] for r in rows
     )
     emb.unpersist()
+
+
+def test_kmeans_assign_broadcast_matches_codegen(spark):
+    """The large-k broadcast-join assignment is cell-for-cell identical to
+    the codegen literal-expression path, including lowest-cell tie-breaks."""
+    from team_126_spark.operators.vector import (
+        ivf_centroids,
+        kmeans_assign_broadcast,
+        kmeans_lloyd,
+    )
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    stats: dict = {}
+    codegen = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_lloyd(
+            emb, "embedding", "vec_id", k=8, iters=2, stats=stats
+        ).collect()
+    }
+    broadcast = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign_broadcast(
+            emb, "embedding", "vec_id", stats["centroids"]
+        ).collect()
+    }
+    assert codegen == broadcast
+    # explicit tie: two centroids at the same point -> lowest cell wins
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 2.0])], ["id", "v"])
+    cells = {
+        r["id"]: r["cell"]
+        for r in kmeans_assign_broadcast(
+            df, "v", "id", [[0.0, 0.0], [0.0, 0.0], [0.0, 2.0]]
+        ).collect()
+    }
+    assert cells == {1: 0, 2: 2}
+    emb.unpersist()
