@@ -901,3 +901,62 @@ def redact_spans(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         (F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_redacted"),
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(anchor, positive, negative) triples for contrastive embedding
+    training, mined from the corpus itself: positives are MinHash-LSH
+    near-dup pairs (textual paraphrase/near-copy supervision — the
+    standard weak-label trick), negatives are a DETERMINISTIC md5-bucket
+    pairing of the corpus (the cosine_calibration sampling shape: content-
+    independent, so they are random with respect to meaning, and stable
+    under reruns/repartitioning — reproducible training data).
+
+    Scale shape: positives = the LSH equi-join (shuffle ∝ corpus, never
+    n²); negatives = ONE window shuffle on the md5 bucket + a lag pairing
+    (n/2 disjoint pairs) joined back to anchors on the anchor id. A
+    negative can collide with a true near-dup only at the base near-dup
+    rate of the corpus (the usual noise floor for in-batch negatives).
+    Anchors whose bucket stranded them without a lag partner (one per
+    bucket) fall back to their own bucket's first row via the join being
+    inner — i.e. they are dropped: n/2 - n_buckets worst-case loss,
+    negligible and deterministic. Output: (anchor, positive, negative,
+    est_jaccard).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_low60
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, threshold, hash_fn)
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("_nid"),
+        F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(n_buckets)).alias("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy("_nid")
+    neg = (
+        base.select(
+            "_nid",
+            F.row_number().over(w).alias("_rn"),
+            F.lag("_nid").over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_nid").alias("anchor"), F.col("_prev").alias("negative"))
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("positive"),
+            "est_jaccard",
+        )
+        .join(neg, "anchor")
+        .select("anchor", "positive", "negative", "est_jaccard")
+    )

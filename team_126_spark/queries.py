@@ -4743,6 +4743,40 @@ def q_cosine_calibration(spark, sf_dir):
     )
 
 
+@declared(
+    "contrastive_pairs",
+    oracle="""
+    WITH pairs AS MATERIALIZED ({minhash_sql}),
+    base AS (
+      SELECT doc_id AS nid,
+             {md5b} % 64 AS b
+      FROM documents
+    ),
+    neg AS (
+      SELECT nid AS anchor, prev AS negative FROM (
+        SELECT nid, lag(nid) OVER (PARTITION BY b ORDER BY nid) AS prev
+        FROM base
+      ) WHERE prev IS NOT NULL
+    )
+    SELECT p.id_a AS anchor, p.id_b AS positive, n.negative, p.est_jaccard
+    FROM pairs p JOIN neg n ON n.anchor = p.id_a
+    """.format(
+        minhash_sql=_minhash_oracle_sql(bands=16, threshold=0.3),
+        md5b=X.md5_low60_sql("CAST(doc_id AS VARCHAR)"),
+    ),
+    doc="contrastive (anchor, positive, negative) triples mined from the "
+    "corpus: positives = MinHash-LSH near-dup pairs (weak paraphrase "
+    "labels), negatives = deterministic md5-bucket lag pairing (content-"
+    "independent, rerun-stable) — reproducible embedding-training data "
+    "(operators/dedup.contrastive_pairs)",
+)
+def q_contrastive_pairs(spark, sf_dir):
+    return D.contrastive_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, bands=16, threshold=0.3, hash_fn="md5",
+    )
+
+
 # ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================

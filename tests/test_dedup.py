@@ -641,3 +641,23 @@ def test_exact_dedup_first_bounds_lsh_pairs(spark):
     assert survivors.count() == 1 + 50
     after = minhash_lsh_pairs(survivors, "text", "doc_id", k=3, bands=16, threshold=0.9)
     assert after.count() == 0  # clique collapsed; uniques share no bands
+
+
+def test_contrastive_pairs_semantics(spark):
+    """Positives are the LSH pairs verbatim; negatives are deterministic
+    under repartitioning and never equal the anchor."""
+    from team_126_spark.operators.dedup import contrastive_pairs, minhash_lsh_pairs
+    from team_126_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    out = contrastive_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    assert out, "sf0.001 corpus has planted near-dups; triples expected"
+    pos = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert {(r["anchor"], r["positive"]) for r in out} <= pos
+    assert all(r["negative"] != r["anchor"] for r in out)
+    again = contrastive_pairs(docs.repartition(7), "text", "doc_id", threshold=0.3).collect()
+    key = lambda r: (r["anchor"], r["positive"], r["negative"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
