@@ -14,6 +14,23 @@ from pyspark.sql import SparkSession
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_report_header(config):
+    """Surface which dependency-gated twins are live (VERDICT r4 #9): a
+    container upgrade flips the suite's 2 skips to passes — this line makes
+    that visible in the run header without re-reading the skip list."""
+    import importlib.util
+
+    gates = {"pillow": "PIL", "protobuf": "google.protobuf"}
+    states = []
+    for name, module in gates.items():
+        try:
+            live = importlib.util.find_spec(module) is not None
+        except ModuleNotFoundError:
+            live = False
+        states.append(f"{name}={'LIVE' if live else 'gated'}")
+    return f"environment-gated twins: {', '.join(states)} (tools/gate_report.py)"
+
+
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
     s = (
