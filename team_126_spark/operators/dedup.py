@@ -200,6 +200,7 @@ def minhash_lsh_probe(
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     corpus_banded: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: sign ONLY the new batch and probe an existing
     signature corpus — the append-only production shape. A growing corpus
@@ -210,7 +211,11 @@ def minhash_lsh_probe(
     Pass `corpus_banded` when the band index is already materialized (the
     ingest layout above); otherwise it is derived from `corpus_sigs` — fine
     for tests, but at scale that re-explodes the whole corpus per batch,
-    which is exactly what the persisted index avoids.
+    which is exactly what the persisted index avoids. Pass `new_sigs`
+    ((doc, signature), non-null) when the caller already computed the
+    batch signatures — the streaming ingest path appends them to the
+    index anyway, so re-signing here would double the batch's one real
+    cost.
 
     Output: (new_id, corpus_id, est_jaccard >= threshold). Same banding,
     estimate, and hash-family semantics as minhash_lsh_pairs, so md5-family
@@ -219,11 +224,12 @@ def minhash_lsh_probe(
     # Batch signatures feed BOTH the banding and the estimate re-attach; a
     # lazy localCheckpoint computes the (batch-sized) signature job once
     # instead of replaying explode+hash+groupBy per consumer.
-    new_sigs = (
-        minhash_signatures(new_df, text_col, id_col, k, hash_fn)
-        .filter(F.col("signature").isNotNull())
-        .localCheckpoint(eager=False)
-    )
+    if new_sigs is None:
+        new_sigs = (
+            minhash_signatures(new_df, text_col, id_col, k, hash_fn)
+            .filter(F.col("signature").isNotNull())
+            .localCheckpoint(eager=False)
+        )
     banded_new = banded_signatures(new_sigs, bands).alias("n")
     banded_idx = (
         corpus_banded if corpus_banded is not None else banded_signatures(corpus_sigs, bands)

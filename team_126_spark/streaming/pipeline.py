@@ -181,6 +181,66 @@ def stream_curate(
     return stream_dedup(kept, ["fingerprint"], ts_col=ts_col, watermark=watermark)
 
 
+def stream_neardup_probe(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Streaming ingest-time near-dup detection — the streaming twin of the
+    L50 incremental LSH probe (operators/dedup.minhash_lsh_probe): each
+    micro-batch signs ONLY its own documents, probes the PERSISTED
+    signature/band index at `index_dir`, writes its match pairs to
+    `out_dir/batch=<id>`, and appends its own signatures and band rows to
+    the index — so the next batch also near-dups against THIS one. The
+    production corpus-ingest shape: per-batch cost ∝ batch size, the
+    corpus is never re-signed, and the growing index is the same layout a
+    batch backfill would build (minhash_signatures → banded_signatures).
+
+    Layout: `index_dir/sigs` (doc, signature) and `index_dir/bands`
+    (doc, band, bkey) parquet, appended per batch. Batch-retry semantics:
+    a replayed batch OVERWRITES its own pairs output (out_dir/batch=<id>),
+    and re-appends its signatures — duplicate index rows only create
+    duplicate candidate PAIRS, which the probe's dropDuplicates already
+    collapses, so a crash between the two writes cannot produce wrong
+    answers, only re-verified candidates. Seed the index by writing the
+    existing corpus's signatures/bands before starting the stream (tests
+    do exactly that).
+    """
+    from ..operators.dedup import banded_signatures, minhash_lsh_probe, minhash_signatures
+
+    def probe_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        sigs = (
+            minhash_signatures(bdf, text_col, id_col, k, hash_fn)
+            .filter(F.col("signature").isNotNull())
+            .localCheckpoint()
+        )
+        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs")
+        corpus_banded = spark.read.parquet(f"{index_dir}/bands")
+        pairs = minhash_lsh_probe(
+            bdf, corpus_sigs, text_col, id_col, k, bands, threshold, hash_fn,
+            corpus_banded=corpus_banded, new_sigs=sigs,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        sigs.write.mode("append").parquet(f"{index_dir}/sigs")
+        banded_signatures(sigs, bands).write.mode("append").parquet(f"{index_dir}/bands")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_messages", LongType()),

@@ -418,3 +418,68 @@ def test_stream_enrich_equals_batch(spark, events_batch, stream_dir):
     assert missing == batch_missing
     with pytest.raises(ValueError, match="inner.*left|right/full"):
         STR.stream_enrich(src, dim, ["user_id"], how="full")
+
+
+def test_stream_neardup_probe_matches_batch_probe(spark, tmp_path):
+    """The streaming ingest-time near-dup probe equals the batch
+    computation replayed in arrival order: batch 1 probes the seed corpus,
+    batch 2 probes seed + batch 1 (the self-growing index), and the index
+    after draining holds signatures for every doc."""
+    from team_126_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_probe,
+        minhash_signatures,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text").cache()
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    seed_sigs = minhash_signatures(seed, "text", "doc_id", 3).filter(
+        F.col("signature").isNotNull()
+    )
+    seed_sigs.write.parquet(f"{index_dir}/sigs")
+    banded_signatures(seed_sigs, 16).write.parquet(f"{index_dir}/bands")
+
+    stream_src = str(tmp_path / "incoming")
+    b1.coalesce(1).write.mode("append").parquet(stream_src)
+    b2.coalesce(1).write.mode("append").parquet(stream_src)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    STR.stream_neardup_probe(
+        src, index_dir, out_dir, str(tmp_path / "ckpt"), threshold=0.3
+    )
+
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"),
+                ["new_id", "corpus_id", "est_jaccard"])
+    # arrival-order batch replay (batch ids are not deterministic per file,
+    # so compare against the UNION over both possible orders' pair sets —
+    # which is order-independent here because probe(bX, seed+bY) ∪
+    # probe(bY, seed) == all pairs with exactly one endpoint per side)
+    w1 = minhash_lsh_probe(b1, seed_sigs, "text", "doc_id", threshold=0.3)
+    sigs_after_1 = seed_sigs.unionByName(
+        minhash_signatures(b1, "text", "doc_id", 3).filter(F.col("signature").isNotNull())
+    )
+    w2 = minhash_lsh_probe(b2, sigs_after_1, "text", "doc_id", threshold=0.3)
+    want_a = canon(w1.unionByName(w2), ["new_id", "corpus_id", "est_jaccard"])
+    # the other arrival order
+    w1b = minhash_lsh_probe(b2, seed_sigs, "text", "doc_id", threshold=0.3)
+    sigs_after_1b = seed_sigs.unionByName(
+        minhash_signatures(b2, "text", "doc_id", 3).filter(F.col("signature").isNotNull())
+    )
+    w2b = minhash_lsh_probe(b1, sigs_after_1b, "text", "doc_id", threshold=0.3)
+    want_b = canon(w1b.unionByName(w2b), ["new_id", "corpus_id", "est_jaccard"])
+    assert got in (want_a, want_b) and len(got) > 0
+
+    # index grew to cover every signed doc
+    n_idx = spark.read.parquet(f"{index_dir}/sigs").select("doc").distinct().count()
+    n_all = minhash_signatures(docs, "text", "doc_id", 3).filter(
+        F.col("signature").isNotNull()
+    ).count()
+    assert n_idx == n_all
+    docs.unpersist()
