@@ -600,3 +600,76 @@ def expect_checks(
             raise ValueError(f"expect_checks: violations {bad} over {row['n_rows']} rows")
         return out.sparkSession.createDataFrame([row], out.schema)
     return out
+
+
+def hierarchy_resolve(
+    df: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_iter: int = 20,
+    check_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, root_id, depth) for every node of a parent-pointer forest — the
+    recursive-CTE workload (org charts, BOM trees, reply threads, category
+    taxonomies) Spark SQL famously lacks, solved with the pointer-doubling
+    loop dedup_components already uses: each round every node's pointer
+    jumps to its pointer's pointer and accumulates the hop distance
+    (ptr ← ptr[ptr], depth += depth[ptr]), so a depth-d chain resolves in
+    ⌈log₂ d⌉ rounds — max_iter=20 covers depth ~10⁶. Per round: ONE
+    equi-self-join on the (uniform) id key; localCheckpoint cuts lineage;
+    convergence is CONFIRMED by a count (every `check_every` rounds, and
+    always before returning) — never assumed — and failure to converge
+    raises, which is also the cycle detector (a cycle never reaches a
+    fixpoint; silently looping rows would be wrong answers).
+
+    Roots are rows with NULL parent (depth 0, root_id = own id). A DANGLING
+    parent pointer (parent id absent from the table) resolves as a root AT
+    the missing id — depth counts the hop into it; pinned by test. Raises
+    RuntimeError on max_iter exhaustion (cycle or depth > 2^max_iter).
+    """
+    if max_iter < 1:
+        raise ValueError(f"hierarchy_resolve: max_iter must be >= 1, got {max_iter}")
+    if check_every < 1:
+        raise ValueError(f"hierarchy_resolve: check_every must be >= 1, got {check_every}")
+    cur = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("ptr"),
+        F.when(
+            F.col(parent_col).isNull() | (F.col(parent_col) == F.col(id_col)),
+            F.lit(0),
+        ).otherwise(F.lit(1)).cast("bigint").alias("depth"),
+    ).localCheckpoint()
+    rounds = 0
+    converged = False
+    for i in range(max_iter):
+        rounds += 1
+        a, b = cur.alias("a"), cur.alias("b")
+        nxt = a.join(b, F.col("a.ptr") == F.col("b.id"), "left").select(
+            F.col("a.id").alias("id"),
+            F.coalesce(F.col("b.ptr"), F.col("a.ptr")).alias("ptr"),
+            (F.col("a.depth") + F.coalesce(F.col("b.depth"), F.lit(0))).alias("depth"),
+        ).localCheckpoint()
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            # fixpoint: nothing moved this round. Comparing total depth is
+            # enough — depth strictly increases for any row that advanced.
+            moved = (
+                nxt.alias("n")
+                .join(cur.alias("c"), "id")
+                .filter(F.col("n.depth") != F.col("c.depth"))
+                .count()
+            )
+            if moved == 0:
+                cur = nxt
+                converged = True
+                break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"hierarchy_resolve: no fixpoint after {rounds} pointer-doubling "
+            f"rounds — a depth > 2^{rounds} chain or a CYCLE in "
+            f"{parent_col}; raising instead of returning wrong depths"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return cur.select("id", F.col("ptr").alias("root_id"), "depth")

@@ -4777,6 +4777,44 @@ def q_contrastive_pairs(spark, sf_dir):
     )
 
 
+@declared(
+    "hierarchy_resolve",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey >= 7 THEN c_custkey // 7 END AS parent
+      FROM customer
+    ),
+    walk AS (
+      SELECT id, id AS cur, 0 AS depth FROM nodes
+      UNION ALL
+      SELECT w.id, n.parent, w.depth + 1
+      FROM walk w JOIN nodes n ON n.id = w.cur
+      WHERE n.parent IS NOT NULL
+    )
+    SELECT id, CAST(cur AS BIGINT) AS root_id, CAST(depth AS BIGINT) AS depth
+    FROM (
+      SELECT id, cur, depth,
+             row_number() OVER (PARTITION BY id ORDER BY depth DESC) AS rn
+      FROM walk
+    ) WHERE rn = 1
+    """,
+    doc="§2.14 hierarchical resolution (the recursive-CTE workload Spark SQL "
+    "lacks): (id, root_id, depth) over a parent-pointer forest derived from "
+    "customer keys (parent = key // 7, 6 roots, depth ~ log₇ N) — pointer "
+    "doubling resolves depth-d chains in ⌈log₂ d⌉ equi-join rounds with a "
+    "CONFIRMED fixpoint (operators/relational.hierarchy_resolve); oracle = "
+    "DuckDB recursive CTE walking each node to its root",
+)
+def q_hierarchy_resolve(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 7, (F.col("c_custkey") / 7).cast("bigint"))
+        .alias("parent"),
+    )
+    return R.hierarchy_resolve(c, "id", "parent")
+
+
 # ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================

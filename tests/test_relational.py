@@ -661,3 +661,54 @@ def test_expect_checks_counts_and_circuit_breaker(spark):
     empty = df.filter(F.col("id") < 0)
     row = expect_checks(empty, {"v_positive": F.col("v") > 0}).first()
     assert (row["n_rows"], row["v_positive"]) == (0, 0)
+
+
+def test_hierarchy_resolve_semantics(spark):
+    """Roots (NULL or self parent) get depth 0; chains resolve to the true
+    root and depth; a dangling parent resolves as a root AT the missing id;
+    a cycle raises instead of returning wrong depths."""
+    import pytest
+
+    from team_126_spark.operators.relational import hierarchy_resolve
+
+    rows = [
+        (1, None),   # root
+        (2, 1),      # depth 1
+        (3, 2),      # depth 2
+        (4, 3),      # depth 3 (chain exercises doubling)
+        (5, 5),      # self-parent: also a root
+        (6, 99),     # dangling parent -> root at 99, depth 1
+    ]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    stats: dict = {}
+    got = {
+        r["id"]: (r["root_id"], r["depth"])
+        for r in hierarchy_resolve(df, "id", "parent", stats=stats).collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 5: (5, 0), 6: (99, 1)
+    }
+    # depth-3 chain needs 2 doubling rounds + 1 confirming round at most
+    assert stats["rounds"] <= 4
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
+    with pytest.raises(RuntimeError, match="CYCLE|cycle"):
+        hierarchy_resolve(cyc, "id", "parent", max_iter=6)
+
+
+def test_hierarchy_resolve_deep_chain(spark):
+    """A 300-deep chain converges in ~log2(300)+slack rounds — the pointer
+    doubling actually doubles."""
+    from team_126_spark.operators.relational import hierarchy_resolve
+
+    n = 300
+    df = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(n)], "id long, parent long"
+    )
+    stats: dict = {}
+    got = {
+        r["id"]: (r["root_id"], r["depth"])
+        for r in hierarchy_resolve(df, "id", "parent", stats=stats).collect()
+    }
+    assert got[n - 1] == (0, n - 1) and got[0] == (0, 0)
+    assert stats["rounds"] <= 12  # ceil(log2(300)) = 9, plus confirm slack
