@@ -139,6 +139,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "ngram_diversity",
     "cosine_calibration",
+    "contrastive_pairs",
+    "hierarchy_resolve",
 ]
 
 
