@@ -427,13 +427,24 @@ def ngram_diversity(
 
 
 def pack_sequences(
-    df: DataFrame, text_col: str, id_col: str, budget: int = 64, n_shards: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 64,
+    n_shards: int = 8,
+    cost: Column | None = None,
 ) -> DataFrame:
     """Greedy next-fit sequence packing: within deterministic md5 shards,
     stream docs in id order and append each to the current bin unless its
     tokens would push the bin past `budget` — then open a new bin. A doc
     longer than `budget` gets a bin of its own. The packing every training
     pipeline runs to fill fixed context windows without splitting documents.
+
+    `cost` overrides the default whitespace token count with an arbitrary
+    per-row cost expression — the multimodal interleaved-document shape,
+    where each image/audio segment occupies a FIXED patch-token budget in
+    the context window (e.g. tokens + 64 × n_images); the packing
+    machinery is cost-agnostic, only the cost model changes.
 
     The scan-with-reset state (running bin total) is not expressible as a
     plain window function, so each shard packs in one `applyInPandas` call —
@@ -446,7 +457,9 @@ def pack_sequences(
     base = df.select(
         F.col(id_col),
         F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(n_shards)).alias("shard"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        (cost if cost is not None else token_count(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     # id keeps its source type (string/int32 ids must not be declared bigint)
     id_type = df.schema[id_col].dataType.simpleString()

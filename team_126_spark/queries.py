@@ -4815,6 +4815,47 @@ def q_hierarchy_resolve(spark, sf_dir):
     return R.hierarchy_resolve(c, "id", "parent")
 
 
+@declared(
+    "multimodal_pack",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             {X.md5_low60_sql('CAST(doc_id AS VARCHAR)')} % 8 AS shard,
+             {X.token_count_sql('text')} + 64 * (doc_id % 3) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_tokens
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+             CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.n_tokens > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.n_tokens > 256
+                  THEN o.n_tokens ELSE p.bin_tokens + o.n_tokens END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM packed
+    """,
+    doc="multimodal interleaved-document packing: each doc's context cost = "
+    "text tokens + 64 patch-tokens per image (image count derived "
+    "deterministically as doc_id % 3), packed next-fit into 256-token "
+    "windows — pack_sequences' cost-model override exercising the "
+    "image-budget shape (SURVEY §2.14); same stateful applyInPandas "
+    "machinery, same recursive-CTE oracle with the multimodal cost",
+)
+def q_multimodal_pack(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    cost = X.token_count(F.col("text")) + 64 * (F.col("doc_id") % 3)
+    return TO.pack_sequences(d, "text", "doc_id", budget=256, n_shards=8, cost=cost)
+
+
 # ===================================================================
 # Driver-sample rotation (round 4)
 # ===================================================================
