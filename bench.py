@@ -141,6 +141,11 @@ HEADLINE = [
     "cosine_calibration",
     "contrastive_pairs",
     "hierarchy_resolve",
+    "pagerank_topk",
+    "inverted_index",
+    "skew_report",
+    "group_normalize",
+    "quantiles_approx",
 ]
 
 

@@ -673,3 +673,128 @@ def hierarchy_resolve(
     if stats is not None:
         stats["rounds"] = rounds
     return cur.select("id", F.col("ptr").alias("root_id"), "depth")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    stats: dict | None = None,
+) -> DataFrame:
+    """PageRank over an edge list — the second iterative-workload family
+    (with hierarchy_resolve) the reference's Postgres could only express as
+    app-side loops. Fixed-iteration power method: per round ONE equi-join of
+    the rank vector onto the (degree-annotated, checkpointed-once) edge list
+    on `src`, one partial-aggregated groupBy on `dst`, and a left join back
+    onto the node set so sinks of the in-edge relation keep their teleport
+    mass. Each round is localCheckpointed, so the plan stays O(1) deep and a
+    1000-executor run shuffles exactly (edges + nodes) slim rows per round
+    on uniform keys.
+
+    Dangling nodes (out-degree 0) leak mass under the naive update; their
+    pooled rank is redistributed uniformly each round — the standard
+    treatment — via a broadcast single-row aggregate (never a driver
+    collect). The dangling branch is built only when dangling nodes exist
+    (one bounded count up front), so graphs that are symmetric by
+    construction pay nothing for it and keep a nested-loop-free plan.
+
+    Returns (node, pr) UNROUNDED; callers owning an oracle contract round.
+    Rank mass is conserved: sum(pr) = 1 every round (property-tested).
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # Degree-annotated edges are reused every round: checkpoint once.
+    e_deg = e.join(deg, "src").localCheckpoint()
+    n = nodes.count()  # bounded scalar: |V|, needed for init + teleport
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pr"))
+    dangling = nodes.join(deg, nodes["node"] == deg["src"], "left_anti")
+    has_dangling = dangling.limit(1).count() > 0  # bounded probe
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select("dst", (F.col("pr") / F.col("out_deg")).alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        nxt = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node", F.coalesce(F.col("in_mass"), F.lit(0.0)).alias("in_mass")
+        )
+        if has_dangling:
+            pooled = (
+                ranks.join(dangling.select("node"), "node", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
+            )
+            nxt = nxt.crossJoin(F.broadcast(pooled)).select(
+                "node",
+                (F.col("in_mass") + F.col("_dang") / n).alias("in_mass"),
+            )
+        ranks = nxt.select(
+            "node", (F.lit(teleport) + F.lit(damping) * F.col("in_mass")).alias("pr")
+        ).localCheckpoint()
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["n_nodes"] = n
+        stats["has_dangling"] = has_dangling
+    return ranks
+
+
+def skew_report(
+    df: DataFrame,
+    key: Column | str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for shuffle-key skew: per-key row counts with
+    each key's share of the table and the cumulative share of the top keys —
+    the number an engineer reads before deciding a join needs salting
+    (operators/relational.salted_join) or AQE skew handling.
+
+    Shape at 100 TB: the raw table collapses to one partial-aggregated
+    groupBy (distinct-key-sized output); the global total piggybacks as a
+    broadcast single-row aggregate (no driver collect); the ranking window
+    runs on the distinct-key table only — never on raw rows — and the
+    row_number bound keeps the result top_k rows. Ties rank by key ASC so
+    the report is deterministic.
+
+    Returns (key, cnt, share_r, cum_share_r, rank) with shares rounded 6dp.
+    """
+    if top_k < 1:
+        raise ValueError(f"skew_report: top_k must be >= 1, got {top_k}")
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.select(k.alias("key")).groupBy("key").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    total = df.agg(F.count("*").cast("double").alias("_total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    cum = Window.orderBy(F.desc("cnt"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_cum", F.sum("cnt").over(cum))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share_r"),
+            F.round(F.col("_cum") / F.col("_total"), 6).alias("cum_share_r"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

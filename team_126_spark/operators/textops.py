@@ -988,3 +988,75 @@ def segment_dedup(
             F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 5,
+    max_df_ratio: float = 0.2,
+    cap_postings: int = 100,
+) -> DataFrame:
+    """Build a bounded inverted index (term -> document frequency + posting
+    list) — the IR primitive behind keyword search, BM25 candidates, and
+    n-gram decontamination audits.
+
+    Scale shape (the part that matters at 100 TB): document frequencies are
+    computed FIRST on slim (term, doc_id) distinct pairs, the stopword band
+    [min_df, max_df_ratio * n_docs] prunes terms via one broadcast-scalar
+    filter, and only the SURVIVING terms' postings are ranked — a
+    row_number window bounds every posting list to `cap_postings` BEFORE the
+    collect_list, so no reducer ever materializes a stopword's full posting
+    list. The n_docs scalar rides a broadcast single-row aggregate (no
+    driver collect). Postings are emitted as a comma-joined ASC string —
+    deterministic, oracle-hashable, and the on-disk shape a posting shard
+    would take anyway.
+
+    Returns (term, df, postings_csv); df counts ALL matching docs even when
+    the stored postings are capped.
+    """
+    if min_df < 1:
+        raise ValueError(f"inverted_index: min_df must be >= 1, got {min_df}")
+    if not 0.0 < max_df_ratio <= 1.0:
+        raise ValueError(
+            f"inverted_index: max_df_ratio must be in (0, 1], got {max_df_ratio}"
+        )
+    if cap_postings < 1:
+        raise ValueError(
+            f"inverted_index: cap_postings must be >= 1, got {cap_postings}"
+        )
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dfreq = dt.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("n_docs") * max_df_ratio)
+        )
+        .select("term", "df")
+    )
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    postings = (
+        dt.join(kept.select("term"), "term", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap_postings)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv")
+        )
+    )
+    return kept.join(postings, "term")

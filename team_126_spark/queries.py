@@ -4858,6 +4858,231 @@ def q_multimodal_pack(spark, sf_dir):
     return TO.pack_sequences(d, "text", "doc_id", budget=256, n_shards=8, cost=cost)
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled power-method oracle: standard SQL forbids aggregation in a
+    recursive term, so each PageRank round is its own CTE — exact same
+    update rule as operators/relational.pagerank."""
+    head = """
+    WITH eb AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM eb
+      UNION
+      SELECT dst AS src, src AS dst FROM eb
+    ),
+    deg AS (SELECT src, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f""",
+    pr{i} AS (
+      SELECT nd.node,
+             0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.in_mass, 0) AS pr
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / d.out_deg) AS in_mass
+        FROM edges e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) m ON m.node = nd.node
+    )""")
+    tail = f"""
+    SELECT node, round(pr, 6) AS pr_r FROM pr{iterations}
+    ORDER BY pr_r DESC, node LIMIT 20
+    """
+    return head + "".join(rounds) + tail
+
+
+@declared(
+    "pagerank_topk",
+    oracle=_pagerank_oracle(5),
+    doc="§2.14 PageRank top-20 over the bidirectional customer<->supplier "
+    "trade graph (distinct lineitem-orders pairs, both directions so the "
+    "graph has no dangling nodes): 5 power-method rounds at damping 0.85 — "
+    "the second iterative-workload family after hierarchy_resolve, per "
+    "round one equi-join of the rank vector onto checkpointed "
+    "degree-annotated edges + one partial-aggregated groupBy "
+    "(operators/relational.pagerank); oracle = the same five rounds "
+    "unrolled as CTEs (aggregation is illegal in a recursive term)",
+)
+def q_pagerank_topk(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = R.pagerank(edges, "src", "dst", iterations=5, damping=0.85)
+    return (
+        pr.select("node", F.round("pr", 6).alias("pr_r"))
+        .orderBy(F.desc("pr_r"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@declared(
+    "inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS term
+      FROM documents
+      WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    dt AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    kept AS (SELECT term, df FROM dfreq, nn WHERE df >= 5 AND df <= n_docs * 0.8),
+    ranked AS (
+      SELECT dt.term, dt.doc_id,
+             row_number() OVER (PARTITION BY dt.term ORDER BY dt.doc_id) AS rn
+      FROM dt JOIN kept ON kept.term = dt.term
+    ),
+    posts AS (
+      SELECT term,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+      FROM ranked WHERE rn <= 100 GROUP BY term
+    )
+    SELECT kept.term, kept.df, posts.postings_csv
+    FROM kept JOIN posts ON posts.term = kept.term
+    """,
+    doc="§2.14 bounded inverted index over documents: df-first stopword-band "
+    "pruning ([5, 80% of corpus] — the synthetic vocabulary is tiny and "
+    "dense, so the band is set where it separates the corpus's own head "
+    "terms), postings rank-limited to 100 BEFORE the "
+    "collect so no reducer ever holds a stopword's full posting list, "
+    "postings emitted as ASC comma string "
+    "(operators/textops.inverted_index); the IR primitive behind keyword "
+    "candidates and decontamination audits",
+)
+def q_inverted_index(spark, sf_dir):
+    return TO.inverted_index(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        min_df=5, max_df_ratio=0.8, cap_postings=100,
+    )
+
+
+@declared(
+    "skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT count(*)::DOUBLE AS total FROM lineitem),
+    r AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, key
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    )
+    SELECT key, cnt,
+           round(cnt / (SELECT total FROM t), 6) AS share_r,
+           round(cum / (SELECT total FROM t), 6) AS cum_share_r,
+           rank::BIGINT AS rank
+    FROM r WHERE rank <= 50
+    """,
+    doc="§2.14 shuffle-key skew diagnostic: top-50 heavy hitters of "
+    "lineitem.l_suppkey with per-key share and cumulative share — the "
+    "number read before choosing salting (salted_join_fk) or AQE skew "
+    "handling; the raw table collapses to one partial agg, the window runs "
+    "on the distinct-key table only (operators/relational.skew_report)",
+)
+def q_skew_report(spark, sf_dir):
+    return R.skew_report(load(spark, sf_dir, "lineitem"), "l_suppkey", top_k=50)
+
+
+@declared(
+    "group_normalize",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           round((n_tokens - avg(n_tokens) OVER (PARTITION BY source))
+                 / NULLIF(stddev_pop(n_tokens) OVER (PARTITION BY source), 0),
+                 6) AS z_r
+    FROM lens
+    """,
+    doc="§2.14 per-group feature normalization: z-score of token count "
+    "within each source (window avg/stddev_pop, one shuffle on source) — "
+    "the length-prior removal step before cross-source quality thresholds; "
+    "degenerate single-value groups emit NULL via NULLIF, identically on "
+    "both engines",
+)
+def q_group_normalize(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ln = X.token_count(F.col("text"))
+    w = Window.partitionBy("source")
+    return d.select(
+        "doc_id",
+        "source",
+        ln.alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") - F.avg("n_tokens").over(w))
+            / F.nullif(F.stddev_pop("n_tokens").over(w), F.lit(0.0)),
+            6,
+        ).alias("z_r"),
+    )
+
+
+@declared(
+    "quantiles_approx",
+    oracle=f"""
+    WITH lens AS (SELECT {X.token_count_sql('text')} AS len FROM documents)
+    SELECT round(quantile_cont(len, 0.5), 6) AS p50,
+           round(quantile_cont(len, 0.9), 6) AS p90,
+           round(quantile_cont(len, 0.99), 6) AS p99,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM lens
+    """,
+    doc="§2.14 sketch-family quantiles, driver-checkable in the "
+    "profile_approx shape: percentile_approx (GK sketch, mergeable — the "
+    "100 TB quantile path) computed in the SAME single-pass aggregate as "
+    "the exact percentiles, the emitted row carrying the exact p50/p90/p99 "
+    "plus a deterministic verdict boolean per quantile (approx within the "
+    "exact [p-1%, p+1%] rank band — 100x looser than the sketch's 1e-4 "
+    "guarantee, TRUE on both engines unless the sketch is actually broken)",
+)
+def q_quantiles_approx(spark, sf_dir):
+    lens = load(spark, sf_dir, "documents").select(
+        X.token_count(F.col("text")).alias("len")
+    )
+    ps = [0.5, 0.9, 0.99]
+    lo = [p - 0.01 for p in ps]
+    hi = [min(p + 0.01, 1.0) for p in ps]
+    row = lens.agg(
+        F.percentile("len", F.lit(ps)).alias("_ex"),
+        F.percentile("len", F.lit(lo)).alias("_lo"),
+        F.percentile("len", F.lit(hi)).alias("_hi"),
+        F.percentile_approx("len", F.lit(ps), F.lit(10000)).alias("_ap"),
+    )
+    cols = []
+    for i, label in enumerate(("p50", "p90", "p99")):
+        cols.append(F.round(F.col("_ex")[i], 6).alias(label))
+    for i, label in enumerate(("ok_p50", "ok_p90", "ok_p99")):
+        cols.append(
+            (
+                (F.col("_ap")[i] >= F.col("_lo")[i])
+                & (F.col("_ap")[i] <= F.col("_hi")[i])
+            ).alias(label)
+        )
+    return row.select(*cols)
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

@@ -661,3 +661,32 @@ def test_contrastive_pairs_semantics(spark):
     again = contrastive_pairs(docs.repartition(7), "text", "doc_id", threshold=0.3).collect()
     key = lambda r: (r["anchor"], r["positive"], r["negative"])  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_inverted_index_band_cap_and_numeric_order(spark):
+    """min_df/max_df band prunes rare + stopword terms; postings cap
+    truncates the stored list but df still counts every doc; doc_ids sort
+    NUMERICALLY (2 before 10), not lexicographically."""
+    from team_126_spark.operators.textops import inverted_index
+
+    rows = [(i, "common alpha" if i < 12 else "common beta") for i in range(1, 15)]
+    # "common" in all 14 docs (df ratio 1.0 > 0.8 -> stopword-pruned),
+    # "alpha" in docs 1..11 (df 11), "beta" in 12..14 (df 3 < min_df 2? no:
+    # min_df=2 keeps it; cap postings at 2).
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["term"]: r
+        for r in inverted_index(
+            df, "text", "doc_id", min_df=2, max_df_ratio=0.8, cap_postings=2
+        ).collect()
+    }
+    assert "common" not in got  # above the max_df band
+    assert got["beta"]["df"] == 3 and got["beta"]["postings_csv"] == "12,13"
+    assert got["alpha"]["df"] == 11 and got["alpha"]["postings_csv"] == "1,2"
+
+    with pytest.raises(ValueError, match="min_df"):
+        inverted_index(df, "text", "doc_id", min_df=0)
+    with pytest.raises(ValueError, match="max_df_ratio"):
+        inverted_index(df, "text", "doc_id", max_df_ratio=0.0)
+    with pytest.raises(ValueError, match="cap_postings"):
+        inverted_index(df, "text", "doc_id", cap_postings=0)

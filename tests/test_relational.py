@@ -712,3 +712,64 @@ def test_hierarchy_resolve_deep_chain(spark):
     }
     assert got[n - 1] == (0, n - 1) and got[0] == (0, 0)
     assert stats["rounds"] <= 12  # ceil(log2(300)) = 9, plus confirm slack
+
+
+def test_pagerank_known_graph_and_mass(spark):
+    """Hand-checkable graphs: (a) symmetric 2-node graph is uniform; (b) a
+    star pulls rank into the hub; rank mass sums to 1 in both (the power
+    method conserves probability)."""
+    from team_126_spark.operators.relational import pagerank
+
+    two = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(two, "src", "dst", iterations=3).collect()}
+    assert got["a"] == pytest.approx(0.5) and got["b"] == pytest.approx(0.5)
+
+    # star: spokes 1..4 <-> hub; hub must outrank every spoke
+    edges = [("h", str(i)) for i in range(4)] + [(str(i), "h") for i in range(4)]
+    star = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(star, "src", "dst", iterations=5, stats=stats).collect()
+    }
+    assert sum(pr.values()) == pytest.approx(1.0)
+    assert all(pr["h"] > pr[str(i)] for i in range(4))
+    assert stats["has_dangling"] is False and stats["n_nodes"] == 5
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """a->b with no out-edge from b: the naive update leaks b's mass; the
+    dangling pool must be redistributed so total rank stays 1."""
+    from team_126_spark.operators.relational import pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    stats: dict = {}
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, "src", "dst", iterations=4, stats=stats).collect()
+    }
+    assert stats["has_dangling"] is True
+    assert sum(pr.values()) == pytest.approx(1.0)
+    assert pr["b"] > pr["a"]  # b receives a's push plus its teleport share
+
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, "src", "dst", iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, "src", "dst", damping=1.0)
+
+
+def test_skew_report_shares_and_bounds(spark):
+    from team_126_spark.operators.relational import skew_report
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["x"] * 6 + ["y"] * 3 + ["z"]], "k string"
+    )
+    rows = {r["key"]: r for r in skew_report(df, "k", top_k=2).collect()}
+    assert set(rows) == {"x", "y"}  # z cut by top_k
+    assert rows["x"]["rank"] == 1 and rows["x"]["share_r"] == pytest.approx(0.6)
+    assert rows["y"]["cum_share_r"] == pytest.approx(0.9)
+
+    with pytest.raises(ValueError, match="top_k"):
+        skew_report(df, "k", top_k=0)
