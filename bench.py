@@ -146,6 +146,8 @@ HEADLINE = [
     "skew_report",
     "group_normalize",
     "quantiles_approx",
+    "triangle_count",
+    "retention_cohorts",
 ]
 
 

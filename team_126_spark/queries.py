@@ -5083,6 +5083,112 @@ def q_quantiles_approx(spark, sf_dir):
     return row.select(*cols)
 
 
+@declared(
+    "triangle_count",
+    oracle=f"""
+    WITH gen AS (
+      SELECT c_custkey AS src,
+             1 + ({X.md5_low32_sql("'e:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 1000) AS dst
+      FROM customer, unnest([1, 2, 3, 4]) AS t(k)
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM gen WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ),
+    ori AS (
+      SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und
+      JOIN deg du ON du.node = und.u
+      JOIN deg dv ON dv.node = und.v
+    ),
+    tris AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM ori e1 JOIN ori e2 ON e2.a = e1.b
+      WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    ),
+    ne AS (SELECT count(*)::BIGINT AS n_edges FROM und),
+    wd AS (SELECT COALESCE(sum(deg * (deg - 1) / 2), 0)::BIGINT AS n_wedges FROM deg)
+    SELECT n_edges, n_wedges, n_triangles,
+           round(3.0 * n_triangles / NULLIF(n_wedges, 0), 6) AS clustering_r
+    FROM ne, wd, tris
+    """,
+    doc="§2.14 triangle census + global clustering coefficient over a "
+    "deterministic md5-derived graph on customer keys (4 pseudo-random "
+    "edges per customer into a 1000-node id space): degree ORIENTATION "
+    "bounds the wedge join to O(E^1.5) path candidates regardless of hub "
+    "skew — a 10^6-degree hub contributes zero fan-out wedges because all "
+    "its edges point into it (operators/relational.triangle_count); the "
+    "multi-way self-join workload family, each triangle counted exactly "
+    "once via the unique acyclic orientation",
+)
+def q_triangle_count(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("src"),
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+    ).select(
+        "src",
+        (
+            1
+            + X.md5_low32(
+                F.concat(
+                    F.lit("e:"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            )
+            % 1000
+        ).alias("dst"),
+    )
+    return R.triangle_count(edges, "src", "dst")
+
+
+@declared(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE))::BIGINT AS days_since,
+           count(DISTINCT e.user_id)::BIGINT AS n_active
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY f.cohort_day, days_since
+    """,
+    doc="§2.14 cohort retention analytics: users bucketed by first-activity "
+    "day, activity counted per (cohort_day, days_since) cell — the "
+    "product-analytics workload behind every retention curve; one groupBy "
+    "for cohort assignment, one equi-join back, one distinct-count "
+    "aggregate, all on uniform user keys",
+)
+def q_retention_cohorts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date(F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("days_since"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

@@ -773,3 +773,33 @@ def test_skew_report_shares_and_bounds(spark):
 
     with pytest.raises(ValueError, match="top_k"):
         skew_report(df, "k", top_k=0)
+
+
+def test_triangle_count_known_graphs(spark):
+    """Hand-checkable: K3 has exactly 1 triangle and clustering 1.0; a
+    4-star has 0 triangles but 6 wedges; duplicate/reversed edge rows and
+    self-loops must not distort the census."""
+    from team_126_spark.operators.relational import triangle_count
+
+    k3 = spark.createDataFrame(
+        # duplicates, a reversal, and a self-loop thrown in on purpose
+        [(1, 2), (2, 3), (1, 3), (2, 1), (1, 2), (3, 3)],
+        "src long, dst long",
+    )
+    row = triangle_count(k3, "src", "dst").collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (3, 3, 1)
+    assert row["clustering_r"] == pytest.approx(1.0)
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    row = triangle_count(star, "src", "dst").collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (4, 6, 0)
+    assert row["clustering_r"] == pytest.approx(0.0)
+
+    # two triangles sharing an edge: {1,2,3} and {2,3,4}
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    row = triangle_count(diamond, "src", "dst").collect()[0]
+    assert row["n_triangles"] == 2
