@@ -707,9 +707,19 @@ def pagerank(
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        # a NULL endpoint is not a vertex: drop the edge rather than rank a
+        # phantom NULL node (mirrors triangle_count, where the u != v
+        # null-comparison drops them)
+        .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .distinct()
+        # checkpoint the deduped edge list ONCE: nodes, degrees, and the
+        # degree-annotated join below all derive from it, and without the
+        # cut each checkpoint would re-run the caller's upstream plan
+        # (measured 2x the whole setup cost on the trade graph)
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -781,8 +791,12 @@ def skew_report(
         F.count("*").cast("bigint").alias("cnt")
     )
     total = df.agg(F.count("*").cast("double").alias("_total"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
-    cum = Window.orderBy(F.desc("cnt"), F.asc("key")).rowsBetween(
+    # NULL keys are kept (a NULL-heavy column is often the actual skew
+    # culprit) and sort LAST on ties — Spark's asc() default is nulls-first,
+    # ANSI/DuckDB's is nulls-last, so pin the portable convention.
+    order = [F.desc("cnt"), F.asc_nulls_last("key")]
+    w = Window.orderBy(*order)
+    cum = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (

@@ -4921,7 +4921,16 @@ def q_pagerank_topk(spark, sf_dir):
         )
         .distinct()
     )
-    edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # both directions from ONE scan of the joined pairs (a union of eb with
+    # its reversal would run the lineitem-orders join twice)
+    edges = eb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
     pr = R.pagerank(edges, "src", "dst", iterations=5, damping=0.85)
     return (
         pr.select("node", F.round("pr", 6).alias("pr_r"))

@@ -803,3 +803,31 @@ def test_triangle_count_known_graphs(spark):
     )
     row = triangle_count(diamond, "src", "dst").collect()[0]
     assert row["n_triangles"] == 2
+
+
+def test_pagerank_null_endpoint_edges_dropped(spark):
+    """An edge with a NULL endpoint is not an edge: it must not create a
+    phantom NULL vertex or absorb rank mass."""
+    from team_126_spark.operators.relational import pagerank
+
+    clean = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    dirty = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", None), (None, "b")], "src string, dst string"
+    )
+    want = {r["node"]: r["pr"] for r in pagerank(clean, "src", "dst", iterations=3).collect()}
+    got = {r["node"]: r["pr"] for r in pagerank(dirty, "src", "dst", iterations=3).collect()}
+    assert got == want and None not in got
+
+
+def test_skew_report_null_key_kept_and_sorted_last(spark):
+    """A NULL-heavy key column is often the real skew culprit: NULL is
+    reported as a key, and on count ties it ranks AFTER non-null keys
+    (the ANSI nulls-last convention the oracle shares)."""
+    from team_126_spark.operators.relational import skew_report
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["x", "x", None, None, "y"]], "k string"
+    )
+    rows = sorted(skew_report(df, "k", top_k=3).collect(), key=lambda r: r["rank"])
+    assert [r["key"] for r in rows] == ["x", None, "y"]  # tie x/null -> x first
+    assert rows[1]["share_r"] == pytest.approx(0.4)
