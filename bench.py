@@ -148,6 +148,7 @@ HEADLINE = [
     "quantiles_approx",
     "triangle_count",
     "retention_cohorts",
+    "bm25_topk",
 ]
 
 

@@ -5198,6 +5198,83 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("dup", "vector", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@declared(
+    "bm25_topk",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, {X.token_count_sql('text')} AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM lens),
+    toks AS (
+      SELECT doc_id, unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS t
+      FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    tf AS (
+      SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks
+      WHERE t IN ('dup', 'vector', 'join') GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * lens.dl / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN dfreq ON dfreq.t = tf.t
+      JOIN lens ON lens.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score_r FROM scored
+    ORDER BY score_r DESC, doc_id LIMIT 10
+    """,
+    doc="§2.14 BM25 keyword retrieval (Okapi k1=1.2, b=0.75) for the query "
+    "terms (dup, vector, join) — the principled text side of hybrid "
+    "search, built on the same df/length statistics the inverted index "
+    "maintains: term filter pushes into the token explode, the per-term "
+    "df table and the (N, avgdl) scalars broadcast, the only real "
+    "shuffles are the (doc, term) tf agg and the per-doc score sum, and "
+    "the top-10 lowers to TakeOrderedAndProject",
+)
+def q_bm25_topk(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    lens = d.select("doc_id", X.token_count(F.col("text")).alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / norm).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

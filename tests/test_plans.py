@@ -225,7 +225,7 @@ def test_cartesian_allowlist_pinned(spark):
         "vec_knn", "vec_knn_batch", "vec_threshold", "vec_euclidean_match",
         "hybrid_fusion", "hybrid_fusion_fast", "doc_tfidf", "doc_rarity",
         "doc_surprisal", "dashboard_counts", "temperature_mix",
-        "inverted_index", "skew_report", "triangle_count",
+        "inverted_index", "skew_report", "triangle_count", "bm25_topk",
         # deterministic salt replication of the SMALL side
         "salted_join_fk",
         # declared exact O(n^2) oracle baseline (guarded by max_rows for
