@@ -149,6 +149,7 @@ HEADLINE = [
     "triangle_count",
     "retention_cohorts",
     "bm25_topk",
+    "graph_walks",
 ]
 
 

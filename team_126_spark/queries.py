@@ -5275,6 +5275,102 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def _walk_edges_sql() -> str:
+    """The shared md5-derived customer graph (same generator as
+    triangle_count): 4 pseudo-random out-edges per customer into a
+    1000-node id space."""
+    h = X.md5_low32_sql("'e:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    return f"""
+      SELECT DISTINCT c_custkey AS src, 1 + ({h} % 1000) AS dst
+      FROM customer, unnest([1, 2, 3, 4]) AS t(k)
+      WHERE c_custkey <> 1 + ({h} % 1000)
+    """
+
+
+def _walk_step_sql(i: int) -> str:
+    """One deterministic walk step: from position s{i-1}, move to the
+    out-neighbor minimizing the step-keyed md5 (ties broken by node id via
+    the *65536+dst composite, collision-free for node ids < 65536)."""
+    h = X.md5_low32_sql(
+        f"'w:{i}:' || CAST(p.cur AS VARCHAR) || '>' || CAST(e.dst AS VARCHAR)"
+    )
+    return f"""
+    s{i} AS (
+      SELECT p.start, arg_min(e.dst, {h} * 65536 + e.dst) AS cur
+      FROM s{i - 1} p JOIN edges e ON e.src = p.cur
+      GROUP BY p.start
+    )"""
+
+
+@declared(
+    "graph_walks",
+    oracle=f"""
+    WITH edges AS ({_walk_edges_sql()}),
+    s0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges),
+    {",".join(_walk_step_sql(i).lstrip() for i in (1, 2, 3))}
+    SELECT start, 1::BIGINT AS step, cur AS node FROM s1
+    UNION ALL
+    SELECT start, 2::BIGINT AS step, cur AS node FROM s2
+    UNION ALL
+    SELECT start, 3::BIGINT AS step, cur AS node FROM s3
+    """,
+    doc="§2.14 deterministic random-walk sampling for graph-embedding "
+    "training data (the DeepWalk/node2vec corpus step): a 3-step walk "
+    "from every node of the md5-derived customer graph, each step moving "
+    "to the out-neighbor minimizing a step-keyed md5 — reproducible "
+    "'randomness' with no RNG state, so walks are rerun-stable and "
+    "oracle-checkable. Per step ONE equi-join onto the edge list + one "
+    "min_by argmin aggregate on the walk key; walks that reach a node "
+    "with no out-edges truncate (inner-join semantics). Emits (start, "
+    "step, node) context pairs — the skip-gram corpus shape",
+)
+def q_graph_walks(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    h_edge = X.md5_low32(
+        F.concat(
+            F.lit("e:"), F.col("src").cast("string"),
+            F.lit(":"), F.col("k").cast("string"),
+        )
+    )
+    edges = (
+        c.select(
+            F.col("c_custkey").alias("src"),
+            F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+        )
+        .select("src", (1 + h_edge % 1000).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # three step-joins reuse it; cut the gen lineage
+    )
+    pos = edges.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    steps = []
+    for i in (1, 2, 3):
+        h_step = X.md5_low32(
+            F.concat(
+                F.lit(f"w:{i}:"), F.col("cur").cast("string"),
+                F.lit(">"), F.col("dst").cast("string"),
+            )
+        )
+        pos = (
+            pos.join(edges, pos["cur"] == edges["src"])
+            .select("start", "dst", (h_step * 65536 + F.col("dst")).alias("wk"))
+            .groupBy("start")
+            .agg(F.min_by("dst", "wk").alias("cur"))
+        )
+        steps.append(
+            pos.select(
+                "start", F.lit(i).cast("bigint").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================
