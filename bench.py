@@ -150,6 +150,7 @@ HEADLINE = [
     "retention_cohorts",
     "bm25_topk",
     "graph_walks",
+    "logreg_train",
 ]
 
 

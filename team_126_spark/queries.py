@@ -5371,6 +5371,101 @@ def q_graph_walks(spark, sf_dir):
     return out
 
 
+_LOGREG_ITERS, _LOGREG_LR, _LOGREG_DIM = 3, 0.5, 64
+
+
+def _logreg_oracle() -> str:
+    """Unrolled gradient-descent oracle. Each iteration's weights are
+    rounded to 12dp on BOTH engines, so cross-engine float drift (libm exp
+    ulp differences, summation order) is re-synchronized every round
+    instead of amplifying through the training loop."""
+    head = f"""
+    WITH ex AS (
+      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    ys AS (
+      SELECT vec_id AS rid, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    w0 AS (SELECT unnest(range({_LOGREG_DIM}))::BIGINT AS i, 0.0 AS w)"""
+    its = []
+    for t in range(1, _LOGREG_ITERS + 1):
+        its.append(f""",
+    dot{t} AS (
+      SELECT ex.rid, sum(ex.x * w.w) AS dot
+      FROM ex JOIN w{t - 1} w ON w.i = ex.i GROUP BY ex.rid
+    ),
+    err{t} AS (
+      SELECT d.rid, 1.0 / (1.0 + exp(-d.dot)) - ys.y AS err
+      FROM dot{t} d JOIN ys ON ys.rid = d.rid
+    ),
+    g{t} AS (
+      SELECT ex.i, avg(ex.x * e.err) AS g
+      FROM ex JOIN err{t} e ON e.rid = ex.rid GROUP BY ex.i
+    ),
+    w{t} AS (
+      SELECT w.i, round(w.w - {_LOGREG_LR} * g.g, 12) AS w
+      FROM w{t - 1} w JOIN g{t} g ON g.i = w.i
+    )""")
+    tail = f"""
+    SELECT i, round(w, 6) AS w_r FROM w{_LOGREG_ITERS}
+    """
+    return head + "".join(its) + tail
+
+
+@declared(
+    "logreg_train",
+    oracle=_logreg_oracle(),
+    doc="§2.14 distributed ML training loop: 3 unrolled rounds of full-batch "
+    "gradient descent for binary logistic regression (y = label < 5) over "
+    "the embeddings table, entirely declarative — the weight vector lives "
+    "as a 64-row (i, w) table broadcast into each round, features as "
+    "exploded (rid, i, x) triples (computed once, checkpointed), so each "
+    "round is two partial-aggregated groupBys (per-row dot product, "
+    "per-dimension gradient) and NO driver collect (unlike Lloyd, where "
+    "the k x dim centroid pull is inherent). Per-iteration 12dp weight "
+    "rounding on BOTH engines re-synchronizes libm/summation float drift "
+    "each round instead of letting it amplify through the loop",
+)
+def q_logreg_train(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    ex = (
+        e.select(
+            F.col("vec_id").alias("rid"),
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .select("rid", F.col("i").cast("bigint").alias("i"), F.col("x").cast("double").alias("x"))
+        .localCheckpoint()  # reused by all 3 rounds (dot + gradient each)
+    )
+    ys = e.select(
+        F.col("vec_id").alias("rid"),
+        F.when(F.col("label") < 5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    w = spark.range(_LOGREG_DIM).select(
+        F.col("id").alias("i"), F.lit(0.0).alias("w")
+    )
+    for _ in range(_LOGREG_ITERS):
+        dot = (
+            ex.join(F.broadcast(w), "i")
+            .groupBy("rid")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        )
+        err = dot.join(ys, "rid").select(
+            "rid", (1.0 / (1.0 + F.exp(-F.col("dot"))) - F.col("y")).alias("err")
+        )
+        grad = (
+            ex.join(err, "rid")
+            .groupBy("i")
+            .agg(F.avg(F.col("x") * F.col("err")).alias("g"))
+        )
+        w = w.join(grad, "i").select(
+            "i", F.round(F.col("w") - _LOGREG_LR * F.col("g"), 12).alias("w")
+        )
+    return w.select("i", F.round("w", 6).alias("w_r"))
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================
