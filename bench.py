@@ -151,6 +151,9 @@ HEADLINE = [
     "bm25_topk",
     "graph_walks",
     "logreg_train",
+    "window_suite",
+    "grouping_sets_counts",
+    "pmi_cooccur",
 ]
 
 

@@ -5466,6 +5466,155 @@ def q_logreg_train(spark, sf_dir):
     return w.select("i", F.round("w", 6).alias("w_r"))
 
 
+@declared(
+    "window_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           lag(round(o_totalprice, 2)) OVER w AS prev_price,
+           lead(round(o_totalprice, 2)) OVER w AS next_price,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+           round(percent_rank() OVER w, 6) AS pct_rank_r,
+           round(cume_dist() OVER w, 6) AS cume_dist_r,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="§2.14 window-function breadth suite: lag/lead, first/last/nth "
+    "value (explicit full frame — the default frame stops at CURRENT ROW, "
+    "a classic silent-wrong-answer trap), percent_rank, cume_dist, and "
+    "ntile in ONE pass over orders — one shuffle on the partition key, "
+    "every function sharing the same sorted run; total order within each "
+    "partition ends in the unique key so every output is deterministic",
+)
+def q_window_suite(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.round(F.col("o_totalprice"), 2)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag(price).over(w).alias("prev_price"),
+        F.lead(price).over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_r"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist_r"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@declared(
+    "grouping_sets_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus)::BIGINT AS g_status,
+           grouping(o_orderpriority)::BIGINT AS g_priority,
+           count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="§2.14 GROUPING SETS (completing the cube/rollup trio): "
+    "status-only, priority-only, and grand-total aggregates in one pass "
+    "with grouping() flags disambiguating real NULL values from "
+    "aggregation-level NULLs — the Spark 4 DataFrame groupingSets API, "
+    "partial aggregation intact",
+)
+def q_grouping_sets_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@declared(
+    "pmi_cooccur",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS term
+      FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY term),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS cooc
+      FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT p.term_a, p.term_b, p.cooc,
+           round(ln((p.cooc * nn.n_docs) / (fa.df * fb.df)), 6) AS pmi_r
+    FROM pairs p
+    JOIN dfreq fa ON fa.term = p.term_a
+    JOIN dfreq fb ON fb.term = p.term_b
+    CROSS JOIN nn
+    WHERE p.cooc >= 5
+    """,
+    doc="§2.14 document-level PMI co-occurrence statistics — the "
+    "association-strength table behind phrase detection and count-based "
+    "embeddings: per-doc DISTINCT terms self-join on doc_id (quadratic "
+    "only in each doc's distinct vocabulary, never doc x doc; cap the "
+    "per-doc vocab by tf top-k first at web scale), then "
+    "pmi = ln(cooc * N / (df_a * df_b)) with the df table joined twice "
+    "and N broadcast; cooc >= 5 floors the noisy tail",
+)
+def q_pmi_cooccur(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint()  # feeds the df table AND both sides of the pair join
+    )
+    nn = d.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = dt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= 5)
+    )
+    fa = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    fb = dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term_a",
+            "term_b",
+            "cooc",
+            F.round(
+                F.log((F.col("cooc") * F.col("n_docs")) / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi_r"),
+        )
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================
