@@ -5633,10 +5633,11 @@ def q_pmi_cooccur(spark, sf_dir):
 # and the new event_correlate (the stream_correlate batch twin, VERDICT r4
 # #6). The remaining 16 slots re-verify r3-evidence queries (the oldest
 # driver rows). With CORRECTNESS_r05 green this reaches cumulative driver
-# coverage 133 of the 133 queries declared at rotation time. The 13 later
-# round-5 additions (bpe_pair_counts .. retention_cohorts) are declared
-# after the rotation, so they are judge-checked this round and enter the
-# r6 rotation pool as the newest never-driver-sampled cohort.
+# coverage 133 of the 133 queries declared at rotation time. The 19 later
+# round-5 additions (bpe_pair_counts .. pmi_cooccur, ending at the
+# registry tail) are declared after the rotation, so they are
+# judge-checked this round and enter the r6 rotation pool as the newest
+# never-driver-sampled cohort.
 DRIVER_SAMPLE_R5: tuple[str, ...] = (
     # never-driver-sampled round-4 additions (all judge-green in r4)
     "join_null_safe", "join_full_outer", "set_intersect_except",
