@@ -154,6 +154,7 @@ HEADLINE = [
     "window_suite",
     "grouping_sets_counts",
     "pmi_cooccur",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -966,3 +966,64 @@ def contrastive_pairs(
         .join(neg, "anchor")
         .select("anchor", "positive", "negative", "est_jaccard")
     )
+
+
+def _delete_at(s: Column, k: Column) -> Column:
+    """The string with the k-th character removed (1-based); k=0 is the
+    identity. Pure codegen expression (substring accepts Column args)."""
+    return F.when(k == 0, s).otherwise(
+        F.concat(F.substring(s, F.lit(1), k - 1), F.substring(s, k + 1, F.length(s)))
+    )
+
+
+def fuzzy_pairs(df: DataFrame, text_col: str, max_dist: int = 2) -> DataFrame:
+    """All pairs of DISTINCT strings within Levenshtein distance `max_dist`
+    (1 or 2) — the entity-resolution / spell-variant matcher, via SymSpell
+    deletion-neighborhood blocking: two strings within edit distance d
+    share at least one string obtainable by deleting <= d characters from
+    each, so candidate generation is an EQUI-join on deletion variants
+    (never string x string), and an exact `levenshtein` refine removes the
+    false positives. Recall is exact (pinned by a brute-force DP test).
+
+    Scale shape: matching runs on the DISTINCT-string dictionary, which at
+    100 TB is orders of magnitude smaller than the row count (the join
+    back to rows is the caller's cheap equi-join); per string the variant
+    set is O(len) for d=1 and O(len^2) for d=2 — slim (variant, name)
+    rows through one shuffle. Returns (name_a, name_b, dist) with
+    name_a < name_b, each pair once.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"fuzzy_pairs: max_dist must be 1 or 2 (deletion-neighborhood "
+            f"depth), got {max_dist}"
+        )
+    names = (
+        df.select(F.col(text_col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+    s, L = F.col("name"), F.length("name")
+    # deletion positions: (0,0) identity; (i,0) single delete; (i<j) double.
+    # j is deleted FIRST so i's index is unaffected (i < j).
+    v = names.select("name", F.explode(F.sequence(F.lit(0), L)).alias("i"))
+    if max_dist == 2:
+        v = v.select(
+            "name", "i", F.explode(F.sequence(F.lit(0), F.length("name"))).alias("j")
+        ).filter((F.col("j") == 0) | ((F.col("i") >= 1) & (F.col("j") > F.col("i"))))
+    else:
+        v = v.select("name", "i", F.lit(0).alias("j"))
+    v = v.select(
+        "name", _delete_at(_delete_at(s, F.col("j")), F.col("i")).alias("variant")
+    ).distinct()
+    a = v.select(F.col("name").alias("name_a"), "variant")
+    b = v.select(F.col("name").alias("name_b"), "variant")
+    return (
+        a.join(b, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -5615,6 +5615,49 @@ def q_pmi_cooccur(spark, sf_dir):
     )
 
 
+@declared(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+    mx AS (SELECT max(len(name)) AS m FROM names),
+    gi AS (SELECT unnest(range(0, (SELECT m + 1 FROM mx))) AS i),
+    gj AS (SELECT unnest(range(0, (SELECT m + 1 FROM mx))) AS j),
+    vij AS (
+      SELECT n.name, gi.i, gj.j
+      FROM names n, gi, gj
+      WHERE gi.i <= len(n.name) AND gj.j <= len(n.name)
+        AND (gj.j = 0 OR (gi.i >= 1 AND gj.j > gi.i))
+    ),
+    delj AS (
+      SELECT name, i,
+             CASE WHEN j = 0 THEN name
+                  ELSE substr(name, 1, j - 1) || substr(name, j + 1, len(name)) END AS s1
+      FROM vij
+    ),
+    v AS (
+      SELECT DISTINCT name,
+             CASE WHEN i = 0 THEN s1
+                  ELSE substr(s1, 1, i - 1) || substr(s1, i + 1, len(s1)) END AS variant
+      FROM delj
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name)::BIGINT AS dist
+    FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
+    GROUP BY a.name, b.name
+    HAVING levenshtein(a.name, b.name) <= 2
+    """,
+    doc="§2.14 fuzzy string matching (entity resolution / spell variants): "
+    "all DISTINCT part-name pairs within Levenshtein distance 2 via "
+    "SymSpell deletion-neighborhood blocking — candidates come from an "
+    "EQUI-join on <=2-deletion variants (never string x string; exact "
+    "recall, brute-force-DP-pinned), refined by the built-in levenshtein "
+    "(operators/dedup.fuzzy_pairs). Matching runs on the distinct-string "
+    "dictionary, orders of magnitude smaller than the row count at 100 TB",
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    return D.fuzzy_pairs(load(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

@@ -690,3 +690,43 @@ def test_inverted_index_band_cap_and_numeric_order(spark):
         inverted_index(df, "text", "doc_id", max_df_ratio=0.0)
     with pytest.raises(ValueError, match="cap_postings"):
         inverted_index(df, "text", "doc_id", cap_postings=0)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_fuzzy_pairs_exact_recall_vs_bruteforce(spark, max_dist):
+    """Deletion-neighborhood blocking must find EVERY pair within the edit
+    distance (SymSpell completeness) — compared against a brute-force DP
+    over the full dictionary, including insert/delete/substitute cases and
+    short strings whose whole neighborhood collapses."""
+    from team_126_spark.operators.dedup import fuzzy_pairs
+
+    names = [
+        "red widget", "red widgets", "bed widget", "red wdget", "redwidget",
+        "blue bolt", "blue belt", "glue belt", "bolt", "bolts", "bot", "b",
+        "anvil", "anvils", "anviles", "gear", "gears", "shear",
+    ]
+    df = spark.createDataFrame([(n,) for n in names] * 2, "p string")  # dup rows
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "p", max_dist=max_dist).collect()
+    }
+    want = {
+        (a, b): _lev(a, b)
+        for a in names
+        for b in names
+        if a < b and _lev(a, b) <= max_dist
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, "p", max_dist=3)
