@@ -155,6 +155,8 @@ HEADLINE = [
     "grouping_sets_counts",
     "pmi_cooccur",
     "fuzzy_name_pairs",
+    "shortest_paths",
+    "group_distinct_approx",
 ]
 
 

@@ -5658,6 +5658,132 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     return D.fuzzy_pairs(load(spark, sf_dir, "part"), "p_name", max_dist=2)
 
 
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford oracle over the weighted trade graph: each
+    round relaxes every edge once (UNION ALL + per-node min), giving exact
+    shortest distances over paths of <= _SSSP_ROUNDS edges — deterministic
+    whether or not the graph has converged, and integer weights make every
+    compare exact."""
+    w = X.md5_low32_sql("'w:' || least(src, dst) || '>' || greatest(src, dst)")
+    head = f"""
+    WITH eb AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst, 1 + ({w} % 10) AS w FROM (
+        SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb
+      )
+    ),
+    d0 AS (SELECT 'c:1' AS node, CAST(0 AS BIGINT) AS dist)"""
+    its = []
+    for t in range(1, _SSSP_ROUNDS + 1):
+        its.append(f""",
+    d{t} AS (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS dist
+        FROM edges e JOIN d{t - 1} p ON p.node = e.src
+      ) GROUP BY node
+    )""")
+    tail = f"""
+    SELECT node, dist FROM d{_SSSP_ROUNDS}
+    ORDER BY dist, node LIMIT 20
+    """
+    return head + "".join(its) + tail
+
+
+@declared(
+    "shortest_paths",
+    oracle=_sssp_oracle(),
+    doc="§2.14 single-source shortest paths, bounded-hop Bellman-Ford over "
+    "the weighted bidirectional trade graph (md5-derived symmetric integer "
+    "weights 1..10, source c:1): 4 relaxation rounds, each ONE equi-join "
+    "of the reached set onto the edge list + one per-node min — exact "
+    "distances over paths of <= 4 edges, deterministic with or without "
+    "convergence, integer arithmetic so every comparison is exact; the "
+    "20 nearest nodes by (dist, node). Fourth iterative family alongside "
+    "components, hierarchy resolution, and PageRank",
+)
+def q_shortest_paths(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = eb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
+    wcol = 1 + X.md5_low32(
+        F.concat(
+            F.lit("w:"), F.least("src", "dst"), F.lit(">"), F.greatest("src", "dst")
+        )
+    ) % 10
+    edges = und.select("src", "dst", wcol.alias("w")).localCheckpoint()
+    dist = edges.sparkSession.createDataFrame(
+        [("c:1", 0)], "node string, dist long"
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = edges.join(dist, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.orderBy(F.asc("dist"), F.asc("node")).limit(20)
+
+
+@declared(
+    "group_distinct_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT o_custkey)::BIGINT AS n_custkeys,
+           TRUE AS custkeys_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="§2.14 per-group approximate cardinality, verdict-row checkable "
+    "(profile_approx's shape extended to GROUPED sketches — the realistic "
+    "production form: one mergeable HLL per group key, partial-aggregated "
+    "map-side): each group row carries the exact distinct count plus a "
+    "within-3-sigma verdict on the HLL estimate computed in the SAME "
+    "aggregate (rsd 0.05 -> 0.15 relative bound, floor 3 absolute), TRUE "
+    "on both engines unless the sketch is broken",
+)
+def q_group_distinct_approx(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    prof = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custkeys"),
+        F.approx_count_distinct("o_custkey").cast("bigint").alias("_approx"),
+    )
+    bound = F.greatest(F.lit(3.0), F.lit(0.15) * F.col("n_custkeys"))
+    return prof.select(
+        "o_orderpriority",
+        "n_rows",
+        "n_custkeys",
+        (F.abs(F.col("_approx") - F.col("n_custkeys")) <= bound).alias("custkeys_ok"),
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================
