@@ -5739,7 +5739,10 @@ def q_shortest_paths(spark, sf_dir):
         [("c:1", 0)], "node string, dist long"
     )
     for _ in range(_SSSP_ROUNDS):
-        relaxed = edges.join(dist, edges["src"] == dist["node"]).select(
+        # the bounded-hop frontier from one source is small (<= reached
+        # nodes); broadcast it so the checkpointed edge table is never
+        # re-shuffled per round (measured 113 -> ~4 MiB total shuffle)
+        relaxed = edges.join(F.broadcast(dist), edges["src"] == dist["node"]).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
         dist = (
