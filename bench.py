@@ -157,6 +157,7 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "shortest_paths",
     "group_distinct_approx",
+    "name_canonicalize",
 ]
 
 

@@ -2019,7 +2019,7 @@ def _minhash_oracle_sql(bands: int = 16, threshold: float = 0.3) -> str:
     """
 
 
-def _components_oracle_cte(rounds: int = 4) -> str:
+def _components_oracle_cte(rounds: int = 4, id_type: str = "BIGINT") -> str:
     """DuckDB connected-components CTE chain over a `pairs(id_a, id_b)` CTE:
     defines `e` (symmetrized edges) through `comp(id, cluster_id)`.
 
@@ -2068,7 +2068,7 @@ def _components_oracle_cte(rounds: int = 4) -> str:
         "reach AS (SELECT src AS id, src AS r FROM er2 "
         "UNION SELECT er2.src, reach.r FROM er2 JOIN reach ON er2.dst = reach.id)",
         "cleanup AS (SELECT id, min(r) AS lab FROM reach GROUP BY id)",
-        f"comp AS (SELECT l.id, CAST(COALESCE(c.lab, l.lab) AS BIGINT) AS cluster_id "
+        f"comp AS (SELECT l.id, CAST(COALESCE(c.lab, l.lab) AS {id_type}) AS cluster_id "
         f"FROM {last} l LEFT JOIN cleanup c ON c.id = l.lab)",
     ]
     return ",\n    ".join(parts)
@@ -5615,10 +5615,9 @@ def q_pmi_cooccur(spark, sf_dir):
     )
 
 
-@declared(
-    "fuzzy_name_pairs",
-    oracle="""
-    WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+# SymSpell deletion-variant CTE chain over distinct part names (names ->
+# variants `v`); shared by fuzzy_name_pairs and name_canonicalize.
+_FUZZY_VARIANTS_SQL = """names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
     mx AS (SELECT max(len(name)) AS m FROM names),
     gi AS (SELECT unnest(range(0, (SELECT m + 1 FROM mx))) AS i),
     gj AS (SELECT unnest(range(0, (SELECT m + 1 FROM mx))) AS j),
@@ -5639,12 +5638,22 @@ def q_pmi_cooccur(spark, sf_dir):
              CASE WHEN i = 0 THEN s1
                   ELSE substr(s1, 1, i - 1) || substr(s1, i + 1, len(s1)) END AS variant
       FROM delj
-    )
-    SELECT a.name AS name_a, b.name AS name_b,
-           levenshtein(a.name, b.name)::BIGINT AS dist
+    )"""
+
+_FUZZY_PAIR_SELECT = """
+    SELECT a.name AS name_a, b.name AS name_b
     FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
     GROUP BY a.name, b.name
     HAVING levenshtein(a.name, b.name) <= 2
+"""
+
+
+@declared(
+    "fuzzy_name_pairs",
+    oracle=f"""
+    WITH {_FUZZY_VARIANTS_SQL},
+    p AS ({_FUZZY_PAIR_SELECT})
+    SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist FROM p
     """,
     doc="§2.14 fuzzy string matching (entity resolution / spell variants): "
     "all DISTINCT part-name pairs within Levenshtein distance 2 via "
@@ -5752,6 +5761,51 @@ def q_shortest_paths(spark, sf_dir):
             .localCheckpoint()
         )
     return dist.orderBy(F.asc("dist"), F.asc("node")).limit(20)
+
+
+@declared(
+    "name_canonicalize",
+    oracle="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      WITH {variants}
+      {pair_select}
+    ),
+    {components_cte}
+    SELECT p.p_partkey, p.p_name,
+           COALESCE(c.cluster_id, p.p_name) AS canonical_name,
+           (COALESCE(c.cluster_id, p.p_name) <> p.p_name) AS changed
+    FROM part p LEFT JOIN comp c ON c.id = p.p_name
+    """.format(
+        variants=_FUZZY_VARIANTS_SQL,
+        pair_select=_FUZZY_PAIR_SELECT.replace("name_a", "id_a").replace(
+            "name_b", "id_b"
+        ),
+        components_cte=_components_oracle_cte(id_type="VARCHAR"),
+    ),
+    doc="§2.14 entity canonicalization end-to-end: fuzzy_pairs (SymSpell "
+    "deletion-neighborhood, Levenshtein <=2) -> dedup_components "
+    "(min-label pointer doubling, here over STRING ids — lexicographic "
+    "min, binary collation on both engines) -> every part row mapped to "
+    "its spell-variant cluster's canonical (min) name. The composition "
+    "showcase: dictionary-level matching, component closure, then one "
+    "equi-join back to rows — the exact shape entity resolution takes at "
+    "100 TB, where rows are huge and the name dictionary is not",
+)
+def q_name_canonicalize(spark, sf_dir):
+    parts = load(spark, sf_dir, "part")
+    pairs = D.fuzzy_pairs(parts, "p_name", max_dist=2).select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    comp = D.dedup_components(pairs, check_every=2)
+    return (
+        parts.join(comp, parts["p_name"] == comp["id"], "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.coalesce(F.col("cluster_id"), F.col("p_name")).alias("canonical_name"),
+        )
+        .withColumn("changed", F.col("canonical_name") != F.col("p_name"))
+    )
 
 
 @declared(
