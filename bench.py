@@ -158,6 +158,7 @@ HEADLINE = [
     "shortest_paths",
     "group_distinct_approx",
     "name_canonicalize",
+    "array_ops_suite",
 ]
 
 

@@ -5841,6 +5841,56 @@ def q_group_distinct_approx(spark, sf_dir):
     )
 
 
+@declared(
+    "array_ops_suite",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm_r,
+           len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> greatest(least(CAST(x AS DOUBLE), 0.5), -0.5)))
+                 / len(embedding), 6) AS clipped_mean_r,
+           round(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))),
+                 6) AS alt_dot_r
+    FROM embeddings
+    """,
+    doc="§2.14 higher-order array-function suite over the embedding column "
+    "— transform, filter, zip-style indexed product, and fold (aggregate) "
+    "in one map-only pass, all inside codegen (the §2.7 array surface "
+    "exercised end-to-end): L2 norm via fold of squares, positive-count "
+    "via filter, clip-then-mean via transform+fold, and the "
+    "self-reversed dot via an indexed product — every float rounded "
+    "identically on the DuckDB list_* twins (same element order, same "
+    "double casts, so the sequential folds agree bit-for-bit pre-round)",
+)
+def q_array_ops_suite(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = F.size("embedding")
+    clipped = F.transform(
+        emb, lambda x: F.greatest(F.least(x, F.lit(0.5)), F.lit(-0.5))
+    )
+    alt = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(emb, i) * F.element_at(emb, n + 1 - i),
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(fold_sum(F.transform(emb, lambda x: x * x))), 6).alias(
+            "l2_norm_r"
+        ),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(fold_sum(clipped) / n, 6).alias("clipped_mean_r"),
+        F.round(fold_sum(alt), 6).alias("alt_dot_r"),
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================
