@@ -159,6 +159,9 @@ HEADLINE = [
     "group_distinct_approx",
     "name_canonicalize",
     "array_ops_suite",
+    "dim_profile",
+    "event_anomaly",
+    "random_projection",
 ]
 
 

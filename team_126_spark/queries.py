@@ -5891,6 +5891,146 @@ def q_array_ops_suite(spark, sf_dir):
     )
 
 
+@declared(
+    "dim_profile",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 64)) AS dim),
+    ex AS (
+      SELECT dim, embedding[dim + 1]::DOUBLE AS x
+      FROM embeddings, idx
+    )
+    SELECT dim::BIGINT AS dim,
+           count(*)::BIGINT AS n,
+           round(avg(x), 6) AS mean_r,
+           round(stddev_pop(x), 6) AS std_r,
+           round(min(x), 6) AS min_r,
+           round(max(x), 6) AS max_r,
+           sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+    FROM ex GROUP BY 1
+    """,
+    doc="§2.14 embedding-space health profile: per-dimension mean / "
+    "stddev / min / max / zero-count over the full corpus — the "
+    "feature-store audit that catches dead dimensions (std 0), "
+    "saturated dimensions, and normalization drift before a training "
+    "run. One posexplode (map-only ×dim row expansion feeding straight "
+    "into a partially-aggregated groupBy), shuffle = dim × partitions "
+    "tiny partial rows regardless of corpus size — the same mergeable "
+    "per-key-moment shape at 100 TB",
+)
+def q_dim_profile(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "_x")
+    ).select("dim", F.col("_x").cast("double").alias("x"))
+    return ex.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("mean_r"),
+        F.round(F.stddev_pop("x"), 6).alias("std_r"),
+        F.round(F.min("x"), 6).alias("min_r"),
+        F.round(F.max("x"), 6).alias("max_r"),
+        F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+
+
+@declared(
+    "event_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           round((n - avg(n) OVER (PARTITION BY event_type))
+                 / NULLIF(stddev_pop(n) OVER (PARTITION BY event_type), 0),
+                 6) AS z_r,
+           COALESCE(abs((n - avg(n) OVER (PARTITION BY event_type))
+                 / NULLIF(stddev_pop(n) OVER (PARTITION BY event_type), 0))
+                 >= 2.0, FALSE) AS is_anomaly
+    FROM daily
+    """,
+    doc="§2.14 time-series anomaly flags: daily event counts per type, "
+    "z-scored against that type's own distribution, |z| >= 2 flagged — "
+    "the ops-dashboard spike/outage detector (the health_api.py trends "
+    "family taken one step further). Raw events collapse to one partial "
+    "agg on (type, day); the window runs on the tiny daily table only. "
+    "Degenerate one-day types z NULL -> flag FALSE via COALESCE, "
+    "identically on both engines",
+)
+def q_event_anomaly(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.nullif(
+        F.stddev_pop("n").over(w), F.lit(0.0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 6).alias("z_r"),
+        F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def _rp_sign(k: int, i: int) -> float:
+    """Deterministic ±1 Rademacher entry of the random-projection matrix,
+    derived from md5 of the (out-dim, in-dim) pair at PLAN-BUILD time —
+    the matrix is a compile-time constant folded into the generated code
+    on the Spark side and into the oracle text on the DuckDB side, so
+    both engines use bit-identical literals (no in-engine hashing)."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[-8:], 16) % 2 == 0 else -1.0
+
+
+_RP_IN_DIM, _RP_OUT_DIM = 64, 16
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for k in range(_RP_OUT_DIM):
+        first = ("-" if _rp_sign(k, 0) < 0 else "") + "embedding[1]::DOUBLE"
+        rest = " ".join(
+            f"{'+' if _rp_sign(k, i) > 0 else '-'} embedding[{i + 1}]::DOUBLE"
+            for i in range(1, _RP_IN_DIM)
+        )
+        cols.append(f"round(({first} {rest}) * 0.25, 6) AS p{k:02d}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@declared(
+    "random_projection",
+    oracle=_rp_oracle(),
+    doc="§2.14 Johnson-Lindenstrauss sign random projection 64 -> 16 "
+    "dims (Achlioptas 2001 ±1 variant): y_k = (1/sqrt(out_dim)) * "
+    "sum_i s(k,i) * x_i with a deterministic md5-derived Rademacher "
+    "matrix inlined as literals on BOTH engines. Map-only, zero "
+    "shuffle, whole-stage-codegen arithmetic — the cheap "
+    "dimensionality-reduction front end before ANN indexing at 100 TB "
+    "(4x fewer bytes per vector through every downstream shuffle). "
+    "Additions chained left-to-right identically on both sides, so the "
+    "pre-round doubles agree bit-for-bit",
+)
+def q_random_projection(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+
+    def x(i: int):
+        return F.element_at(F.col("embedding"), i + 1).cast("double")
+
+    cols = []
+    for k in range(_RP_OUT_DIM):
+        acc = x(0) if _rp_sign(k, 0) > 0 else -x(0)
+        for i in range(1, _RP_IN_DIM):
+            acc = acc + x(i) if _rp_sign(k, i) > 0 else acc - x(i)
+        cols.append(F.round(acc * F.lit(0.25), 6).alias(f"p{k:02d}"))
+    return e.select("vec_id", *cols)
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

