@@ -162,6 +162,7 @@ HEADLINE = [
     "dim_profile",
     "event_anomaly",
     "random_projection",
+    "countmin_freq",
 ]
 
 

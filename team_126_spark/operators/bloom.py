@@ -136,3 +136,105 @@ def bloom_probe(
     return df.join(verdict, key == F.col("_bk"), "left").drop("_bk").withColumn(
         out, F.coalesce(F.col(out), F.lit(False))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation in constant space
+# ---------------------------------------------------------------------------
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Build a count-min sketch table (j, bucket, n, width, depth) over
+    df[key_col] — the constant-space frequency summary (Cormode &
+    Muthukrishnan 2005) for heavy-hitter estimation when an exact
+    per-key count would shuffle every distinct key at 100 TB.
+
+    Plan shape: one map-only explode (depth slim rows per input row)
+    feeding straight into a partially-aggregated groupBy(j, bucket) —
+    the shuffle carries at most depth×width counter rows PER MAP
+    PARTITION regardless of corpus size, and sketches from disjoint
+    corpus shards merge by plain addition (the mergeability that makes
+    this the streaming/partitioned shape). Bucket hashes are md5-derived
+    (functions/text.md5_low60 of "cm{j}:{key}"), so every counter — and
+    therefore every estimate — is deterministic with an exact DuckDB
+    twin (declared query `countmin_freq`); no sketch-library opacity.
+
+    Guarantee: estimate >= true count always (never under), and
+    estimate <= true + (e/width)·N with probability 1 - e^{-depth}.
+    NULL keys contribute nothing.
+    """
+    key = F.col(key_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (md5_low60(F.concat(F.lit(f"cm{j}:"), key)) % width).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(depth)
+        ]
+    )
+    ex = df.where(F.col(key_col).isNotNull()).select(F.explode(rows).alias("h"))
+    return (
+        ex.groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("width", F.lit(width))
+        .withColumn("depth", F.lit(depth))
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    out: str = "cm_est",
+) -> DataFrame:
+    """Append `out`: the count-min point estimate min_j sketch[j][h_j(key)]
+    for each probe row's key. Geometry (width/depth) is read off the
+    sketch table (one bounded first() over the ≤ depth×width-row table) —
+    estimating with mismatched geometry probes the wrong buckets and
+    breaks the no-underestimate guarantee, so it cannot be overridden.
+
+    Plan: explode depth probe positions per key, LEFT-broadcast-join the
+    sketch (a bucket no key ever hit is absent from the table → COALESCE
+    0), min per key, join the estimate back onto the probe rows. The
+    probe side shuffles once on its own key; the sketch never shuffles.
+    """
+    params = sketch.select("width", "depth").first()
+    if params is None:
+        raise ValueError("countmin_estimate: empty sketch table")
+    width, depth = int(params["width"]), int(params["depth"])
+    sk = sketch.drop("width", "depth")
+    keys = probes.select(F.col(key_col).alias("_ck")).where(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    exploded = keys.select(
+        "_ck",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            md5_low60(
+                                F.concat(F.lit(f"cm{j}:"), F.col("_ck").cast("string"))
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select("_ck", "h.j", "h.bucket")
+    est = (
+        exploded.join(F.broadcast(sk), ["j", "bucket"], "left")
+        .groupBy("_ck")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias(out))
+    )
+    return probes.join(
+        est, probes[key_col] == est["_ck"], "left"
+    ).drop("_ck")

@@ -6031,6 +6031,80 @@ def q_random_projection(spark, sf_dir):
     return e.select("vec_id", *cols)
 
 
+@declared(
+    "countmin_freq",
+    oracle=f"""
+    WITH keys AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+    hx AS (
+      SELECT o_custkey, j,
+             ({X.md5_low60_sql("'cm' || CAST(j AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)")}) % 256 AS bucket
+      FROM keys, unnest([0, 1, 2, 3]) AS t(j)
+    ),
+    sketch AS (SELECT j, bucket, count(*)::BIGINT AS n FROM hx GROUP BY 1, 2),
+    exact AS (
+      SELECT o_custkey, count(*)::BIGINT AS exact_cnt
+      FROM keys GROUP BY 1
+      ORDER BY exact_cnt DESC, o_custkey ASC LIMIT 10
+    ),
+    probe AS (
+      SELECT e.o_custkey, e.exact_cnt, t.j,
+             ({X.md5_low60_sql("'cm' || CAST(t.j AS VARCHAR) || ':' || CAST(e.o_custkey AS VARCHAR)")}) % 256 AS bucket
+      FROM exact e, unnest([0, 1, 2, 3]) AS t(j)
+    ),
+    est AS (
+      SELECT p.o_custkey, p.exact_cnt,
+             min(COALESCE(s.n, 0))::BIGINT AS cm_est
+      FROM probe p LEFT JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS big_n FROM sketch WHERE j = 0)
+    SELECT o_custkey, exact_cnt, cm_est,
+           cm_est >= exact_cnt AS ge_exact,
+           cm_est <= exact_cnt
+             + CAST(ceil(2.718281828459045 * big_n / 256.0) AS BIGINT)
+             AS within_eps
+    FROM est, tot
+    """,
+    doc="§2.14 count-min sketch frequency estimation (Cormode & "
+    "Muthukrishnan 2005): depth-4 × width-256 counter table built with "
+    "one map-only explode + partially-aggregated groupBy (shuffle ≤ "
+    "depth×width counter rows per map partition at ANY corpus size, "
+    "shard sketches merge by addition — the mergeable-summary shape "
+    "that replaces an exact full-key shuffle at 100 TB). Estimates for "
+    "the top-10 exact heavy hitters ride a broadcast LEFT join of the "
+    "sketch; md5-derived buckets make every counter, estimate, and the "
+    "two guarantee verdicts (never-underestimate; within eN/w of exact) "
+    "bit-identical on the DuckDB twin (operators/bloom.countmin_build)",
+)
+def q_countmin_freq(spark, sf_dir):
+    import math
+
+    from .operators import bloom as B
+
+    o = load(spark, sf_dir, "orders")
+    sketch = B.countmin_build(o, "o_custkey", width=256, depth=4)
+    sketch = sketch.localCheckpoint(eager=False)
+    exact = (
+        o.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    est = B.countmin_estimate(exact, sketch, "o_custkey")
+    tot = sketch.filter(F.col("j") == 0).agg(
+        F.sum("n").cast("bigint").alias("big_n")
+    )
+    bound = F.ceil(F.lit(math.e) * F.col("big_n") / F.lit(256.0)).cast("bigint")
+    return est.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("ge_exact"),
+        (F.col("cm_est") <= F.col("exact_cnt") + bound).alias("within_eps"),
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

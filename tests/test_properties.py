@@ -423,3 +423,54 @@ def test_event_anomaly_flag_consistency(spark):
             by_type[r["event_type"]].append(r["z_r"])
     for t, zs in by_type.items():
         assert abs(sum(zs) / len(zs)) < 1e-3, t
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60)
+)
+@settings(max_examples=10, deadline=None)
+def test_countmin_never_underestimates_and_merges(spark, xs):
+    """For ANY key multiset: (a) the count-min estimate of every present
+    key is >= its true count (the sketch's defining guarantee); (b) the
+    sketch of the whole equals the per-counter SUM of two shard sketches
+    (mergeability — the property that makes it the partitioned/streaming
+    shape)."""
+    from collections import Counter
+
+    from team_126_spark.operators.bloom import countmin_build, countmin_estimate
+
+    df = spark.createDataFrame([(x,) for x in xs], ["k"])
+    sketch = countmin_build(df, "k", width=16, depth=3)
+
+    truth = Counter(xs)
+    probes = spark.createDataFrame([(k,) for k in truth], ["k"])
+    est = {
+        r["k"]: r["cm_est"]
+        for r in countmin_estimate(probes, sketch, "k").collect()
+    }
+    for k, n in truth.items():
+        assert est[k] >= n, (k, n, est[k])
+
+    half = len(xs) // 2
+    if half and len(xs) - half:
+        a = countmin_build(
+            spark.createDataFrame([(x,) for x in xs[:half]], ["k"]),
+            "k", width=16, depth=3,
+        )
+        b = countmin_build(
+            spark.createDataFrame([(x,) for x in xs[half:]], ["k"]),
+            "k", width=16, depth=3,
+        )
+        merged = {
+            (r["j"], r["bucket"]): r["n"]
+            for r in a.select("j", "bucket", "n")
+            .unionByName(b.select("j", "bucket", "n"))
+            .groupBy("j", "bucket")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        whole = {
+            (r["j"], r["bucket"]): r["n"]
+            for r in sketch.select("j", "bucket", "n").collect()
+        }
+        assert merged == whole
