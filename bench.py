@@ -163,6 +163,7 @@ HEADLINE = [
     "event_anomaly",
     "random_projection",
     "countmin_freq",
+    "bootstrap_ci",
 ]
 
 

@@ -897,3 +897,61 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
             ).alias("clustering_r"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative P(X <= k), k = 0..4); mass
+# beyond 5 (~0.06%) is capped into w=5 — a deterministic, documented
+# truncation that keeps the CASE ladder finite on both engines.
+POISSON1_CDF = (
+    0.367879441171442,
+    0.735758882342885,
+    0.919698602928606,
+    0.981011843123846,
+    0.996340153172656,
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    replicas: int = 32,
+) -> DataFrame:
+    """Per-replica bootstrap means of df[value_col] via the Poisson
+    bootstrap (Chamandy et al. 2012): instead of drawing n rows WITH
+    replacement per replica (a join against a draw table — a shuffle of
+    the whole corpus per replica), every row independently contributes
+    Poisson(1)-distributed multiplicity to each replica. At 100 TB this
+    is THE bootstrap shape: one map-only ×replicas explode feeding a
+    partially-aggregated groupBy(replica) — shuffle = replicas ×
+    partitions partial rows, zero joins, and row-level determinism.
+
+    Multiplicities are md5-derived ("bs{r}:{key}" → uniform → inverse
+    CDF), so every replica mean is reproducible and has an exact DuckDB
+    twin (declared query `bootstrap_ci`). Returns (r, boot_mean) with
+    boot_mean NULL for a replica whose total weight is 0 (only possible
+    on tiny inputs).
+    """
+    from ..functions.text import md5_low60
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
+    ex = df.select(
+        F.col(value_col).cast("double").alias("_x"),
+        F.col(key_col).cast("string").alias("_k"),
+        reps,
+    )
+    u = (
+        md5_low60(
+            F.concat(F.lit("bs"), F.col("r").cast("string"), F.lit(":"), F.col("_k"))
+        )
+        % 1_000_000
+    ) / F.lit(1_000_000.0)
+    w = F.lit(5)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    ex = ex.select("r", "_x", w.cast("double").alias("_w"))
+    return ex.groupBy("r").agg(
+        (F.sum(F.col("_w") * F.col("_x")) / F.nullif(F.sum("_w"), F.lit(0.0))).alias(
+            "boot_mean"
+        )
+    )

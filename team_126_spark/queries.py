@@ -6105,6 +6105,65 @@ def q_countmin_freq(spark, sf_dir):
     )
 
 
+@declared(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH ex AS (
+      SELECT t.r, o_totalprice::DOUBLE AS x,
+             ({X.md5_low60_sql("'bs' || CAST(t.r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")})
+               % 1000000 / 1000000.0 AS u
+      FROM orders, unnest(range(0, 32)) AS t(r)
+    ),
+    wts AS (
+      SELECT r, x,
+             CASE WHEN u < 0.367879441171442 THEN 0
+                  WHEN u < 0.735758882342885 THEN 1
+                  WHEN u < 0.919698602928606 THEN 2
+                  WHEN u < 0.981011843123846 THEN 3
+                  WHEN u < 0.996340153172656 THEN 4
+                  ELSE 5 END::DOUBLE AS w
+      FROM ex
+    ),
+    repm AS (
+      SELECT r, sum(w * x) / NULLIF(sum(w), 0) AS m FROM wts GROUP BY 1
+    ),
+    ci AS (
+      SELECT quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+      FROM repm
+    )
+    SELECT 'point' AS stat, round(avg(o_totalprice::DOUBLE), 6) AS value_r
+    FROM orders
+    UNION ALL SELECT 'ci_lo', round(lo, 6) FROM ci
+    UNION ALL SELECT 'ci_hi', round(hi, 6) FROM ci
+    """,
+    doc="§2.14 Poisson-bootstrap 95% confidence interval for the mean "
+    "(Chamandy et al. 2012, the bootstrap at Google scale): every row "
+    "contributes md5-deterministic Poisson(1) multiplicity to each of 32 "
+    "replicas — one map-only ×32 explode into a partially-aggregated "
+    "groupBy(replica), zero joins, shuffle = 32 × partitions partial "
+    "rows at ANY corpus size (a classical resample-with-replacement "
+    "would join a draw table against the corpus per replica). Exact "
+    "interpolated percentiles over the 32 replica means; every weight "
+    "reproducible on the DuckDB twin "
+    "(operators/relational.poisson_bootstrap_means)",
+)
+def q_bootstrap_ci(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    repm = R.poisson_bootstrap_means(o, "o_totalprice", "o_orderkey", replicas=32)
+    ci = repm.agg(
+        F.percentile("boot_mean", F.lit([0.025, 0.975])).alias("_p")
+    ).select(
+        F.expr(
+            "stack(2, 'ci_lo', round(_p[0], 6), 'ci_hi', round(_p[1], 6)) "
+            "AS (stat, value_r)"
+        )
+    )
+    point = o.agg(
+        F.round(F.avg(F.col("o_totalprice").cast("double")), 6).alias("value_r")
+    ).select(F.lit("point").alias("stat"), "value_r")
+    return point.unionByName(ci)
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

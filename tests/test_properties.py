@@ -474,3 +474,53 @@ def test_countmin_never_underestimates_and_merges(spark, xs):
             for r in sketch.select("j", "bucket", "n").collect()
         }
         assert merged == whole
+
+
+def test_poisson_bootstrap_matches_python_replay(spark):
+    """The replica means reproduce an independent hashlib/python replay of
+    the same md5-derived Poisson weights; the resulting CI brackets the
+    point estimate on the fixture data; and weights follow the declared
+    truncated-Poisson(1) ladder (mean weight ~1, so each replica's
+    effective sample is ~n)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from team_126_spark.operators.relational import (
+        POISSON1_CDF,
+        poisson_bootstrap_means,
+    )
+    from team_126_spark.queries import REGISTRY, load
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders")
+    got = {
+        r["r"]: r["boot_mean"]
+        for r in poisson_bootstrap_means(
+            o, "o_totalprice", "o_orderkey", replicas=8
+        ).collect()
+    }
+
+    t = pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keys = t["o_orderkey"].to_pylist()
+    xs = [float(v) for v in t["o_totalprice"].to_pylist()]
+
+    def weight(r, k):
+        h = hashlib.md5(f"bs{r}:{k}".encode()).hexdigest()
+        u = (int("0x" + h[17:32], 16) % 1_000_000) / 1_000_000.0
+        for w, c in enumerate(POISSON1_CDF):
+            if u < c:
+                return w
+        return 5
+
+    n_w = 0.0
+    for r in range(8):
+        ws = [weight(r, k) for k in keys]
+        n_w += sum(ws)
+        want = sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+        assert got[r] == pytest.approx(want, rel=1e-9), r
+    assert 0.8 < n_w / (8 * len(keys)) < 1.2  # mean multiplicity ~ Poisson(1)
+
+    rows = {r["stat"]: r["value_r"] for r in REGISTRY["bootstrap_ci"].fn(spark, sf).collect()}
+    assert rows["ci_lo"] <= rows["point"] <= rows["ci_hi"]
+    assert rows["ci_lo"] < rows["ci_hi"]
