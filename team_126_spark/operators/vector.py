@@ -713,3 +713,136 @@ def diversity_sample(
         .filter(F.col("_rn") <= int(per_cell))
         .drop("_rn")
     )
+
+
+def pca_power(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    rounds: int = 6,
+    sync_dp: int = 10,
+) -> DataFrame:
+    """Top principal component of the df[vec_col] point cloud via power
+    iteration on the covariance matrix — the embedding-space drift /
+    whitening / dominant-direction primitive, and the fifth iterative
+    family (components, pagerank, shortest paths, logreg GD, PCA), fully
+    declarative with an exact unrolled DuckDB twin (declared query
+    `pca_topcomp`).
+
+    Scale design (the part that matters at 100 TB):
+      - Gram accumulation is ONE map-only pass: each row expands to its
+        dim·(dim+1)/2 upper-triangle products via a nested codegen
+        transform and feeds straight into a partially-aggregated
+        groupBy(i, j) — the shuffle carries at most ~dim²/2 partial sums
+        PER MAP PARTITION regardless of corpus size (never row×row, never
+        a self-join of the exploded triples). Per-dimension means ride a
+        posexplode + partial agg the same way.
+      - everything after the two aggregates runs on dim×dim-row tables
+        (4096 rows at dim 64): per round one equi-join of the rank-1
+        vector onto the covariance table + one partial agg + one
+        single-row norm broadcast. No driver collect anywhere.
+      - each round's vector is localCheckpoint(eager=False)ed so the
+        unrolled plan stays LINEAR in rounds (the vector is consumed
+        twice per round; without the cut the subtree doubles per round).
+
+    Float-drift pinning (the logreg_train discipline): the covariance
+    entries and each round's normalized vector are rounded to `sync_dp`
+    on BOTH engines, re-synchronizing summation-order ulp noise every
+    round instead of letting the iteration amplify it. Sign convention:
+    the component with the largest |loading| (smallest index on ties) is
+    made positive — an exact comparison over identical rounded values,
+    immune to the near-zero-sum ambiguity of a sum-based sign rule.
+
+    Returns (dim, loading_r, eigval_r): the unit top eigenvector (6dp)
+    and its Rayleigh-quotient eigenvalue estimate, one row per dimension.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(emb, (i + 1).cast("int"))
+                        * F.element_at(emb, (j + 1).cast("int"))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"), F.count("*").alias("cnt"))
+    )
+    mu = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    cov0 = (
+        prods.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("mi"))), "i")
+        .join(
+            F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("mj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sp") / F.col("cnt") - F.col("mi") * F.col("mj"), sync_dp
+            ).alias("c"),
+        )
+    )
+    cov = (
+        cov0.unionByName(
+            cov0.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        )
+        .localCheckpoint(eager=False)  # feeds every round + the Rayleigh agg
+    )
+
+    spark = df.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("i"), F.lit(1.0 / dim**0.5).alias("v")
+    )
+    for _ in range(rounds):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", F.round(F.col("w") / F.col("_n"), sync_dp).alias("v"))
+            .localCheckpoint(eager=False)  # keep the unrolled plan linear
+        )
+
+    sgn_row = v.agg(
+        F.max_by(
+            "v", F.struct(F.abs(F.col("v")).alias("a"), (-F.col("i")).alias("ni"))
+        ).alias("_vstar")
+    ).select(
+        F.when(F.col("_vstar") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("_s")
+    )
+    lam = (
+        cov.join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))), "j")
+        .join(F.broadcast(v.select("i", F.col("v").alias("vi"))), "i")
+        .agg(F.sum(F.col("vi") * F.col("c") * F.col("vj")).alias("_lam"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn_row))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("bigint").alias("dim"),
+            F.round(F.col("_s") * F.col("v"), 6).alias("loading_r"),
+            F.round("_lam", 6).alias("eigval_r"),
+        )
+    )

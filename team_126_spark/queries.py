@@ -6164,6 +6164,85 @@ def q_bootstrap_ci(spark, sf_dir):
     return point.unionByName(ci)
 
 
+_PCA_DIM, _PCA_ROUNDS, _PCA_DP = 64, 6, 10
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle (the logreg_train discipline: the
+    covariance entries and every round's normalized vector re-sync to 10dp
+    on both engines, so summation-order ulp noise never amplifies through
+    the iteration)."""
+    d, dp = _PCA_DIM, _PCA_DP
+    head = f"""
+    WITH ex AS (
+      SELECT vec_id AS rid, unnest(range({d}))::INT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp, count(*) AS cnt
+      FROM ex a JOIN ex b ON a.rid = b.rid AND a.i <= b.i GROUP BY 1, 2
+    ),
+    cov0 AS (
+      SELECT pr.i, pr.j, round(pr.sp / pr.cnt - ma.m * mb.m, {dp}) AS c
+      FROM pr JOIN mu ma ON ma.i = pr.i JOIN mu mb ON mb.i = pr.j
+    ),
+    cov AS (
+      SELECT i, j, c FROM cov0
+      UNION ALL SELECT j AS i, i AS j, c FROM cov0 WHERE i <> j
+    ),
+    v0 AS (SELECT unnest(range({d}))::INT AS i, 1.0 / sqrt({d}) AS v)"""
+    its = []
+    for t in range(1, _PCA_ROUNDS + 1):
+        its.append(f""",
+    w{t} AS (
+      SELECT cov.i, sum(cov.c * v.v) AS w
+      FROM cov JOIN v{t - 1} v ON v.i = cov.j GROUP BY 1
+    ),
+    v{t} AS (
+      SELECT i, round(w / (SELECT sqrt(sum(w * w)) FROM w{t}), {dp}) AS v
+      FROM w{t}
+    )""")
+    last = f"v{_PCA_ROUNDS}"
+    tail = f""",
+    sgn AS (
+      SELECT CASE WHEN (SELECT v FROM {last} ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+                  THEN -1.0 ELSE 1.0 END AS s
+    ),
+    lam AS (
+      SELECT sum(vi.v * cov.c * vj.v) AS l
+      FROM cov JOIN {last} vj ON vj.i = cov.j JOIN {last} vi ON vi.i = cov.i
+    )
+    SELECT {last}.i::BIGINT AS dim, round(sgn.s * {last}.v, 6) AS loading_r,
+           round(lam.l, 6) AS eigval_r
+    FROM {last}, sgn, lam
+    """
+    return head + "".join(its) + tail
+
+
+@declared(
+    "pca_topcomp",
+    oracle=_pca_oracle(),
+    doc="§2.14 top principal component via power iteration — the fifth "
+    "iterative family (after components, pagerank, shortest paths, "
+    "logreg GD): embedding-space dominant direction for drift detection, "
+    "whitening, and 1-D semantic ordering. Gram accumulation is ONE "
+    "map-only nested-transform pass per row feeding a partially-"
+    "aggregated groupBy(i,j) — shuffle ≤ dim²/2 partial sums per map "
+    "partition at ANY corpus size, never a self-join of exploded "
+    "triples; all 6 unrolled rounds then run on the dim×dim table with "
+    "single-row norm broadcasts, no driver collect. Covariance and each "
+    "round's vector re-sync to 10dp on both engines; sign fixed by the "
+    "largest-|loading| component (operators/vector.pca_power)",
+)
+def q_pca_topcomp(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return OV.pca_power(
+        e, "embedding", dim=_PCA_DIM, rounds=_PCA_ROUNDS, sync_dp=_PCA_DP
+    )
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================
