@@ -57,10 +57,31 @@ def _minhash_incremental_xx(spark, sf_dir):
 # sketch rows read as "regressed" in two straight verdicts. Benching both
 # families separates oracle-family CPU from plan cost. NOT registry entries:
 # same plan shape as their _md5 twins, no separate correctness claim.
+def _bootstrap_ci_xx(spark, sf_dir):
+    # Production-family twin of bootstrap_ci (VERDICT r5 #6): identical
+    # plan (map-only x32 explode -> partial-agg groupBy -> percentiles),
+    # xxhash64 weights instead of md5 — separates hash-CPU from plan cost.
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators import relational as _R
+
+    o = _table(spark, sf_dir, "orders")
+    repm = _R.poisson_bootstrap_means(
+        o, "o_totalprice", "o_orderkey", replicas=32, hash_fn="xxhash64"
+    )
+    return repm.agg(
+        F.percentile("boot_mean", F.lit([0.025, 0.975])).alias("_p")
+    ).select(
+        F.round(F.col("_p")[0], 6).alias("ci_lo"),
+        F.round(F.col("_p")[1], 6).alias("ci_hi"),
+    )
+
+
 EXTRA_BENCH = {
     "simhash_xx": _simhash_xx,
     "minhash_lsh_pairs_xx": _minhash_lsh_pairs_xx,
     "minhash_incremental_xx": _minhash_incremental_xx,
+    "bootstrap_ci_xx": _bootstrap_ci_xx,
 }
 
 HEADLINE = [
@@ -164,6 +185,7 @@ HEADLINE = [
     "random_projection",
     "countmin_freq",
     "bootstrap_ci",
+    "pca_topcomp",
 ]
 
 
@@ -221,16 +243,29 @@ def main() -> None:
         la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
     except OSError:  # pragma: no cover
         la1 = la5 = la15 = None
+    # The driver captures only the TAIL of the output (BENCH_r05 lost its
+    # timings because the r5 single-line format put the ~4 kB spread dict
+    # after `queries`, pushing the timings out of the capture window —
+    # VERDICT r5 #4). So: telemetry (spread, load_avg) goes on its OWN
+    # line FIRST, and the LAST line printed is the compact headline JSON
+    # the driver parses, with `queries` as its only large dict.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_telemetry",
+                "load_avg": [la1, la5, la15],
+                "spread": spread,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
                 "sf": sf,
-                "load_avg": [la1, la5, la15],
+                "queries": timings,
             }
         )
     )

@@ -205,7 +205,17 @@ def countmin_estimate(
     """
     params = sketch.select("width", "depth").first()
     if params is None:
-        raise ValueError("countmin_estimate: empty sketch table")
+        # Empty-because-corpus-empty (the geometry columns resolve, there
+        # are just no counter rows): every counter is 0, so the count-min
+        # estimate is 0 for every key at ANY geometry — return the
+        # well-formed zero estimate. A wrong table (missing width/depth)
+        # still fails loudly above on schema resolution.
+        return probes.withColumn(
+            out,
+            F.when(
+                F.col(key_col).isNotNull(), F.lit(0).cast("bigint")
+            ),
+        )
     width, depth = int(params["width"]), int(params["depth"])
     sk = sketch.drop("width", "depth")
     keys = probes.select(F.col(key_col).alias("_ck")).where(

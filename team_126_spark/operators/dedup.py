@@ -240,6 +240,10 @@ def minhash_lsh_probe(
             (F.col("n.band") == F.col("c.band")) & (F.col("n.bkey") == F.col("c.bkey")),
         )
         .select(F.col("n.doc").alias("new_id"), F.col("c.doc").alias("corpus_id"))
+        # A checkpoint-replayed ingest batch probes an index that already
+        # contains its own docs: drop self-matches (new_id == corpus_id,
+        # est 1.0) rather than emit them as "near-dups".
+        .filter(F.col("n.doc") != F.col("c.doc"))
         .dropDuplicates(["new_id", "corpus_id"])
     )
     sn = new_sigs.select(F.col("doc").alias("new_id"), F.col("signature").alias("sig_a"))
@@ -258,6 +262,11 @@ def minhash_lsh_probe(
         .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", "est_jaccard")
+        # Defense against duplicate index rows (e.g. a non-idempotent
+        # append replay): duplicated corpus sigs fan out the estimate join
+        # into identical pair rows — collapse them. The dedup runs on the
+        # PAIRS table (output-sized), never on the corpus.
+        .dropDuplicates(["new_id", "corpus_id"])
     )
 
 
@@ -935,8 +944,11 @@ def contrastive_pairs(
     Anchors whose bucket stranded them without a lag partner (one per
     bucket) fall back to their own bucket's first row via the join being
     inner — i.e. they are dropped: n/2 - n_buckets worst-case loss,
-    negligible and deterministic. Output: (anchor, positive, negative,
-    est_jaccard).
+    negligible and deterministic. Degenerate triples where the bucket-lag
+    partner happens to BE the LSH positive (negative == positive) are
+    filtered out — an (a, p, p) triple teaches the model nothing and
+    poisons the loss; the filter is mirrored in the DuckDB oracle.
+    Output: (anchor, positive, negative, est_jaccard).
     """
     from pyspark.sql import Window
 
@@ -964,6 +976,7 @@ def contrastive_pairs(
             "est_jaccard",
         )
         .join(neg, "anchor")
+        .filter(F.col("negative") != F.col("positive"))
         .select("anchor", "positive", "negative", "est_jaccard")
     )
 

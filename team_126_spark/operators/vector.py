@@ -755,7 +755,17 @@ def pca_power(
 
     Returns (dim, loading_r, eigval_r): the unit top eigenvector (6dp)
     and its Rayleigh-quotient eigenvalue estimate, one row per dimension.
+
+    NULL / short embeddings are dropped up front (the cosine_calibration
+    null-guard discipline): without the filter a NULL vec_col row still
+    explodes into dim·(dim+1)/2 structs with p NULL while the i/j
+    literals are non-null, inflating count(*) in the denominator while
+    sum skips the NULLs — a biased covariance that also diverges from
+    the oracle's unnest (which drops such rows entirely).
     """
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     pairs = F.flatten(

@@ -203,15 +203,20 @@ def stream_neardup_probe(
     corpus is never re-signed, and the growing index is the same layout a
     batch backfill would build (minhash_signatures → banded_signatures).
 
-    Layout: `index_dir/sigs` (doc, signature) and `index_dir/bands`
-    (doc, band, bkey) parquet, appended per batch. Batch-retry semantics:
-    a replayed batch OVERWRITES its own pairs output (out_dir/batch=<id>),
-    and re-appends its signatures — duplicate index rows only create
-    duplicate candidate PAIRS, which the probe's dropDuplicates already
-    collapses, so a crash between the two writes cannot produce wrong
-    answers, only re-verified candidates. Seed the index by writing the
-    existing corpus's signatures/bands before starting the stream (tests
-    do exactly that).
+    Layout: `index_dir/sigs/b<id>/` (doc, signature) and
+    `index_dir/bands/b<id>/` (doc, band, bkey) parquet, one subdir per
+    batch, read back with a `/*` glob. Batch-retry semantics: EVERY write
+    a batch performs is an overwrite of a batch-keyed location — the
+    pairs output (out_dir/batch=<id>) AND the index subdirs — so a
+    checkpoint replay after a crash between writes rewrites exactly the
+    same state instead of appending duplicate sig rows (a plain append
+    would fan out the estimate join of every LATER batch into duplicate
+    pair rows). A replayed batch does probe an index already containing
+    its own docs; `minhash_lsh_probe` drops self-matches
+    (new_id == corpus_id) and dedupes pairs, so the replay emits the
+    identical pair set. Seed the index by writing the existing corpus's
+    signatures/bands to `index_dir/{sigs,bands}/seed/` before starting
+    the stream (tests do exactly that).
     """
     from ..operators.dedup import banded_signatures, minhash_lsh_probe, minhash_signatures
 
@@ -222,15 +227,17 @@ def stream_neardup_probe(
             .filter(F.col("signature").isNotNull())
             .localCheckpoint()
         )
-        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs")
-        corpus_banded = spark.read.parquet(f"{index_dir}/bands")
+        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs/*")
+        corpus_banded = spark.read.parquet(f"{index_dir}/bands/*")
         pairs = minhash_lsh_probe(
             bdf, corpus_sigs, text_col, id_col, k, bands, threshold, hash_fn,
             corpus_banded=corpus_banded, new_sigs=sigs,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        sigs.write.mode("append").parquet(f"{index_dir}/sigs")
-        banded_signatures(sigs, bands).write.mode("append").parquet(f"{index_dir}/bands")
+        sigs.write.mode("overwrite").parquet(f"{index_dir}/sigs/b{batch_id}")
+        banded_signatures(sigs, bands).write.mode("overwrite").parquet(
+            f"{index_dir}/bands/b{batch_id}"
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(probe_batch)

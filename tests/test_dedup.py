@@ -381,6 +381,39 @@ def test_minhash_lsh_probe_matches_cross_boundary_pairs(spark):
     assert again == probe
 
 
+def test_minhash_lsh_probe_replay_safe(spark):
+    """Checkpoint-replay semantics of the streaming ingest index: probing
+    a corpus that (a) already contains the new batch's own docs (a batch
+    replayed after its index write landed) and (b) carries duplicated sig
+    rows (a legacy non-idempotent append) emits NO self-pairs and NO
+    duplicate pair rows — the exact pair set of the clean corpus."""
+    from team_126_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter("source = 'src0'")
+    corpus_sigs = D.minhash_signatures(docs, "text", "doc_id", k=3).filter(
+        "signature IS NOT NULL"
+    )
+    # expected: probe against the self-containing index ONCE (replay
+    # emits intra-batch pairs between DIFFERENT docs — only exact
+    # self-matches are dropped)
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in D.minhash_lsh_probe(
+            new, corpus_sigs, "text", "doc_id", k=3, threshold=0.3
+        ).collect()
+    )
+    # dirty index: every sig row twice (a legacy non-idempotent append)
+    dirty = corpus_sigs.unionByName(corpus_sigs)
+    got_rows = D.minhash_lsh_probe(
+        new, dirty, "text", "doc_id", k=3, threshold=0.3
+    ).collect()
+    got = sorted((r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in got_rows)
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # no dup pairs
+    assert all(a != b for a, b, _ in got)  # no self-matches
+    assert got == want  # probing the dirty index loses/invents nothing
+
+
 def test_banded_signatures_rejects_non_divisor_bands(spark, docs_df):
     import pytest as _pytest
 

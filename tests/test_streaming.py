@@ -440,8 +440,8 @@ def test_stream_neardup_probe_matches_batch_probe(spark, tmp_path):
     seed_sigs = minhash_signatures(seed, "text", "doc_id", 3).filter(
         F.col("signature").isNotNull()
     )
-    seed_sigs.write.parquet(f"{index_dir}/sigs")
-    banded_signatures(seed_sigs, 16).write.parquet(f"{index_dir}/bands")
+    seed_sigs.write.parquet(f"{index_dir}/sigs/seed")
+    banded_signatures(seed_sigs, 16).write.parquet(f"{index_dir}/bands/seed")
 
     stream_src = str(tmp_path / "incoming")
     b1.coalesce(1).write.mode("append").parquet(stream_src)
@@ -477,7 +477,7 @@ def test_stream_neardup_probe_matches_batch_probe(spark, tmp_path):
     assert got in (want_a, want_b) and len(got) > 0
 
     # index grew to cover every signed doc
-    n_idx = spark.read.parquet(f"{index_dir}/sigs").select("doc").distinct().count()
+    n_idx = spark.read.parquet(f"{index_dir}/sigs/*").select("doc").distinct().count()
     n_all = minhash_signatures(docs, "text", "doc_id", 3).filter(
         F.col("signature").isNotNull()
     ).count()
