@@ -242,8 +242,10 @@ def minhash_lsh_probe(
         .select(F.col("n.doc").alias("new_id"), F.col("c.doc").alias("corpus_id"))
         # A checkpoint-replayed ingest batch probes an index that already
         # contains its own docs: drop self-matches (new_id == corpus_id,
-        # est 1.0) rather than emit them as "near-dups".
-        .filter(F.col("n.doc") != F.col("c.doc"))
+        # est 1.0) rather than emit them as "near-dups". Filter on the
+        # projected names — referencing n.doc/c.doc after the select would
+        # lean on ResolveMissingReferences reaching through the Project.
+        .filter(F.col("new_id") != F.col("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
     )
     sn = new_sigs.select(F.col("doc").alias("new_id"), F.col("signature").alias("sig_a"))

@@ -211,12 +211,15 @@ def stream_neardup_probe(
     checkpoint replay after a crash between writes rewrites exactly the
     same state instead of appending duplicate sig rows (a plain append
     would fan out the estimate join of every LATER batch into duplicate
-    pair rows). A replayed batch does probe an index already containing
-    its own docs; `minhash_lsh_probe` drops self-matches
-    (new_id == corpus_id) and dedupes pairs, so the replay emits the
-    identical pair set. Seed the index by writing the existing corpus's
-    signatures/bands to `index_dir/{sigs,bands}/seed/` before starting
-    the stream (tests do exactly that).
+    pair rows). A replayed batch probes an index that already contains
+    its own docs (written by the crashed attempt); the probe therefore
+    anti-joins the corpus read against the batch's own doc ids (broadcast
+    — the batch side is micro-batch-sized) so the replay sees exactly the
+    index state the original attempt saw and emits the IDENTICAL pair
+    set — not a superset with extra intra-batch pairs. Seed the index by
+    writing the existing corpus's signatures/bands to
+    `index_dir/{sigs,bands}/seed/` before starting the stream (tests do
+    exactly that).
     """
     from ..operators.dedup import banded_signatures, minhash_lsh_probe, minhash_signatures
 
@@ -227,8 +230,16 @@ def stream_neardup_probe(
             .filter(F.col("signature").isNotNull())
             .localCheckpoint()
         )
-        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs/*")
-        corpus_banded = spark.read.parquet(f"{index_dir}/bands/*")
+        # Crash-replay exactness: a replayed batch's own sigs/bands may
+        # already sit under b<batch_id>/ from the crashed attempt — exclude
+        # the batch's docs so replay probes the pre-batch index state.
+        batch_docs = sigs.select("doc")
+        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs/*").join(
+            F.broadcast(batch_docs), "doc", "left_anti"
+        )
+        corpus_banded = spark.read.parquet(f"{index_dir}/bands/*").join(
+            F.broadcast(batch_docs), "doc", "left_anti"
+        )
         pairs = minhash_lsh_probe(
             bdf, corpus_sigs, text_col, id_col, k, bands, threshold, hash_fn,
             corpus_banded=corpus_banded, new_sigs=sigs,

@@ -483,3 +483,53 @@ def test_stream_neardup_probe_matches_batch_probe(spark, tmp_path):
     ).count()
     assert n_idx == n_all
     docs.unpersist()
+
+
+def test_stream_neardup_probe_replay_is_exact(spark, tmp_path):
+    """Crash-replay exactness (ADVICE r6): a batch replayed AFTER its index
+    write landed (crash between index write and checkpoint commit) probes
+    an index that already contains its own docs. The probe must emit the
+    IDENTICAL pair set the clean run emits — in particular NO intra-batch
+    pairs between different docs of the replayed batch."""
+    from team_126_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_probe,
+        minhash_signatures,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    seed_sigs = minhash_signatures(seed, "text", "doc_id", 3).filter(
+        F.col("signature").isNotNull()
+    )
+    seed_sigs.write.parquet(f"{index_dir}/sigs/seed")
+    banded_signatures(seed_sigs, 16).write.parquet(f"{index_dir}/bands/seed")
+    # Simulate the crashed first attempt: the batch's own sigs/bands are
+    # already in the index under b0/ (one input file -> batch_id 0), but the
+    # checkpoint never committed, so the stream will replay batch 0.
+    batch_sigs = minhash_signatures(batch, "text", "doc_id", 3).filter(
+        F.col("signature").isNotNull()
+    )
+    batch_sigs.write.parquet(f"{index_dir}/sigs/b0")
+    banded_signatures(batch_sigs, 16).write.parquet(f"{index_dir}/bands/b0")
+
+    stream_src = str(tmp_path / "incoming")
+    batch.coalesce(1).write.parquet(stream_src)
+    src = spark.readStream.schema(docs.schema).parquet(stream_src)
+    STR.stream_neardup_probe(
+        src, index_dir, out_dir, str(tmp_path / "ckpt"), threshold=0.3
+    )
+
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"),
+                ["new_id", "corpus_id", "est_jaccard"])
+    want = canon(
+        minhash_lsh_probe(batch, seed_sigs, "text", "doc_id", threshold=0.3),
+        ["new_id", "corpus_id", "est_jaccard"],
+    )
+    assert got == want and len(got) > 0
+    # intra-batch pairs would have both endpoints outside the seed partition
+    seed_ids = {r[0] for r in canon(seed_sigs.select("doc"))}
+    assert all(c in seed_ids for _, c, _ in got)
