@@ -202,6 +202,12 @@ def countmin_estimate(
     sketch (a bucket no key ever hit is absent from the table → COALESCE
     0), min per key, join the estimate back onto the probe rows. The
     probe side shuffles once on its own key; the sketch never shuffles.
+
+    NULL-key contract (both sketch paths, pinned by test): a NULL probe
+    key gets a NULL estimate — populated sketches via the NULL-never-
+    equi-joins final left join, empty sketches via the otherwise-less
+    CASE — because "frequency of no key" is undefined, matching
+    countmin_build where NULL keys contribute nothing.
     """
     params = sketch.select("width", "depth").first()
     if params is None:

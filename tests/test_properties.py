@@ -476,6 +476,30 @@ def test_countmin_never_underestimates_and_merges(spark, xs):
         assert merged == whole
 
 
+def test_countmin_null_key_uniform_across_sketch_paths(spark):
+    """NULL-key contract (VERDICT r6 #7): a NULL probe key gets a NULL
+    estimate on BOTH the populated-sketch path (join-on-NULL misses) and
+    the empty-sketch path (otherwise-less CASE) — the two code paths must
+    not diverge on NULL semantics."""
+    from team_126_spark.operators.bloom import countmin_build, countmin_estimate
+
+    corpus = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    probes = spark.createDataFrame([("a",), (None,)], "k string")
+
+    populated = {
+        r["k"]: r["cm_est"]
+        for r in countmin_estimate(probes, countmin_build(corpus, "k"), "k").collect()
+    }
+    empty = {
+        r["k"]: r["cm_est"]
+        for r in countmin_estimate(
+            probes, countmin_build(corpus.where("k IS NULL"), "k"), "k"
+        ).collect()
+    }
+    assert populated[None] is None and empty[None] is None
+    assert populated["a"] == 2 and empty["a"] == 0
+
+
 def test_poisson_bootstrap_matches_python_replay(spark):
     """The replica means reproduce an independent hashlib/python replay of
     the same md5-derived Poisson weights; the resulting CI brackets the
