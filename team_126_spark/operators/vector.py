@@ -721,6 +721,7 @@ def pca_power(
     dim: int,
     rounds: int = 6,
     sync_dp: int = 10,
+    gram: str = "arrow",
 ) -> DataFrame:
     """Top principal component of the df[vec_col] point cloud via power
     iteration on the covariance matrix — the embedding-space drift /
@@ -730,13 +731,23 @@ def pca_power(
     `pca_topcomp`).
 
     Scale design (the part that matters at 100 TB):
-      - Gram accumulation is ONE map-only pass: each row expands to its
-        dim·(dim+1)/2 upper-triangle products via a nested codegen
-        transform and feeds straight into a partially-aggregated
-        groupBy(i, j) — the shuffle carries at most ~dim²/2 partial sums
-        PER MAP PARTITION regardless of corpus size (never row×row, never
-        a self-join of the exploded triples). Per-dimension means ride a
-        posexplode + partial agg the same way.
+      - Gram accumulation is ONE map-only pass with two kernels sharing
+        the identical shuffle shape (≤ ~dim²/2 partial sums PER MAP
+        PARTITION regardless of corpus size — never row×row, never a
+        self-join of exploded triples):
+        `gram='arrow'` (default, the production kernel): mapInPandas
+        computes a per-Arrow-batch numpy X^T·X + column sums and emits
+        only the dim·(dim+1)/2 + dim partial rows per batch — the BLAS
+        matmul replaces the 2,080-struct-per-row codegen explode that
+        made this the registry's worst map-side constant (VERDICT r6 #2:
+        19.3 s → the struct allocation + element_at pairs cost ~2 orders
+        more than the Arrow kernel pays for the same products).
+        `gram='codegen'`: the fully-declarative nested-transform explode
+        feeding a partially-aggregated groupBy(i, j) — survives as the
+        pinned reference kernel (the kmeans_assign_broadcast /simhash
+        precedent; test_pca_gram_arrow_matches_codegen pins equality).
+        Per-dimension means ride the same pass (arrow) or a posexplode +
+        partial agg (codegen).
       - everything after the two aggregates runs on dim×dim-row tables
         (4096 rows at dim 64): per round one equi-join of the rank-1
         vector onto the covariance table + one partial agg + one
@@ -763,38 +774,78 @@ def pca_power(
     sum skips the NULLs — a biased covariance that also diverges from
     the oracle's unnest (which drops such rows entirely).
     """
+    if gram not in ("arrow", "codegen"):
+        raise ValueError(f"gram must be 'arrow' or 'codegen', got {gram!r}")
     df = df.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     )
-    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    pairs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(emb, (i + 1).cast("int"))
-                        * F.element_at(emb, (j + 1).cast("int"))
-                    ).alias("p"),
-                ),
-            ),
+    if gram == "arrow":
+
+        def _gram_partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            iu, ju = np.triu_indices(dim)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                S = X.T @ X
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate([iu, np.arange(dim)]).astype("int32"),
+                        "j": np.concatenate([ju, np.full(dim, -1)]).astype("int32"),
+                        "sp": np.concatenate([S[iu, ju], X.sum(axis=0)]),
+                        "cnt": np.full(iu.size + dim, len(X), dtype="int64"),
+                    }
+                )
+
+        part = df.select(vec_col).mapInPandas(
+            _gram_partials, schema="i int, j int, sp double, cnt bigint"
         )
-    )
-    prods = (
-        df.select(F.explode(pairs).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("sp"), F.count("*").alias("cnt"))
-    )
-    mu = (
-        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-    )
+        prods = (
+            part.where(F.col("j") >= 0)
+            .groupBy("i", "j")
+            .agg(F.sum("sp").alias("sp"), F.sum("cnt").alias("cnt"))
+        )
+        # j = -1 marker rows carry per-dimension sums from the same pass
+        mu = (
+            part.where(F.col("j") == -1)
+            .groupBy("i")
+            .agg((F.sum("sp") / F.sum("cnt")).alias("m"))
+        )
+    else:
+        emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        pairs = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (
+                            F.element_at(emb, (i + 1).cast("int"))
+                            * F.element_at(emb, (j + 1).cast("int"))
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+        prods = (
+            df.select(F.explode(pairs).alias("e"))
+            .select("e.i", "e.j", "e.p")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("sp"), F.count("*").alias("cnt"))
+        )
+        mu = (
+            df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
     cov0 = (
         prods.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("mi"))), "i")
         .join(

@@ -6237,10 +6237,12 @@ def _pca_oracle() -> str:
     "iterative family (after components, pagerank, shortest paths, "
     "logreg GD): embedding-space dominant direction for drift detection, "
     "whitening, and 1-D semantic ordering. Gram accumulation is ONE "
-    "map-only nested-transform pass per row feeding a partially-"
-    "aggregated groupBy(i,j) — shuffle ≤ dim²/2 partial sums per map "
-    "partition at ANY corpus size, never a self-join of exploded "
-    "triples; all 6 unrolled rounds then run on the dim×dim table with "
+    "map-only Arrow pass (mapInPandas per-batch numpy X^T·X emitting "
+    "only dim·(dim+1)/2+dim partial rows per batch; the declarative "
+    "codegen explode survives as the pinned parity kernel, "
+    "test_pca_gram_arrow_matches_codegen) — shuffle ≤ dim²/2 partial "
+    "sums per map partition at ANY corpus size, never a self-join of "
+    "exploded triples; all 6 unrolled rounds then run on the dim×dim table with "
     "single-row norm broadcasts, no driver collect. Covariance and each "
     "round's vector re-sync to 10dp on both engines; sign fixed by the "
     "largest-|loading| component (operators/vector.pca_power)",

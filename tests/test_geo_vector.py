@@ -465,3 +465,35 @@ def test_kmeans_assign_broadcast_matches_codegen(spark):
     }
     assert cells == {1: 0, 2: 2}
     emb.unpersist()
+
+
+def test_pca_gram_arrow_matches_codegen(spark):
+    """The Arrow Gram kernel (mapInPandas per-batch numpy X^T·X, VERDICT r6
+    #2) is row-for-row identical to the declarative codegen explode across
+    the full pipeline: same covariance after 10dp rounding, same unrolled
+    rounds, same sign rule — and a NULL/short-vector row is dropped by both."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.vector import pca_power
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    dirty = emb.unionByName(
+        emb.limit(2).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            *[F.col(c) for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).select(*emb.columns)
+    )
+    arrow = {
+        r["dim"]: (r["loading_r"], r["eigval_r"])
+        for r in pca_power(dirty, "embedding", dim=64, gram="arrow").collect()
+    }
+    codegen = {
+        r["dim"]: (r["loading_r"], r["eigval_r"])
+        for r in pca_power(dirty, "embedding", dim=64, gram="codegen").collect()
+    }
+    assert arrow == codegen and len(arrow) == 64
+    # unit norm survives the kernel swap
+    n2 = sum(v[0] ** 2 for v in arrow.values())
+    assert abs(n2 - 1.0) < 1e-4
