@@ -6325,6 +6325,34 @@ DRIVER_SAMPLE_R6: tuple[str, ...] = (
 )
 
 
+# Round-7 rotation (VERDICT r6 "Next round" #2): the 63 queries never
+# sampled by DRIVER_SAMPLE_R5/R6 — i.e. whose driver evidence is r4 or
+# older — fill the sample oldest-evidence-first: all 14 r3-evidence rows,
+# then 36 of the 49 r4-evidence rows in declaration order. The remaining
+# 13 r4-evidence rows (session_window_native … hybrid_fusion_fast) lead
+# the R8 rotation, after which no query's driver evidence is older than
+# three rounds.
+DRIVER_SAMPLE_R7: tuple[str, ...] = (
+    # r3-evidence rows (the oldest driver evidence in the registry)
+    "struct_project", "threshold_flag", "status_breakdown",
+    "topk_per_group", "ordered_limit", "search_filter_limit",
+    "union_dedup", "regexp_extract_kw", "schedule_expand",
+    "vec_knn_scoped", "vec_threshold", "vec_euclidean_match",
+    "vec_knn_batch", "salted_join_fk",
+    # r4-evidence rows, declaration order (36 of 49)
+    "rollup_counts", "rolling_features", "asof_join", "corpus_curate",
+    "doc_len_quantiles", "vec_centroids", "build_vocab", "pack_sequences",
+    "doc_rarity", "ngram_counts", "decontaminate", "doc_chunk",
+    "stratified_sample", "pii_scrub", "doc_exact_dedup", "doc_fingerprint",
+    "doc_jaccard_pairs", "embedding_neardup", "minhash_lsh_pairs",
+    "dedup_components", "dedup_select", "cluster_split",
+    "interval_join_counts", "scd2_history", "cap_per_source",
+    "quality_gate", "corpus_mix", "simhash", "embedding_neardup_lsh",
+    "ann_lsh", "doc_rolling_fingerprint", "tumbling_window", "sessionize",
+    "event_trends", "dashboard_counts", "dataset_search_union",
+)
+
+
 def _rotate_registry(front: tuple[str, ...]) -> None:
     missing = [n for n in front if n not in REGISTRY]
     if missing:
@@ -6335,4 +6363,4 @@ def _rotate_registry(front: tuple[str, ...]) -> None:
     REGISTRY.update(ordered)
 
 
-_rotate_registry(DRIVER_SAMPLE_R6)
+_rotate_registry(DRIVER_SAMPLE_R7)
