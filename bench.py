@@ -135,6 +135,7 @@ HEADLINE = [
     "ann_quantized",
     "dedup_overlap_matrix",
     "minhash_incremental",
+    "minhash_index_probe",
     "temperature_mix",
     "contamination_spans",
     "simhash_pairs",

@@ -4317,6 +4317,115 @@ def q_minhash_incremental(spark, sf_dir):
     )
 
 
+def _minhash_index_probe_oracle_sql(bands: int = 16, threshold: float = 0.3) -> str:
+    """Two-BATCH variant of _minhash_incremental_oracle_sql mirroring the
+    streaming ingest-index replay: batch 0 (src0) probes the seed corpus
+    (sources other than src0/src1); batch 1 (src1) probes seed + batch 0 —
+    the index state each batch saw. Same shingles/remix/banding CTEs."""
+    from .functions.sketch import _PARAMS
+
+    rpb = 64 // bands
+    M = "18446744073709551616"  # 2^64
+    remixes = ", ".join(
+        f"list_min(list_transform(hl, h -> ({a}::HUGEINT * h + {b}) % {M}))"
+        for a, b in _PARAMS
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bkey := [{vals}])".format(
+            i=i, vals=", ".join(f"sig[{i * rpb + j + 1}]" for j in range(rpb))
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, source, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, source, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT doc, any_value(source) AS source,
+             list({X.md5_low60_sql('shingle')}::HUGEINT) AS hl
+      FROM sh GROUP BY doc
+    ),
+    sig_t AS (SELECT doc, source, [{remixes}] AS sig FROM hs),
+    bands_t AS (
+      SELECT doc, source, unnest([{band_structs}]) AS bk FROM sig_t
+    ),
+    b2 AS (SELECT doc, source, bk.band AS band, bk.bkey AS bkey FROM bands_t),
+    cand AS (
+      SELECT DISTINCT CASE WHEN n.source = 'src0' THEN 0 ELSE 1 END AS batch,
+             n.doc AS new_id, c.doc AS corpus_id
+      FROM b2 n JOIN b2 c ON n.band = c.band AND n.bkey = c.bkey
+      WHERE (n.source = 'src0' AND c.source NOT IN ('src0', 'src1'))
+         OR (n.source = 'src1' AND c.source <> 'src1')
+    )
+    SELECT batch, new_id, corpus_id,
+           round(len(list_filter(list_zip(sn.sig, sc.sig), p -> p[1] = p[2])) / 64.0, 6)
+             AS est_jaccard
+    FROM cand
+    JOIN sig_t sn ON sn.doc = new_id
+    JOIN sig_t sc ON sc.doc = corpus_id
+    WHERE round(len(list_filter(list_zip(sn.sig, sc.sig), p -> p[1] = p[2])) / 64.0, 6)
+          >= {threshold}
+    """
+
+
+@declared(
+    "minhash_index_probe",
+    oracle=_minhash_index_probe_oracle_sql(bands=16, threshold=0.3),
+    doc="§2.10/§2.12 the streaming ingest-index layout under the batch "
+    "oracle gate (VERDICT r6 #6): builds the SAME persisted "
+    "index_dir/{sigs,bands}/b<id>/ parquet layout stream_neardup_probe "
+    "maintains (seed = sources other than src0/src1; b0 = src0), then "
+    "replays two ingest batches — b0 probes the seed subdir, b1 (src1) "
+    "probes the GROWN index via the multi-subdir glob — reproducing the "
+    "cross-batch pair set exactly (streaming/pipeline.stream_neardup_probe; "
+    "md5 family → full DuckDB twin). Per-batch cost ∝ batch size; the "
+    "corpus is never re-signed — the append-only 100 TB ingest shape",
+)
+def q_minhash_index_probe(spark, sf_dir):
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    idx = f"/tmp/team126_minhash_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    seed = docs.filter(~F.col("source").isin("src0", "src1"))
+    b0 = docs.filter(F.col("source") == "src0")
+    b1 = docs.filter(F.col("source") == "src1")
+
+    seed_sigs = D.minhash_signatures(seed, "text", "doc_id", k=3, hash_fn="md5").filter(
+        F.col("signature").isNotNull()
+    )
+    seed_sigs.write.mode("overwrite").parquet(f"{idx}/sigs/seed")
+    D.banded_signatures(seed_sigs, 16).write.mode("overwrite").parquet(
+        f"{idx}/bands/seed"
+    )
+    b0_sigs = D.minhash_signatures(b0, "text", "doc_id", k=3, hash_fn="md5").filter(
+        F.col("signature").isNotNull()
+    )
+    b0_sigs.write.mode("overwrite").parquet(f"{idx}/sigs/b0")
+    D.banded_signatures(b0_sigs, 16).write.mode("overwrite").parquet(f"{idx}/bands/b0")
+
+    # batch 0 probed the index state {seed}; batch 1 probes {seed, b0}
+    # through the same b<id>-glob read the streaming ingest performs
+    p0 = D.minhash_lsh_probe(
+        b0, spark.read.parquet(f"{idx}/sigs/seed"), "text", "doc_id",
+        k=3, bands=16, threshold=0.3, hash_fn="md5",
+        corpus_banded=spark.read.parquet(f"{idx}/bands/seed"),
+        new_sigs=spark.read.parquet(f"{idx}/sigs/b0"),
+    )
+    p1 = D.minhash_lsh_probe(
+        b1, spark.read.parquet(f"{idx}/sigs/*"), "text", "doc_id",
+        k=3, bands=16, threshold=0.3, hash_fn="md5",
+        corpus_banded=spark.read.parquet(f"{idx}/bands/*"),
+    )
+    return p0.select(F.lit(0).alias("batch"), "new_id", "corpus_id", "est_jaccard").unionByName(
+        p1.select(F.lit(1).alias("batch"), "new_id", "corpus_id", "est_jaccard")
+    )
+
+
 @declared(
     "ann_quantized",
     oracle=f"""
