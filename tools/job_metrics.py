@@ -76,7 +76,13 @@ def query_metrics(spark, fn, sf_dir: str) -> dict:
 def main() -> None:
     args = list(sys.argv[1:])
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = args or ["agg_pricing_summary", "minhash_lsh_pairs", "dedup_select"]
+    # default sweep: relational/dedup staples + the iterative graph family
+    # (VERDICT r5 #8: the O(E^1.5) wedge bound and broadcast-frontier
+    # claims get runtime shuffle/peak-row evidence every round)
+    names = args or [
+        "agg_pricing_summary", "minhash_lsh_pairs", "dedup_select",
+        "pagerank_topk", "triangle_count", "shortest_paths", "graph_walks",
+    ]
     spark = get_spark("job-metrics")
     for n in names:
         if n not in REGISTRY:

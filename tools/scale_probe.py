@@ -126,11 +126,22 @@ def build_scaled(spark, out_dir: str, n: int) -> None:
         scaled.drop("_copy").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def _resolve(name: str):
+    """REGISTRY queries plus the bench-only production-hash twins
+    (bench.EXTRA_BENCH) — the r6 cost leaders include bootstrap_ci_xx."""
+    if name in REGISTRY:
+        return REGISTRY[name].fn
+    import bench
+
+    return bench.EXTRA_BENCH[name]
+
+
 def time_query(spark, name: str, sf_dir: str) -> float:
+    fn = _resolve(name)
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return round(best, 3)
 
