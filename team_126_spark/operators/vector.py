@@ -715,6 +715,96 @@ def diversity_sample(
     )
 
 
+def sign_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    signs: list[list[float]],
+    scale: float,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: y_k = scale · Σ_i s(k,i)·x_i
+    for a ±1 matrix `signs` (out_dim × in_dim) baked in at plan-build time.
+    Returns (id_col, p00..pNN) UNROUNDED — callers round Spark-side so the
+    rounding family (HALF_UP) matches the DuckDB oracle regardless of
+    kernel.
+
+    kernel='arrow' (default): mapInPandas accumulates each output column
+    with a vectorized strict left-to-right chain acc += x_i·s — per-element
+    this is the IDENTICAL IEEE addition sequence the codegen path executes
+    (±1 multiplies only flip the sign bit), so the two kernels agree
+    bit-for-bit (pinned by test_sign_project_arrow_matches_codegen). The
+    point of the kernel is the CONSTANT, not the asymptotics: the codegen
+    path compiles out_dim chains of in_dim element_at adds (16×64 = 1,024
+    expression nodes) whose whole-stage-codegen compile dominates wall
+    time until the corpus is large (scale_probe r7: ratio 1.12 at 10×
+    data). Rows with a NULL or wrong-length vector yield NULL projections
+    (the codegen twin agrees on NULL; wrong-length rows throw there under
+    ANSI, so the arrow kernel is the lenient superset — fixtures contain
+    neither).
+
+    kernel='codegen': the fully-declarative chained ±element_at expression
+    — zero Python, survives as the parity/oracle-reference path.
+    """
+    out_dim, in_dim = len(signs), len(signs[0])
+    id_type = df.schema[id_col].dataType.simpleString()
+    if kernel == "arrow":
+
+        def _proj(batches):
+            import numpy as np
+            import pandas as pd
+
+            S = np.asarray(signs, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = list(pdf[vec_col])
+                valid = np.array(
+                    [v is not None and len(v) == in_dim for v in vecs]
+                )
+                out = {id_col: pdf[id_col]}
+                if valid.all():
+                    X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+                    for k in range(out_dim):
+                        acc = X[:, 0] * S[k, 0]
+                        for i in range(1, in_dim):
+                            acc = acc + X[:, i] * S[k, i]
+                        out[f"p{k:02d}"] = acc * scale
+                    yield pd.DataFrame(out)
+                    continue
+                Xv = np.array(
+                    [np.asarray(v, dtype=np.float64) for v, ok in zip(vecs, valid) if ok]
+                ).reshape(int(valid.sum()), in_dim)
+                for k in range(out_dim):
+                    col = np.empty(len(vecs), dtype=object)
+                    if len(Xv):
+                        acc = Xv[:, 0] * S[k, 0]
+                        for i in range(1, in_dim):
+                            acc = acc + Xv[:, i] * S[k, i]
+                        col[valid] = acc * scale
+                    yield_col = [None if not ok else v for ok, v in zip(valid, col)]
+                    out[f"p{k:02d}"] = pd.Series(yield_col, dtype=object)
+                yield pd.DataFrame(out)
+
+        schema = f"{id_col} {id_type}, " + ", ".join(
+            f"p{k:02d} double" for k in range(out_dim)
+        )
+        return df.select(id_col, vec_col).mapInPandas(_proj, schema=schema)
+    if kernel != "codegen":
+        raise ValueError(f"kernel must be 'arrow' or 'codegen', got {kernel!r}")
+
+    def x(i: int):
+        return F.element_at(F.col(vec_col), i + 1).cast("double")
+
+    cols = []
+    for k in range(out_dim):
+        acc = x(0) if signs[k][0] > 0 else -x(0)
+        for i in range(1, in_dim):
+            acc = acc + x(i) if signs[k][i] > 0 else acc - x(i)
+        cols.append((acc * F.lit(float(scale))).alias(f"p{k:02d}"))
+    return df.select(F.col(id_col), *cols)
+
+
 def pca_power(
     df: DataFrame,
     vec_col: str,

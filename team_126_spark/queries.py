@@ -6124,21 +6124,23 @@ def _rp_oracle() -> str:
     "dimensionality-reduction front end before ANN indexing at 100 TB "
     "(4x fewer bytes per vector through every downstream shuffle). "
     "Additions chained left-to-right identically on both sides, so the "
-    "pre-round doubles agree bit-for-bit",
+    "pre-round doubles agree bit-for-bit; since r7 the chain runs in the "
+    "Arrow kernel (operators/vector.sign_project — the 1,024-node codegen "
+    "expression's COMPILE constant dominated wall time; the codegen "
+    "kernel survives as the pinned parity twin), rounding stays "
+    "Spark-side so the HALF_UP family matches DuckDB",
 )
 def q_random_projection(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-
-    def x(i: int):
-        return F.element_at(F.col("embedding"), i + 1).cast("double")
-
-    cols = []
-    for k in range(_RP_OUT_DIM):
-        acc = x(0) if _rp_sign(k, 0) > 0 else -x(0)
-        for i in range(1, _RP_IN_DIM):
-            acc = acc + x(i) if _rp_sign(k, i) > 0 else acc - x(i)
-        cols.append(F.round(acc * F.lit(0.25), 6).alias(f"p{k:02d}"))
-    return e.select("vec_id", *cols)
+    signs = [
+        [_rp_sign(k, i) for i in range(_RP_IN_DIM)] for k in range(_RP_OUT_DIM)
+    ]
+    proj = OV.sign_project(e, "embedding", "vec_id", signs, scale=0.25)
+    cols = [
+        F.round(F.col(f"p{k:02d}"), 6).alias(f"p{k:02d}")
+        for k in range(_RP_OUT_DIM)
+    ]
+    return proj.select("vec_id", *cols)
 
 
 @declared(

@@ -497,3 +497,34 @@ def test_pca_gram_arrow_matches_codegen(spark):
     # unit norm survives the kernel swap
     n2 = sum(v[0] ** 2 for v in arrow.values())
     assert abs(n2 - 1.0) < 1e-4
+
+
+def test_sign_project_arrow_matches_codegen(spark):
+    """The Arrow JL-projection kernel chains additions left-to-right per
+    element exactly like the codegen expression, so the unrounded doubles
+    agree BIT-FOR-BIT — including NULL-vector rows (NULL projections on
+    both kernels)."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.vector import sign_project
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    dirty = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(990001, None)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    import hashlib
+
+    def s(k, i):
+        h = hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[-8:], 16) % 2 == 0 else -1.0
+
+    signs = [[s(k, i) for i in range(64)] for k in range(16)]
+    arrow = {r["vec_id"]: tuple(r)[1:] for r in sign_project(
+        dirty, "embedding", "vec_id", signs, 0.25, kernel="arrow").collect()}
+    codegen = {r["vec_id"]: tuple(r)[1:] for r in sign_project(
+        dirty, "embedding", "vec_id", signs, 0.25, kernel="codegen").collect()}
+    assert arrow == codegen and len(arrow) == 501
+    assert arrow[990001] == tuple([None] * 16)
