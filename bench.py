@@ -88,11 +88,33 @@ def _bootstrap_ci_xx(spark, sf_dir):
     )
 
 
+def _lsh_blocking_eval_xx(spark, sf_dir):
+    # Production-family twin of lsh_blocking_eval: identical truth join +
+    # audit plan, xxhash64 MinHash signatures — separates md5 oracle-CPU
+    # from the blocking-audit plan cost.
+    return _D.lsh_blocking_eval(
+        _table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, bands=16, thresholds=(0.2, 0.3, 0.5), hash_fn="xxhash64",
+        max_rows=None,
+    )
+
+
+def _minhash_index_probe_xx(spark, sf_dir):
+    # Production-family twin of minhash_index_probe: identical index-build +
+    # two-batch replay plan (parquet writes included), xxhash64 signatures —
+    # separates md5 oracle-CPU from the ingest-index plan cost.
+    from team_126_spark.queries import _minhash_index_probe_impl
+
+    return _minhash_index_probe_impl(spark, sf_dir, hash_fn="xxhash64")
+
+
 EXTRA_BENCH = {
     "simhash_xx": _simhash_xx,
     "minhash_lsh_pairs_xx": _minhash_lsh_pairs_xx,
     "minhash_incremental_xx": _minhash_incremental_xx,
     "bootstrap_ci_xx": _bootstrap_ci_xx,
+    "minhash_index_probe_xx": _minhash_index_probe_xx,
+    "lsh_blocking_eval_xx": _lsh_blocking_eval_xx,
 }
 
 HEADLINE = [
@@ -198,6 +220,9 @@ HEADLINE = [
     "countmin_freq",
     "bootstrap_ci",
     "pca_topcomp",
+    # round-7 additions
+    "lsh_blocking_eval",
+    "ngram_novelty_split",
 ]
 
 

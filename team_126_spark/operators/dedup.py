@@ -367,6 +367,93 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_blocking_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bands: int = 16,
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.5),
+    hash_fn: str = "xxhash64",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Blocking-quality audit for banded MinHash LSH: per truth threshold,
+    the recall / precision / candidate-reduction of the production banded
+    candidate generator measured against EXACT n-gram Jaccard ground truth
+    on the same corpus — the evaluation you run before committing a
+    (bands, rows-per-band) configuration to a full-corpus dedup pass.
+
+    Scale story: exact ground truth is quadratic-risk, so at 100 TB this
+    runs on a STRATIFIED SAMPLE of the corpus (pass `df` pre-sampled;
+    `_guard_quadratic` enforces the bound exactly as in
+    ngram_jaccard_pairs) — sample-estimated recall is the standard audit
+    for a blocking configuration. Candidates come from the UNFILTERED
+    banded equi-join (threshold=0.0 keeps every banded candidate, which is
+    what "blocking recall" measures); truth∩candidates is one pair-key
+    equi-join; the two corpus-level scalars (candidate count, signable-doc
+    count) are single-row aggregates broadcast onto the per-threshold rows
+    (pinned in tests/test_plans.py's cartesian allowlist).
+
+    Output, one row per threshold t:
+      (threshold, n_truth, n_hit, n_cand, recall, precision,
+       reduction_ratio) where n_truth = |{pairs: exact_jaccard >= t}|,
+      n_hit = |truth_t ∩ candidates|, recall = n_hit/n_truth,
+      precision = n_hit/n_cand, reduction_ratio = 1 - n_cand/(n·(n-1)/2)
+      over the n signable docs. Ratios are NULL when their denominator is
+      0; output is empty when no pair reaches min(thresholds) (every row
+      is derived from a truth pair).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    tmin = min(thresholds)
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, k=k, threshold=tmin, max_rows=max_rows
+    ).select("id_a", "id_b", "jaccard")
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k=k, bands=bands, threshold=0.0, hash_fn=hash_fn
+    ).select("id_a", "id_b", F.lit(1).alias("is_cand"))
+    # one pass: every truth pair fans out to all thresholds (tiny, bounded by
+    # the guarded truth size), conditional sums keep a row per threshold even
+    # when n_truth is 0 for the stricter ones
+    scored = truth.join(cand, ["id_a", "id_b"], "left").select(
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold"),
+        "jaccard",
+        F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+    )
+    is_truth = (F.col("jaccard") >= F.col("threshold")).cast("int")
+    per_t = scored.groupBy("threshold").agg(
+        F.sum(is_truth).cast("bigint").alias("n_truth"),
+        F.sum(is_truth * F.col("is_cand")).cast("bigint").alias("n_hit"),
+    )
+    scalars = (
+        cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+        .crossJoin(
+            minhash_signatures(df, text_col, id_col, k, hash_fn)
+            .filter(F.col("signature").isNotNull())
+            .agg(F.count("*").cast("bigint").alias("n_sig"))
+        )
+    )
+    total_pairs = F.col("n_sig") * (F.col("n_sig") - 1) / F.lit(2.0)
+    return (
+        per_t.crossJoin(F.broadcast(scalars))
+        .select(
+            "threshold",
+            "n_truth",
+            "n_hit",
+            "n_cand",
+            F.when(
+                F.col("n_truth") > 0, F.round(F.col("n_hit") / F.col("n_truth"), 6)
+            ).alias("recall"),
+            F.when(
+                F.col("n_cand") > 0, F.round(F.col("n_hit") / F.col("n_cand"), 6)
+            ).alias("precision"),
+            F.when(F.col("n_sig") > 1, F.round(F.lit(1.0) - F.col("n_cand") / total_pairs, 6)).alias(
+                "reduction_ratio"
+            ),
+        )
+    )
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -207,6 +207,64 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    train_pct: int = 90,
+) -> DataFrame:
+    """Held-out n-gram novelty: split the corpus train/heldout with the same
+    md5-bucket rule as `hash_split` (pure function of the id), then score
+    each held-out doc by the fraction of its distinct k-word shingles that
+    appear in NO train doc — the standard memorization / split-leakage audit
+    run before trusting a validation loss (a heldout doc with novelty ~0 is
+    effectively IN the train set).
+
+    Scale shape: the train gram set is a map-side-distinct on a slim 60-bit
+    gram hash (8 B/key instead of the ~20 B shingle string); scoring is one
+    left equi-join gram→train-set followed by a per-doc partial agg. No
+    quadratic anywhere — cost ∝ total shingle count, exactly like the
+    MinHash signing pass. Hash collisions (≈n²/2^61) can only mark a novel
+    gram as seen, identically in the DuckDB twin (same md5 family both
+    sides). Held-out docs with < k tokens emit no grams and are absent from
+    the output (mirrored by the oracle's unnest).
+
+    Output: (id_col, n_grams, n_seen, novelty_frac), one row per held-out
+    doc with >= 1 shingle.
+    """
+    if not 0 < train_pct < 100:
+        raise ValueError(f"train_pct must be in (0, 100), got {train_pct}")
+    from ..functions.text import md5_low60, word_shingles
+    from ..tables import spread
+
+    bucket = F.pmod(md5_low60(F.col(id_col).cast("string")), F.lit(100))
+    grams = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            (bucket < train_pct).alias("is_train"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+        )
+        .select("doc", "is_train", md5_low60(F.col("gram")).alias("gh"))
+    )
+    train_grams = grams.filter(F.col("is_train")).select("gh").distinct()
+    held = grams.filter(~F.col("is_train")).drop("is_train")
+    seen = held.join(train_grams.withColumn("_seen", F.lit(1)), "gh", "left")
+    return (
+        seen.groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_seen"), F.lit(0))).cast("bigint").alias("n_seen"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.round(F.lit(1.0) - F.col("n_seen") / F.col("n_grams"), 6),
+        )
+        .select(F.col("doc").alias(id_col), "n_grams", "n_seen", "novelty_frac")
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str, id_col: str, chunk_size: int = 32, stride: int = 24
 ) -> DataFrame:

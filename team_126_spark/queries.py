@@ -4387,22 +4387,34 @@ def _minhash_index_probe_oracle_sql(bands: int = 16, threshold: float = 0.3) -> 
     "corpus is never re-signed — the append-only 100 TB ingest shape",
 )
 def q_minhash_index_probe(spark, sf_dir):
+    return _minhash_index_probe_impl(spark, sf_dir, hash_fn="md5")
+
+
+def _minhash_index_probe_impl(spark, sf_dir, hash_fn: str):
+    """Shared body of minhash_index_probe and bench.py's production-family
+    _xx twin — identical index-build + two-batch replay plan, only the
+    signature hash family differs (md5 = oracle-checkable, xxhash64 =
+    production; the twin separates md5 CPU from the ingest-index plan
+    cost, the bootstrap_ci_xx precedent)."""
     import os
 
     docs = load(spark, sf_dir, "documents")
-    idx = f"/tmp/team126_minhash_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    idx = (
+        f"/tmp/team126_minhash_index_{hash_fn}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     seed = docs.filter(~F.col("source").isin("src0", "src1"))
     b0 = docs.filter(F.col("source") == "src0")
     b1 = docs.filter(F.col("source") == "src1")
 
-    seed_sigs = D.minhash_signatures(seed, "text", "doc_id", k=3, hash_fn="md5").filter(
+    seed_sigs = D.minhash_signatures(seed, "text", "doc_id", k=3, hash_fn=hash_fn).filter(
         F.col("signature").isNotNull()
     )
     seed_sigs.write.mode("overwrite").parquet(f"{idx}/sigs/seed")
     D.banded_signatures(seed_sigs, 16).write.mode("overwrite").parquet(
         f"{idx}/bands/seed"
     )
-    b0_sigs = D.minhash_signatures(b0, "text", "doc_id", k=3, hash_fn="md5").filter(
+    b0_sigs = D.minhash_signatures(b0, "text", "doc_id", k=3, hash_fn=hash_fn).filter(
         F.col("signature").isNotNull()
     )
     b0_sigs.write.mode("overwrite").parquet(f"{idx}/sigs/b0")
@@ -4412,17 +4424,168 @@ def q_minhash_index_probe(spark, sf_dir):
     # through the same b<id>-glob read the streaming ingest performs
     p0 = D.minhash_lsh_probe(
         b0, spark.read.parquet(f"{idx}/sigs/seed"), "text", "doc_id",
-        k=3, bands=16, threshold=0.3, hash_fn="md5",
+        k=3, bands=16, threshold=0.3, hash_fn=hash_fn,
         corpus_banded=spark.read.parquet(f"{idx}/bands/seed"),
         new_sigs=spark.read.parquet(f"{idx}/sigs/b0"),
     )
     p1 = D.minhash_lsh_probe(
         b1, spark.read.parquet(f"{idx}/sigs/*"), "text", "doc_id",
-        k=3, bands=16, threshold=0.3, hash_fn="md5",
+        k=3, bands=16, threshold=0.3, hash_fn=hash_fn,
         corpus_banded=spark.read.parquet(f"{idx}/bands/*"),
     )
     return p0.select(F.lit(0).alias("batch"), "new_id", "corpus_id", "est_jaccard").unionByName(
         p1.select(F.lit(1).alias("batch"), "new_id", "corpus_id", "est_jaccard")
+    )
+
+
+def _lsh_blocking_eval_oracle_sql(
+    bands: int = 16, thresholds: tuple[float, ...] = (0.2, 0.3, 0.5)
+) -> str:
+    """DuckDB twin of lsh_blocking_eval(hash_fn='md5'): ONE shared shingle
+    CTE feeds both the exact-Jaccard ground truth (doc_jaccard_pairs
+    machinery) and the md5 MinHash banding (_minhash_oracle_sql machinery);
+    conditional sums per threshold, scalar counts joined on."""
+    from .functions.sketch import _PARAMS
+
+    rpb = 64 // bands
+    M = "18446744073709551616"  # 2^64
+    remixes = ", ".join(
+        f"list_min(list_transform(hl, h -> ({a}::HUGEINT * h + {b}) % {M}))"
+        for a, b in _PARAMS
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {i}, bkey := [{vals}])".format(
+            i=i, vals=", ".join(f"sig[{i * rpb + j + 1}]" for j in range(rpb))
+        )
+        for i in range(bands)
+    )
+    tmin = min(thresholds)
+    tlist = ", ".join(f"CAST({float(t)!r} AS DOUBLE)" for t in thresholds)
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ),
+    truth AS MATERIALIZED (
+      SELECT id_a, id_b,
+             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc = id_a
+      JOIN sizes sb ON sb.doc = id_b
+      WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= {tmin}
+    ),
+    hs AS (
+      SELECT doc, list({X.md5_low60_sql('shingle')}::HUGEINT) AS hl
+      FROM sh GROUP BY doc
+    ),
+    sig_t AS MATERIALIZED (SELECT doc, [{remixes}] AS sig FROM hs),
+    bands_t AS (SELECT doc, unnest([{band_structs}]) AS bk FROM sig_t),
+    b2 AS (SELECT doc, bk.band AS band, bk.bkey AS bkey FROM bands_t),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+    ),
+    scalars AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM sig_t) AS n_sig
+    ),
+    scored AS (
+      SELECT t.threshold, tr.jaccard,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM truth tr
+      LEFT JOIN cand c ON c.id_a = tr.id_a AND c.id_b = tr.id_b
+      CROSS JOIN (SELECT unnest([{tlist}]) AS threshold) t
+    ),
+    per_t AS (
+      SELECT threshold,
+             CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truth,
+             CAST(sum(CASE WHEN jaccard >= threshold THEN is_cand ELSE 0 END) AS BIGINT)
+               AS n_hit
+      FROM scored GROUP BY threshold
+    )
+    SELECT threshold, n_truth, n_hit, s.n_cand,
+           CASE WHEN n_truth > 0
+                THEN round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+           CASE WHEN s.n_cand > 0
+                THEN round(CAST(n_hit AS DOUBLE) / s.n_cand, 6) END AS "precision",
+           CASE WHEN s.n_sig > 1
+                THEN round(1.0 - CAST(s.n_cand AS DOUBLE)
+                           / (s.n_sig * (s.n_sig - 1) / 2.0), 6)
+                END AS reduction_ratio
+    FROM per_t, scalars s
+    """
+
+
+@declared(
+    "lsh_blocking_eval",
+    oracle=_lsh_blocking_eval_oracle_sql(bands=16, thresholds=(0.2, 0.3, 0.5)),
+    doc="§2.12 blocking-quality audit: recall/precision/candidate-reduction "
+    "of the banded MinHash candidate generator vs EXACT n-gram Jaccard "
+    "ground truth, one row per truth threshold — the evaluation that "
+    "qualifies a (bands, rows-per-band) configuration before a full-corpus "
+    "dedup run. At 100 TB the ground truth is quadratic-risk, so the audit "
+    "runs on a stratified sample (guarded exactly like doc_jaccard_pairs); "
+    "candidates reuse the production banded equi-join with threshold=0 "
+    "(operators/dedup.lsh_blocking_eval; md5 family → full DuckDB twin)",
+)
+def q_lsh_blocking_eval(spark, sf_dir):
+    # max_rows=None: driver corpora are bounded by the scale factor (see
+    # doc_jaccard_pairs — the guard's eager count() protects LIBRARY callers)
+    return D.lsh_blocking_eval(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, bands=16, thresholds=(0.2, 0.3, 0.5), hash_fn="md5", max_rows=None,
+    )
+
+
+@declared(
+    "ngram_novelty_split",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc, is_train, {X.md5_low60_sql('shingle')} AS gh
+      FROM (
+        SELECT doc_id AS doc,
+               ({X.md5_low60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90) AS is_train,
+               unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        FROM (SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+      )
+    ),
+    tg AS (SELECT DISTINCT gh FROM g WHERE is_train),
+    h AS (
+      SELECT g.doc, CASE WHEN tg.gh IS NOT NULL THEN 1 ELSE 0 END AS seen
+      FROM g LEFT JOIN tg ON tg.gh = g.gh
+      WHERE NOT g.is_train
+    )
+    SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(seen) AS BIGINT) AS n_seen,
+           round(1.0 - CAST(sum(seen) AS DOUBLE) / count(*), 6) AS novelty_frac
+    FROM h GROUP BY doc
+    """,
+    doc="§2.12 held-out n-gram novelty: hash_split's md5-bucket rule "
+    "(train<90) partitions the corpus, each held-out doc scored by the "
+    "fraction of its distinct 3-gram shingles unseen in ANY train doc — "
+    "the memorization / split-leakage audit run before trusting a "
+    "validation loss. Train gram set is a map-side distinct on a 60-bit "
+    "gram hash; scoring is one left equi-join, cost ∝ shingle count "
+    "(operators/textops.ngram_novelty; md5 family → full DuckDB twin)",
+)
+def q_ngram_novelty_split(spark, sf_dir):
+    return TO.ngram_novelty(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, train_pct=90
     )
 
 

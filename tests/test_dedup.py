@@ -763,3 +763,36 @@ def test_fuzzy_pairs_exact_recall_vs_bruteforce(spark, max_dist):
 
     with pytest.raises(ValueError, match="max_dist"):
         fuzzy_pairs(df, "p", max_dist=3)
+
+
+def test_lsh_blocking_eval_recall_on_exact_dups(docs_df):
+    """The exact-dup clique {1,2,6} shares every band, so blocking recall at
+    a threshold only those pairs reach is exactly 1.0; the scalar columns
+    agree with the corpus (5 signable docs -> 10 possible pairs)."""
+    got = {
+        r["threshold"]: r
+        for r in D.lsh_blocking_eval(
+            docs_df, "text", "doc_id", k=3, bands=16, thresholds=(0.2, 0.8)
+        ).collect()
+    }
+    assert set(got) == {0.2, 0.8}
+    hi = got[0.8]
+    # truth at 0.8: the three exact-dup pairs (jaccard 1.0); (1,3)-family
+    # near-dups sit at 0.75
+    assert hi["n_truth"] == 3 and hi["n_hit"] == 3 and hi["recall"] == 1.0
+    lo = got[0.2]
+    assert lo["n_truth"] == 6 and lo["n_hit"] >= 3
+    # n_cand is threshold-independent; doc 5 is empty -> 5 signable docs
+    assert lo["n_cand"] == hi["n_cand"] >= 3
+    assert lo["reduction_ratio"] == 1.0 - lo["n_cand"] / 10.0
+    assert lo["precision"] == round(lo["n_hit"] / lo["n_cand"], 6)
+
+
+def test_lsh_blocking_eval_empty_truth(spark):
+    """No pair reaches min(thresholds) -> empty output (every row derives
+    from a truth pair), not a crash."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    assert D.lsh_blocking_eval(df, "text", "doc_id").count() == 0

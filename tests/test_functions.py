@@ -166,6 +166,44 @@ def test_hash_split_stable_under_append(spark):
     assert 0.02 <= c["test"] / 3000 <= 0.08
 
 
+def test_ngram_novelty_identical_vs_disjoint(spark):
+    """Held-out docs sharing every trigram with the train split score 0
+    novelty; a held-out doc with fully disjoint vocabulary scores 1. The
+    split assignment is hash_split's own bucket rule, so the test derives
+    which ids land held-out from hash_split itself (deterministic md5)."""
+    from team_126_spark.operators.textops import hash_split, ngram_novelty
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 61)], "doc_id long")
+    split = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids, "doc_id", {"train": 90, "val": 10}).collect()
+    }
+    held = sorted(i for i, s in split.items() if s == "val")
+    train = sorted(i for i, s in split.items() if s == "train")
+    assert held and train
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(i, shared) for i in train] + [(i, shared) for i in held[1:]]
+    rows.append((held[0], "zeta eta theta iota kappa"))  # disjoint vocab
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(df, "text", "doc_id").collect()}
+    assert set(got) == set(held)
+    # 5 tokens -> 3 distinct trigrams everywhere
+    assert got[held[0]]["n_grams"] == 3 and got[held[0]]["n_seen"] == 0
+    assert got[held[0]]["novelty_frac"] == 1.0
+    for i in held[1:]:
+        assert got[i]["n_seen"] == 3 and got[i]["novelty_frac"] == 0.0
+
+
+def test_ngram_novelty_rejects_bad_pct(spark):
+    import pytest as _pytest
+
+    from team_126_spark.operators.textops import ngram_novelty
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="train_pct"):
+        ngram_novelty(df, "text", "doc_id", train_pct=100)
+
+
 def test_hash_split_rejects_bad_weights(spark):
     import pytest as _pytest
 
