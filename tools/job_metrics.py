@@ -82,6 +82,7 @@ def main() -> None:
     names = args or [
         "agg_pricing_summary", "minhash_lsh_pairs", "dedup_select",
         "pagerank_topk", "triangle_count", "shortest_paths", "graph_walks",
+        "lsh_blocking_eval", "ngram_novelty_split",
     ]
     spark = get_spark("job-metrics")
     for n in names:
