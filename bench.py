@@ -223,6 +223,8 @@ HEADLINE = [
     # round-7 additions
     "lsh_blocking_eval",
     "ngram_novelty_split",
+    "token_divergence",
+    "classifier_auc_eval",
 ]
 
 

@@ -964,3 +964,54 @@ def poisson_bootstrap_means(
             "boot_mean"
         )
     )
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC-AUC + threshold-0 accuracy of a binary scorer via the tie-aware
+    Mann-Whitney rank statistic: U = Σ_g pos_g · (neg_below(g) + ½·neg_g)
+    over score GROUPS g, AUC = U / (n_pos·n_neg). `label_col` must be
+    1.0/0.0; ties share credit (½) exactly as scikit's roc_auc_score.
+
+    Scale shape: one groupBy collapses the corpus to its distinct scores
+    (pos/neg counts per score — partial-aggregated, so the shuffle carries
+    score groups, not rows); the cumulative negative count then runs on
+    that AGGREGATED table. The global-order window is a single-partition
+    exchange over |distinct scores| rows — the same sort MLlib's
+    BinaryClassificationMetrics does; if distinct scores ever approach
+    corpus size at 100 TB, the standard fix is binning scores (the
+    thresholds of the ROC curve), which this group-first plan already is
+    when the scorer emits rounded scores. Output is ONE row:
+    (n_eval, n_pos, n_neg, auc_r, acc_r); auc_r NULL when either class is
+    absent.
+    """
+    s, y = F.col(score_col), F.col(label_col)
+    ev = df.select(s.alias("_s"), y.alias("_y"))
+    g = ev.groupBy("_s").agg(
+        F.sum("_y").alias("pos_g"),
+        (F.count("*") - F.sum("_y")).alias("neg_g"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    g2 = g.withColumn("neg_below", F.coalesce(F.sum("neg_g").over(w), F.lit(0.0)))
+    u = g2.agg(
+        F.sum(F.col("pos_g") * (F.col("neg_below") + 0.5 * F.col("neg_g"))).alias("_u"),
+        F.sum("pos_g").cast("bigint").alias("n_pos"),
+        F.sum("neg_g").cast("bigint").alias("n_neg"),
+    )
+    pred = F.when(F.col("_s") >= 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    acc = ev.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.round(F.avg((pred == F.col("_y")).cast("double")), 6).alias("acc_r"),
+    )
+    return (
+        u.crossJoin(F.broadcast(acc))
+        .select(
+            "n_eval",
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6),
+            ).alias("auc_r"),
+            "acc_r",
+        )
+    )

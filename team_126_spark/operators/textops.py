@@ -265,6 +265,59 @@ def ngram_novelty(
     )
 
 
+def token_divergence(df: DataFrame, text_col: str, source_col: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (base-2, in [0,1]) between the
+    source's unigram distribution and the whole-corpus unigram distribution
+    — the domain-drift / mixture-shift monitor run when a new crawl or
+    source lands in the corpus.
+
+    Scale shape: one tokenize+groupBy builds (source, token) counts; the
+    per-token corpus counts ROLL UP from that table (no second scan); the
+    JS sum runs entirely on the (source, token) SUPPORT — tokens absent
+    from a source contribute the closed form 0.5·(1 − Σ_present q(t))
+    (their m = q/2, so q·log2(q/m) = q), eliminating the |sources|×|vocab|
+    expansion a naive KL join needs. One single-row corpus-total broadcast
+    (pinned in the cartesian allowlist); everything else is partial-agg
+    groupBys + equi-joins on the token key. Hot stopword tokens are the
+    skew risk; AQE skew splitting applies, and the per-(source,token)
+    pre-aggregation bounds any one key's rows by n_sources.
+
+    Output: (source, n_tokens, vocab, js_divergence), js rounded 6dp.
+    """
+    from ..functions.text import tokens as _tokens
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").cast("bigint").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    t_tot = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    total = st.agg(F.sum("c_st").cast("bigint").alias("n"))
+    j = (
+        st.join(t_tot, "tok")
+        .join(s_tot, "source")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n")
+    m = (p + q) / F.lit(2.0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.round(
+                F.lit(0.5) * F.sum(p * F.log2(p / m))
+                + F.lit(0.5) * F.sum(q * F.log2(q / m))
+                + F.lit(0.5) * (F.lit(1.0) - F.sum(q)),
+                6,
+            ).alias("js_divergence"),
+        )
+        .select("source", "n_tokens", "vocab", "js_divergence")
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str, id_col: str, chunk_size: int = 32, stride: int = 24
 ) -> DataFrame:

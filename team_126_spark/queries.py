@@ -4590,6 +4590,49 @@ def q_ngram_novelty_split(spark, sf_dir):
 
 
 @declared(
+    "token_divergence",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest(str_split(norm, ' ')) AS tok
+      FROM (SELECT source, {X.normalize_ws_sql('text')} AS norm FROM documents)
+      WHERE norm IS NOT NULL AND norm <> ''
+    ),
+    st AS MATERIALIZED (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+      FROM tk GROUP BY source, tok
+    ),
+    s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    t_tot AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+    tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+    j AS (
+      SELECT st.source,
+             CAST(st.c_st AS DOUBLE) / s_tot.n_s AS p,
+             CAST(t_tot.c_t AS DOUBLE) / tot.n AS q,
+             s_tot.n_s
+      FROM st
+      JOIN t_tot ON t_tot.tok = st.tok
+      JOIN s_tot ON s_tot.source = st.source
+      CROSS JOIN tot
+    )
+    SELECT source, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+           round(0.5 * sum(p * log2(p / ((p + q) / 2.0)))
+                 + 0.5 * sum(q * log2(q / ((p + q) / 2.0)))
+                 + 0.5 * (1.0 - sum(q)), 6) AS js_divergence
+    FROM j GROUP BY source
+    """,
+    doc="§2.12 per-source Jensen-Shannon divergence (base-2) vs the corpus "
+    "unigram distribution — the domain-drift / mixture-shift monitor for "
+    "new crawls. Runs entirely on the (source, token) SUPPORT: absent "
+    "tokens contribute the closed form 0.5·(1 − Σ_present q), so the "
+    "naive |sources|×|vocab| expansion never materializes; per-token "
+    "corpus counts roll up from the per-source counts (one scan); one "
+    "single-row total broadcast (operators/textops.token_divergence)",
+)
+def q_token_divergence(spark, sf_dir):
+    return TO.token_divergence(load(spark, sf_dir, "documents"), "text", "source")
+
+
+@declared(
     "ann_quantized",
     oracle=f"""
     WITH base AS (
@@ -5647,22 +5690,9 @@ def q_graph_walks(spark, sf_dir):
 _LOGREG_ITERS, _LOGREG_LR, _LOGREG_DIM = 3, 0.5, 64
 
 
-def _logreg_oracle() -> str:
-    """Unrolled gradient-descent oracle. Each iteration's weights are
-    rounded to 12dp on BOTH engines, so cross-engine float drift (libm exp
-    ulp differences, summation order) is re-synchronized every round
-    instead of amplifying through the training loop."""
-    head = f"""
-    WITH ex AS (
-      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    ),
-    ys AS (
-      SELECT vec_id AS rid, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
-      FROM embeddings
-    ),
-    w0 AS (SELECT unnest(range({_LOGREG_DIM}))::BIGINT AS i, 0.0 AS w)"""
+def _logreg_iter_ctes() -> str:
+    """The unrolled GD iteration CTEs (dot/err/grad/w per round) shared by
+    _logreg_oracle and _auc_eval_oracle — assumes `ex`, `ys`, `w0` CTEs."""
     its = []
     for t in range(1, _LOGREG_ITERS + 1):
         its.append(f""",
@@ -5682,10 +5712,86 @@ def _logreg_oracle() -> str:
       SELECT w.i, round(w.w - {_LOGREG_LR} * g.g, 12) AS w
       FROM w{t - 1} w JOIN g{t} g ON g.i = w.i
     )""")
+    return "".join(its)
+
+
+def _logreg_oracle() -> str:
+    """Unrolled gradient-descent oracle. Each iteration's weights are
+    rounded to 12dp on BOTH engines, so cross-engine float drift (libm exp
+    ulp differences, summation order) is re-synchronized every round
+    instead of amplifying through the training loop."""
+    head = f"""
+    WITH ex AS (
+      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    ys AS (
+      SELECT vec_id AS rid, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    w0 AS (SELECT unnest(range({_LOGREG_DIM}))::BIGINT AS i, 0.0 AS w)"""
     tail = f"""
     SELECT i, round(w, 6) AS w_r FROM w{_LOGREG_ITERS}
     """
-    return head + "".join(its) + tail
+    return head + _logreg_iter_ctes() + tail
+
+
+def _auc_eval_oracle() -> str:
+    """logreg trained on the md5-bucket train split (< 80), evaluated on the
+    held-out split with the tie-aware Mann-Whitney rank AUC + threshold-0
+    accuracy; eval dots rounded 9dp on BOTH engines so rank ties agree."""
+    b = X.md5_low60_sql("CAST(vec_id AS VARCHAR) || ':auc'") + " % 100"
+    head = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE {b} < 80
+    ),
+    ys AS MATERIALIZED (
+      SELECT vec_id AS rid, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    w0 AS (SELECT unnest(range({_LOGREG_DIM}))::BIGINT AS i, 0.0 AS w)"""
+    tail = f""",
+    exe AS (
+      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE {b} >= 80
+    ),
+    sc AS (
+      SELECT exe.rid, round(sum(exe.x * w.w), 9) AS s
+      FROM exe JOIN w{_LOGREG_ITERS} w ON w.i = exe.i GROUP BY exe.rid
+    ),
+    ev AS MATERIALIZED (SELECT sc.s, ys.y FROM sc JOIN ys ON ys.rid = sc.rid),
+    sg AS (
+      SELECT s, sum(y) AS pos_g, count(*) - sum(y) AS neg_g FROM ev GROUP BY s
+    ),
+    sg2 AS (
+      SELECT pos_g, neg_g,
+             COALESCE(sum(neg_g) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM sg
+    ),
+    u AS (
+      SELECT sum(pos_g * (neg_below + 0.5 * neg_g)) AS u,
+             CAST(sum(pos_g) AS BIGINT) AS n_pos,
+             CAST(sum(neg_g) AS BIGINT) AS n_neg
+      FROM sg2
+    ),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             round(avg(CASE WHEN (CASE WHEN s >= 0 THEN 1.0 ELSE 0.0 END) = y
+                            THEN 1.0 ELSE 0.0 END), 6) AS acc_r
+      FROM ev
+    )
+    SELECT n_eval, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(u / (n_pos * n_neg), 6) END AS auc_r,
+           acc_r
+    FROM u, acc
+    """
+    return head + _logreg_iter_ctes() + tail
 
 
 @declared(
@@ -5703,7 +5809,46 @@ def _logreg_oracle() -> str:
     "each round instead of letting it amplify through the loop",
 )
 def q_logreg_train(spark, sf_dir):
+    ex, ys = _logreg_features(load(spark, sf_dir, "embeddings"))
+    w = _logreg_weights(spark, ex, ys)
+    return w.select("i", F.round("w", 6).alias("w_r"))
+
+
+@declared(
+    "classifier_auc_eval",
+    oracle=_auc_eval_oracle(),
+    doc="§2.14 the evaluation half of the distributed ML loop: logreg "
+    "trained ONLY on the md5-bucket train split (<80), held-out split "
+    "scored with the final broadcast weight vector (one equi-join dot "
+    "product, 9dp-rounded so rank ties agree cross-engine), then "
+    "tie-aware Mann-Whitney rank AUC + threshold-0 accuracy via "
+    "operators/relational.rank_auc — score groups partial-aggregate "
+    "before the single cumulative pass, so the shuffle carries distinct "
+    "scores, not rows. Composes hash-split + training + scoring + metric "
+    "end-to-end under one oracle",
+)
+def q_classifier_auc_eval(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        X.md5_low60(F.concat(F.col("vec_id").cast("string"), F.lit(":auc"))),
+        F.lit(100),
+    )
+    e = e.withColumn("_b", bucket)
+    ex_tr, ys_tr = _logreg_features(e.filter(F.col("_b") < 80))
+    ex_ev, ys_ev = _logreg_features(e.filter(F.col("_b") >= 80))
+    w = _logreg_weights(spark, ex_tr, ys_tr)
+    sc = (
+        ex_ev.join(F.broadcast(w), "i")
+        .groupBy("rid")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 9).alias("s"))
+    )
+    ev = sc.join(ys_ev, "rid").select("s", "y")
+    return R.rank_auc(ev, "s", "y")
+
+
+def _logreg_features(e):
+    """(rid, i, x) exploded features (checkpointed: reused by all rounds'
+    dot + gradient passes) and (rid, y) labels for the embeddings table."""
     ex = (
         e.select(
             F.col("vec_id").alias("rid"),
@@ -5716,6 +5861,12 @@ def q_logreg_train(spark, sf_dir):
         F.col("vec_id").alias("rid"),
         F.when(F.col("label") < 5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
+    return ex, ys
+
+
+def _logreg_weights(spark, ex, ys):
+    """The 3-round full-batch GD loop of logreg_train (per-round 12dp
+    weight rounding re-syncs cross-engine float drift)."""
     w = spark.range(_LOGREG_DIM).select(
         F.col("id").alias("i"), F.lit(0.0).alias("w")
     )
@@ -5736,7 +5887,7 @@ def q_logreg_train(spark, sf_dir):
         w = w.join(grad, "i").select(
             "i", F.round(F.col("w") - _LOGREG_LR * F.col("g"), 12).alias("w")
         )
-    return w.select("i", F.round("w", 6).alias("w_r"))
+    return w
 
 
 @declared(

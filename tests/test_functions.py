@@ -194,6 +194,38 @@ def test_ngram_novelty_identical_vs_disjoint(spark):
         assert got[i]["n_seen"] == 3 and got[i]["novelty_frac"] == 0.0
 
 
+def test_token_divergence_matches_hand_computed_js(spark):
+    """Two sources with known unigram counts: operator output equals the
+    hand-computed support-side JS (absent tokens folded into the closed-form
+    0.5*(1 - sum_present q) term); a single-source corpus scores exactly 0."""
+    import math
+
+    from team_126_spark.operators.textops import token_divergence
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "y z")], ["source", "text"]
+    )
+    got = {r["source"]: r for r in token_divergence(df, "text", "source").collect()}
+    # corpus: n=5, q(x)=.4 q(y)=.4 q(z)=.2
+    def js(p, q_all):
+        sup_p = 0.5 * sum(pv * math.log2(pv / ((pv + q_all[t]) / 2)) for t, pv in p.items())
+        sup_q = 0.5 * sum(q_all[t] * math.log2(q_all[t] / ((p[t] + q_all[t]) / 2)) for t in p)
+        return sup_p + sup_q + 0.5 * (1 - sum(q_all[t] for t in p))
+
+    q_all = {"x": 0.4, "y": 0.4, "z": 0.2}
+    want_a = round(js({"x": 2 / 3, "y": 1 / 3}, q_all), 6)
+    want_b = round(js({"y": 0.5, "z": 0.5}, q_all), 6)
+    assert got["A"]["js_divergence"] == pytest.approx(want_a, abs=1e-6)
+    assert got["B"]["js_divergence"] == pytest.approx(want_b, abs=1e-6)
+    assert got["A"]["n_tokens"] == 3 and got["A"]["vocab"] == 2
+    assert got["B"]["n_tokens"] == 2 and got["B"]["vocab"] == 2
+    assert 0.0 <= got["A"]["js_divergence"] <= 1.0
+
+    one = spark.createDataFrame([("A", "x y z")], ["source", "text"])
+    solo = token_divergence(one, "text", "source").collect()[0]
+    assert solo["js_divergence"] == 0.0
+
+
 def test_ngram_novelty_rejects_bad_pct(spark):
     import pytest as _pytest
 

@@ -831,3 +831,53 @@ def test_skew_report_null_key_kept_and_sorted_last(spark):
     rows = sorted(skew_report(df, "k", top_k=3).collect(), key=lambda r: r["rank"])
     assert [r["key"] for r in rows] == ["x", None, "y"]  # tie x/null -> x first
     assert rows[1]["share_r"] == pytest.approx(0.4)
+
+
+def test_rank_auc_hand_computed(spark):
+    """Tie-aware Mann-Whitney AUC against a hand-computed pair count:
+    U = 6.5 over 3x3 pos/neg pairs (one tied pair scores 0.5), and
+    threshold-0 accuracy 3/6; single-class input yields NULL auc."""
+    from team_126_spark.operators.relational import rank_auc
+
+    rows = [(0.9, 1.0), (0.8, 0.0), (0.8, 1.0), (0.3, 0.0), (-0.5, 1.0), (-0.7, 0.0)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = rank_auc(df, "s", "y").collect()[0]
+    assert got["n_eval"] == 6 and got["n_pos"] == 3 and got["n_neg"] == 3
+    assert got["auc_r"] == round(6.5 / 9, 6)
+    assert got["acc_r"] == 0.5
+
+    solo = spark.createDataFrame([(0.2, 1.0), (0.1, 1.0)], ["s", "y"])
+    one = rank_auc(solo, "s", "y").collect()[0]
+    assert one["auc_r"] is None and one["n_neg"] == 0 and one["acc_r"] == 1.0
+
+
+def test_auc_eval_score_margins(spark):
+    """Cross-engine float-edge pin for classifier_auc_eval: rank ties and
+    the 0-accuracy-threshold only disagree between Spark and DuckDB if two
+    true dots straddle a 9dp rounding boundary within ~1e-12 of each other.
+    Assert the sf0.01 eval scores keep >=1e-6 margins (distinct-score gap
+    and distance from 0), so the rounded comparison is safely determined."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark import queries as Q
+
+    e = Q.load(spark, "/root/testdata/sf0.01", "embeddings")
+    bucket = F.pmod(
+        Q.X.md5_low60(F.concat(F.col("vec_id").cast("string"), F.lit(":auc"))),
+        F.lit(100),
+    )
+    e = e.withColumn("_b", bucket)
+    ex_tr, ys_tr = Q._logreg_features(e.filter(F.col("_b") < 80))
+    ex_ev, _ = Q._logreg_features(e.filter(F.col("_b") >= 80))
+    w = Q._logreg_weights(spark, ex_tr, ys_tr)
+    dots = sorted(
+        r["d"]
+        for r in ex_ev.join(F.broadcast(w), "i")
+        .groupBy("rid")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("d"))
+        .collect()
+    )
+    assert dots, "eval split is empty at sf0.01"
+    assert min(abs(d) for d in dots) > 1e-6  # accuracy threshold margin
+    gaps = [b - a for a, b in zip(dots, dots[1:]) if b != a]
+    assert not gaps or min(gaps) > 1e-6  # rank-tie margin
