@@ -225,6 +225,7 @@ HEADLINE = [
     "ngram_novelty_split",
     "token_divergence",
     "classifier_auc_eval",
+    "hybrid_ndcg_eval",
 ]
 
 

@@ -1109,6 +1109,23 @@ def q_vec_euclidean_match(spark, sf_dir):
     doc="V5/V7 two-stage hybrid geo+semantic retrieval (hybrid_search.py:36-197)",
 )
 def q_hybrid_fusion(spark, sf_dir):
+    return (
+        _hybrid_exact_scores(spark, sf_dir)
+        .orderBy(F.desc("combined_score"), F.col("c_custkey").asc())
+        .limit(10)
+        .select(
+            "c_custkey",
+            F.round("similarity", 6).alias("similarity"),
+            F.round("distance_score", 6).alias("distance_score"),
+            "combined_score",
+        )
+    )
+
+
+def _hybrid_exact_scores(spark, sf_dir):
+    """Every in-radius candidate with its EXACT hybrid score (no limit) —
+    the full rescoring shared by hybrid_fusion (top-10 of it) and
+    hybrid_ndcg_eval (relevance gold for grading the fast over-fetch)."""
     c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
     emb = load(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("probe"))
@@ -1124,14 +1141,6 @@ def q_hybrid_fusion(spark, sf_dir):
         joined.withColumn("similarity", sim)
         .withColumn("distance_score", dscore)
         .withColumn("combined_score", F.round(V.fuse_scores(sim, dscore, 0.5), 6))
-        .orderBy(F.desc("combined_score"), F.col("c_custkey").asc())
-        .limit(10)
-        .select(
-            "c_custkey",
-            F.round("similarity", 6).alias("similarity"),
-            F.round("distance_score", 6).alias("distance_score"),
-            "combined_score",
-        )
     )
 
 
@@ -3438,6 +3447,104 @@ def q_hybrid_fusion_fast(spark, sf_dir):
             "combined_score",
         )
     )
+
+
+
+
+def _hybrid_ndcg_oracle() -> str:
+    """NDCG oracle: the exact full-rescoring CTE (hybrid_fusion without the
+    LIMIT) is the relevance gold; the fast over-fetch top-10 is the graded
+    system ranking. Gains are (combined_score + 1)/2 so they stay
+    non-negative for any cosine."""
+    cos = V.cosine_similarity_sql("e.embedding", "p.probe")
+    hav = G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), "lat", "lon")
+    return f"""
+    WITH exact AS MATERIALIZED (
+      SELECT g.c_custkey,
+             round(0.5 * {cos} + 0.5 * (1.0 - (g.d / 30.0)), 6) AS cs
+      FROM (
+        SELECT c_custkey, lat, lon, {hav} AS d FROM ({_GEO_CUST_SQL})
+      ) g
+      JOIN embeddings e ON e.vec_id = g.c_custkey % 500
+      CROSS JOIN {_PROBE_VEC_SQL} p
+      WHERE g.d <= 30.0
+    ),
+    fastc AS (
+      SELECT g.c_custkey,
+             round(0.5 * {cos} + 0.5 * (1.0 - (g.d / 30.0)), 6) AS cs
+      FROM (
+        SELECT c_custkey, lat, lon, d FROM (
+          SELECT c_custkey, lat, lon, {hav} AS d FROM ({_GEO_CUST_SQL})
+        ) WHERE d <= 30.0
+        ORDER BY d, c_custkey LIMIT 30
+      ) g
+      JOIN embeddings e ON e.vec_id = g.c_custkey % 500
+      CROSS JOIN {_PROBE_VEC_SQL} p
+    ),
+    sys AS MATERIALIZED (
+      SELECT c_custkey, row_number() OVER (ORDER BY cs DESC, c_custkey) AS r
+      FROM fastc ORDER BY cs DESC, c_custkey LIMIT 10
+    ),
+    gold AS MATERIALIZED (
+      SELECT c_custkey, cs, r FROM (
+        SELECT c_custkey, cs,
+               row_number() OVER (ORDER BY cs DESC, c_custkey) AS r
+        FROM exact
+      ) WHERE r <= 10
+    ),
+    d AS (SELECT sum(((e.cs + 1.0) / 2.0) / log2(s.r + 1)) AS dcg
+          FROM sys s JOIN exact e ON e.c_custkey = s.c_custkey),
+    i AS (SELECT sum(((cs + 1.0) / 2.0) / log2(r + 1)) AS idcg FROM gold),
+    o AS (SELECT CAST(count(*) AS BIGINT) AS overlap_10
+          FROM sys JOIN gold ON sys.c_custkey = gold.c_custkey)
+    SELECT round(d.dcg, 6) AS dcg_r, round(i.idcg, 6) AS idcg_r,
+           round(d.dcg / i.idcg, 6) AS ndcg_r, o.overlap_10
+    FROM d, i, o
+    """
+
+
+@declared(
+    "hybrid_ndcg_eval",
+    oracle=_hybrid_ndcg_oracle(),
+    doc="§2.8/§2.14 ranking-quality audit of the flagship approximation: "
+    "NDCG@10 + top-10 overlap of hybrid_fusion_fast's candidate_factor=3 "
+    "over-fetch ranking, graded against the EXACT full-rescoring as "
+    "relevance gold (gains shifted to (score+1)/2 so any cosine stays "
+    "non-negative) — turns the documented over-fetch trade-off into an "
+    "observed number per corpus. All joins are key equi-joins on the "
+    "bounded candidate sets; the three single-row metric aggregates "
+    "broadcast (cartesian allowlist)",
+)
+def q_hybrid_ndcg_eval(spark, sf_dir):
+    exact = _hybrid_exact_scores(spark, sf_dir).select(
+        "c_custkey", F.col("combined_score").alias("cs")
+    )
+    fast = q_hybrid_fusion_fast(spark, sf_dir).select(
+        "c_custkey", F.col("combined_score").alias("cs")
+    )
+    wr = Window.orderBy(F.desc("cs"), F.col("c_custkey").asc())
+    sys_r = fast.withColumn("r", F.row_number().over(wr)).select("c_custkey", "r")
+    gold = exact.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= 10)
+    rel = (F.col("cs") + F.lit(1.0)) / F.lit(2.0)
+    d = sys_r.join(exact, "c_custkey").agg(
+        F.sum(rel / F.log2(F.col("r") + 1)).alias("dcg")
+    )
+    i = gold.agg(F.sum(rel / F.log2(F.col("r") + 1)).alias("idcg"))
+    o = (
+        sys_r.join(gold.select("c_custkey"), "c_custkey")
+        .agg(F.count("*").cast("bigint").alias("overlap_10"))
+    )
+    return (
+        d.crossJoin(F.broadcast(i))
+        .crossJoin(F.broadcast(o))
+        .select(
+            F.round("dcg", 6).alias("dcg_r"),
+            F.round("idcg", 6).alias("idcg_r"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_r"),
+            "overlap_10",
+        )
+    )
+
 
 
 @declared(

@@ -151,3 +151,20 @@ def test_golden_null_embedding_service_still_scores(services, stops):
     )
     by_id = {r["id"]: r for r in resp["results"]}
     assert 4 in by_id and by_id[4]["similarity_score"] == 0.0
+
+
+def test_hybrid_ndcg_eval_bounds_and_density_sensitivity(spark):
+    """The ranking audit's invariants: DCG <= IDCG (gold is the ideal
+    order), NDCG in (0, 1], overlap in [0, 10]. The VALUE is the point:
+    at sf0.001 the candidate_factor=3 over-fetch is near-ideal (NDCG
+    ~0.97), while at 50x the density (sf0.1) the same factor misses the
+    entire exact top-10 (overlap 0, NDCG ~0.90) — the audit turns the
+    over-fetch dial into an observed per-corpus number."""
+    from team_126_spark.queries import REGISTRY
+
+    r = REGISTRY["hybrid_ndcg_eval"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 < r["ndcg_r"] <= 1.0
+    assert r["dcg_r"] <= r["idcg_r"]
+    assert 0 <= r["overlap_10"] <= 10
+    # near-ideal at reference-class density
+    assert r["ndcg_r"] > 0.9 and r["overlap_10"] >= 8
