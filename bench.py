@@ -226,6 +226,7 @@ HEADLINE = [
     "token_divergence",
     "classifier_auc_eval",
     "hybrid_ndcg_eval",
+    "classifier_calibration",
 ]
 
 

@@ -5953,6 +5953,85 @@ def q_classifier_auc_eval(spark, sf_dir):
     return R.rank_auc(ev, "s", "y")
 
 
+def _calibration_oracle() -> str:
+    """Reliability diagram over the held-out split: p = sigmoid of the
+    9dp-rounded dot, itself rounded 9dp, binned into deciles (top edge
+    closed). Shares the GD CTEs with _auc_eval_oracle."""
+    b = X.md5_low60_sql("CAST(vec_id AS VARCHAR) || ':auc'") + " % 100"
+    head = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE {b} < 80
+    ),
+    ys AS MATERIALIZED (
+      SELECT vec_id AS rid, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    w0 AS (SELECT unnest(range({_LOGREG_DIM}))::BIGINT AS i, 0.0 AS w)"""
+    tail = f""",
+    exe AS (
+      SELECT vec_id AS rid, unnest(range({_LOGREG_DIM}))::BIGINT AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE {b} >= 80
+    ),
+    sc AS (
+      SELECT exe.rid,
+             round(1.0 / (1.0 + exp(-round(sum(exe.x * w.w), 9))), 9) AS p
+      FROM exe JOIN w{_LOGREG_ITERS} w ON w.i = exe.i GROUP BY exe.rid
+    ),
+    ev AS (SELECT least(CAST(floor(sc.p * 10) AS BIGINT), 9) AS bin, sc.p, ys.y
+           FROM sc JOIN ys ON ys.rid = sc.rid)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_p,
+           round(avg(y), 6) AS frac_pos,
+           round(abs(avg(p) - avg(y)), 6) AS gap
+    FROM ev GROUP BY bin
+    """
+    return head + _logreg_iter_ctes() + tail
+
+
+@declared(
+    "classifier_calibration",
+    oracle=_calibration_oracle(),
+    doc="§2.14 the calibration half of classifier evaluation (AUC measures "
+    "discrimination; this measures whether predicted probabilities mean "
+    "what they say): held-out sigmoid scores binned into deciles, per bin "
+    "the count, mean predicted p, observed positive fraction, and their "
+    "gap — the reliability diagram / ECE ingredients. Same broadcast-"
+    "weights scoring join as classifier_auc_eval; ONE groupBy(bin) with "
+    "map-side partials, no scalar broadcasts. Dots and p rounded 9dp on "
+    "both engines; bin-edge float margins pinned by "
+    "test_calibration_bin_margins",
+)
+def q_classifier_calibration(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        X.md5_low60(F.concat(F.col("vec_id").cast("string"), F.lit(":auc"))),
+        F.lit(100),
+    )
+    e = e.withColumn("_b", bucket)
+    ex_tr, ys_tr = _logreg_features(e.filter(F.col("_b") < 80))
+    ex_ev, ys_ev = _logreg_features(e.filter(F.col("_b") >= 80))
+    w = _logreg_weights(spark, ex_tr, ys_tr)
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(F.sum(F.col("x") * F.col("w")), 9))),
+        9,
+    )
+    sc = ex_ev.join(F.broadcast(w), "i").groupBy("rid").agg(p.alias("p"))
+    ev = sc.join(ys_ev, "rid").select(
+        F.least(F.floor(F.col("p") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias("bin"),
+        "p",
+        "y",
+    )
+    return ev.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_p"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+        F.round(F.abs(F.avg("p") - F.avg("y")), 6).alias("gap"),
+    )
+
+
 def _logreg_features(e):
     """(rid, i, x) exploded features (checkpointed: reused by all rounds'
     dot + gradient passes) and (rid, y) labels for the embeddings table."""

@@ -881,3 +881,41 @@ def test_auc_eval_score_margins(spark):
     assert min(abs(d) for d in dots) > 1e-6  # accuracy threshold margin
     gaps = [b - a for a, b in zip(dots, dots[1:]) if b != a]
     assert not gaps or min(gaps) > 1e-6  # rank-tie margin
+
+
+def test_calibration_bin_margins(spark):
+    """Bin-edge float pin for classifier_calibration: the decile binning of
+    p only disagrees cross-engine if a p sits within ~1e-15 of a 0.1
+    multiple. Assert every sf0.01 held-out p keeps a >=1e-6 margin from
+    all bin edges, and the query's bins tile [0,9] with consistent counts."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark import queries as Q
+
+    e = Q.load(spark, "/root/testdata/sf0.01", "embeddings")
+    bucket = F.pmod(
+        Q.X.md5_low60(F.concat(F.col("vec_id").cast("string"), F.lit(":auc"))),
+        F.lit(100),
+    )
+    e = e.withColumn("_b", bucket)
+    ex_tr, ys_tr = Q._logreg_features(e.filter(F.col("_b") < 80))
+    ex_ev, _ = Q._logreg_features(e.filter(F.col("_b") >= 80))
+    w = Q._logreg_weights(spark, ex_tr, ys_tr)
+    p_expr = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-F.round(F.sum(F.col("x") * F.col("w")), 9))),
+        9,
+    )
+    ps = [
+        r["p"]
+        for r in ex_ev.join(F.broadcast(w), "i").groupBy("rid").agg(p_expr.alias("p")).collect()
+    ]
+    assert ps
+    for p in ps:
+        edge_dist = min(abs(p - k / 10.0) for k in range(11))
+        assert edge_dist > 1e-6, f"p={p} too close to a bin edge"
+
+    rows = Q.REGISTRY["classifier_calibration"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert sum(r["n"] for r in rows) == len(ps)
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert all(0.0 <= r["frac_pos"] <= 1.0 and 0.0 < r["mean_p"] < 1.0 for r in rows)
