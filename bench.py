@@ -227,6 +227,7 @@ HEADLINE = [
     "classifier_auc_eval",
     "hybrid_ndcg_eval",
     "classifier_calibration",
+    "embedding_isotropy",
 ]
 
 

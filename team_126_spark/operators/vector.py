@@ -997,3 +997,51 @@ def pca_power(
             F.round("_lam", 6).alias("eigval_r"),
         )
     )
+
+
+def embedding_isotropy(df: DataFrame, vec_col: str) -> DataFrame:
+    """Corpus-level embedding-space diagnostic: mean pairwise cosine (the
+    anisotropy signal of Ethayarajh 2019 — near 0 = directions spread, near
+    1 = embeddings collapsed into a cone, which kills cosine-based dedup and
+    ANN contrast) plus count and mean norm — WITHOUT ever forming a pair.
+
+    The identity: with unit-normalized u_i and S = Σ u_i,
+    Σ_{i≠j} <u_i, u_j> = ‖S‖² − n, so mean pairwise cosine =
+    (‖S‖² − n) / (n(n−1)). Plan: one map-side normalize + posexplode into
+    (i, u_i[x]) partials, a dim-sized groupBy (map-side combined — the
+    shuffle carries ≤ dim rows per partition at ANY corpus size), one
+    dim-row sum of squares, and a single-row stats broadcast. The exact
+    O(n²) mean cosine is what cosine_calibration samples; this is its
+    closed-form corpus aggregate. NULL and zero-norm vectors are excluded
+    (they have no direction). mean_pairwise_cos is NULL when n < 2.
+    """
+    from ..functions.vector import norm as _vnorm
+
+    v = F.col(vec_col)
+    nrm = _vnorm(v)
+    # try_divide: the nrm > 0 filter already excludes zero-norm vectors, but
+    # ANSI division can still be constant-folded over a LocalRelation before
+    # the filter prunes them — try_divide keeps the fold total (NULL never
+    # survives the filter), identical semantics on the parquet path
+    nz = df.filter(v.isNotNull() & (nrm > 0)).select(
+        F.transform(v, lambda x: F.try_divide(x.cast("double"), nrm)).alias("u"),
+        nrm.alias("nrm"),
+    )
+    s = (
+        nz.select(F.posexplode("u").alias("i", "ux"))
+        .groupBy("i")
+        .agg(F.sum("ux").alias("si"))
+    )
+    a = s.agg(F.sum(F.col("si") * F.col("si")).alias("s2"))
+    c = nz.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+    )
+    return a.crossJoin(F.broadcast(c)).select(
+        "n",
+        "mean_norm",
+        F.when(
+            F.col("n") > 1,
+            F.round((F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - F.lit(1.0))), 6),
+        ).alias("mean_pairwise_cos"),
+    )

@@ -4740,6 +4740,40 @@ def q_token_divergence(spark, sf_dir):
 
 
 @declared(
+    "embedding_isotropy",
+    oracle=f"""
+    WITH nz AS MATERIALIZED (
+      SELECT embedding AS v, {V.norm_sql('embedding')} AS nrm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND {V.norm_sql('embedding')} > 0
+    ),
+    ex AS (
+      SELECT unnest(range(1, len(v) + 1)) AS i,
+             CAST(unnest(v) AS DOUBLE) / nrm AS ux
+      FROM nz
+    ),
+    s AS (SELECT i, sum(ux) AS si FROM ex GROUP BY i),
+    a AS (SELECT sum(si * si) AS s2 FROM s),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(nrm), 6) AS mean_norm
+          FROM nz)
+    SELECT n, mean_norm,
+           CASE WHEN n > 1
+                THEN round((a.s2 - n) / (n * (n - 1.0)), 6) END AS mean_pairwise_cos
+    FROM a, c
+    """,
+    doc="§2.8/§2.14 embedding-space diagnostic: mean pairwise cosine "
+    "(anisotropy, Ethayarajh 2019 — collapsed directions kill cosine "
+    "dedup/ANN contrast) via the sum-vector identity Σ_{{i≠j}}<u_i,u_j> = "
+    "‖Σu‖² − n — ONE map-only normalize pass + a dim-sized groupBy, never "
+    "n² pairs at any corpus size; the closed-form corpus aggregate of what "
+    "cosine_calibration samples pairwise "
+    "(operators/vector.embedding_isotropy)",
+)
+def q_embedding_isotropy(spark, sf_dir):
+    return OV.embedding_isotropy(load(spark, sf_dir, "embeddings"), "embedding")
+
+
+@declared(
     "ann_quantized",
     oracle=f"""
     WITH base AS (

@@ -528,3 +528,28 @@ def test_sign_project_arrow_matches_codegen(spark):
         dirty, "embedding", "vec_id", signs, 0.25, kernel="codegen").collect()}
     assert arrow == codegen and len(arrow) == 501
     assert arrow[990001] == tuple([None] * 16)
+
+
+def test_embedding_isotropy_identity(spark):
+    """The sum-vector identity against hand-constructed geometry: four
+    copies of one direction -> mean pairwise cosine 1.0; an orthonormal
+    basis -> 0.0; zero-norm and NULL vectors are excluded from n."""
+    from team_126_spark.operators.vector import embedding_isotropy
+
+    same = spark.createDataFrame(
+        [([3.0, 0.0, 0.0],)] * 4 + [([0.0, 0.0, 0.0],), (None,)],
+        "v: array<double>",
+    )
+    r = embedding_isotropy(same, "v").collect()[0]
+    assert r["n"] == 4 and r["mean_norm"] == 3.0
+    assert r["mean_pairwise_cos"] == 1.0
+
+    basis = spark.createDataFrame(
+        [([1.0, 0.0, 0.0],), ([0.0, 1.0, 0.0],), ([0.0, 0.0, 1.0],)],
+        "v: array<double>",
+    )
+    b = embedding_isotropy(basis, "v").collect()[0]
+    assert b["n"] == 3 and abs(b["mean_pairwise_cos"]) < 1e-9
+
+    solo = embedding_isotropy(basis.limit(1), "v").collect()[0]
+    assert solo["mean_pairwise_cos"] is None
