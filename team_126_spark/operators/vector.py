@@ -1019,18 +1019,20 @@ def embedding_isotropy(df: DataFrame, vec_col: str) -> DataFrame:
 
     v = F.col(vec_col)
     nrm = _vnorm(v)
-    # try_divide: the nrm > 0 filter already excludes zero-norm vectors, but
-    # ANSI division can still be constant-folded over a LocalRelation before
-    # the filter prunes them — try_divide keeps the fold total (NULL never
-    # survives the filter), identical semantics on the parquet path
-    nz = df.filter(v.isNotNull() & (nrm > 0)).select(
-        F.transform(v, lambda x: F.try_divide(x.cast("double"), nrm)).alias("u"),
-        nrm.alias("nrm"),
-    )
+    # The norm fold must be computed ONCE per row, not once per element:
+    # dividing inside a transform() lambda inlines the 64-step aggregate
+    # fold into every element's expression (CollapseProject duplicates it),
+    # a dim× constant measured at 8.7s/10x. Exploding FIRST puts a Generate
+    # barrier under the division, so nrm is evaluated once (filter +
+    # projection share it via codegen subexpression elimination) and each
+    # exploded element pays one try_divide. try_divide keeps ANSI
+    # constant-folding over LocalRelation inputs total — NULL never
+    # survives the nrm > 0 filter.
+    nz = df.filter(v.isNotNull() & (nrm > 0)).select(v.alias("_v"), nrm.alias("nrm"))
     s = (
-        nz.select(F.posexplode("u").alias("i", "ux"))
+        nz.select("nrm", F.posexplode("_v").alias("i", "x"))
         .groupBy("i")
-        .agg(F.sum("ux").alias("si"))
+        .agg(F.sum(F.try_divide(F.col("x").cast("double"), F.col("nrm"))).alias("si"))
     )
     a = s.agg(F.sum(F.col("si") * F.col("si")).alias("s2"))
     c = nz.agg(
