@@ -6977,6 +6977,13 @@ DRIVER_SAMPLE_R6: tuple[str, ...] = (
 # 13 r4-evidence rows (session_window_native … hybrid_fusion_fast) lead
 # the R8 rotation, after which no query's driver evidence is older than
 # three rounds.
+#
+# R8 ROTATION QUEUE (build it as DRIVER_SAMPLE_R8): the 13 r4 leftovers
+# above + the 8 never-driver-sampled r7 declarations (minhash_index_probe,
+# lsh_blocking_eval, ngram_novelty_split, token_divergence,
+# classifier_auc_eval, classifier_calibration, hybrid_ndcg_eval,
+# embedding_isotropy) = 21 rows; fill the remaining 29 slots with the
+# oldest r5-evidence rows in declaration order.
 DRIVER_SAMPLE_R7: tuple[str, ...] = (
     # r3-evidence rows (the oldest driver evidence in the registry)
     "struct_project", "threshold_flag", "status_breakdown",
