@@ -265,22 +265,31 @@ def ngram_novelty(
     )
 
 
-def token_divergence(df: DataFrame, text_col: str, source_col: str) -> DataFrame:
+def token_divergence(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    baseline_df: DataFrame | None = None,
+) -> DataFrame:
     """Per-source Jensen-Shannon divergence (base-2, in [0,1]) between the
-    source's unigram distribution and the whole-corpus unigram distribution
-    — the domain-drift / mixture-shift monitor run when a new crawl or
-    source lands in the corpus.
+    source's unigram distribution and a reference unigram distribution —
+    the whole-corpus distribution of `df` itself by default, or an external
+    `baseline_df` (the streaming drift-monitor shape: each incoming batch
+    scored against a static baseline corpus).
 
     Scale shape: one tokenize+groupBy builds (source, token) counts; the
-    per-token corpus counts ROLL UP from that table (no second scan); the
-    JS sum runs entirely on the (source, token) SUPPORT — tokens absent
+    reference token counts either ROLL UP from that table (self-baseline,
+    no second scan) or come from one pass over `baseline_df`; the JS sum
+    runs entirely on the (source, token) SUPPORT — reference tokens absent
     from a source contribute the closed form 0.5·(1 − Σ_present q(t))
-    (their m = q/2, so q·log2(q/m) = q), eliminating the |sources|×|vocab|
-    expansion a naive KL join needs. One single-row corpus-total broadcast
-    (pinned in the cartesian allowlist); everything else is partial-agg
-    groupBys + equi-joins on the token key. Hot stopword tokens are the
-    skew risk; AQE skew splitting applies, and the per-(source,token)
-    pre-aggregation bounds any one key's rows by n_sources.
+    (their m = q/2, so q·log2(q/m) = q), and source tokens absent from the
+    reference contribute 0.5·p symmetrically — eliminating the
+    |sources|×|vocab| expansion a naive KL join needs. One single-row
+    reference-total broadcast (pinned in the cartesian allowlist);
+    everything else is partial-agg groupBys + equi-joins on the token key.
+    Hot stopword tokens are the skew risk; AQE skew splitting applies, and
+    the per-(source,token) pre-aggregation bounds any one key's rows by
+    n_sources. Fully disjoint vocabularies score exactly 1.0.
 
     Output: (source, n_tokens, vocab, js_divergence), js rounded 6dp.
     """
@@ -292,25 +301,37 @@ def token_divergence(df: DataFrame, text_col: str, source_col: str) -> DataFrame
     )
     st = toks.groupBy("source", "tok").agg(F.count("*").cast("bigint").alias("c_st"))
     s_tot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
-    t_tot = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
-    total = st.agg(F.sum("c_st").cast("bigint").alias("n"))
+    if baseline_df is None:
+        ref = st
+    else:
+        ref = (
+            baseline_df.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("bigint").alias("c_st"))
+        )
+    t_tot = ref.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    total = ref.agg(F.sum("c_st").cast("bigint").alias("n"))
     j = (
-        st.join(t_tot, "tok")
+        st.join(t_tot, "tok", "left")
         .join(s_tot, "source")
         .crossJoin(F.broadcast(total))
     )
     p = F.col("c_st") / F.col("n_s")
     q = F.col("c_t") / F.col("n")
     m = (p + q) / F.lit(2.0)
+    in_ref = F.col("c_t").isNotNull()
+    # p-side: tokens missing from the reference have m = p/2 -> p*log2(2) = p
+    p_term = F.when(in_ref, p * F.log2(p / m)).otherwise(p)
+    q_term = F.when(in_ref, q * F.log2(q / m)).otherwise(F.lit(0.0))
     return (
         j.groupBy("source")
         .agg(
             F.max("n_s").alias("n_tokens"),
             F.count("*").cast("bigint").alias("vocab"),
             F.round(
-                F.lit(0.5) * F.sum(p * F.log2(p / m))
-                + F.lit(0.5) * F.sum(q * F.log2(q / m))
-                + F.lit(0.5) * (F.lit(1.0) - F.sum(q)),
+                F.lit(0.5) * F.sum(p_term)
+                + F.lit(0.5) * F.sum(q_term)
+                + F.lit(0.5) * (F.lit(1.0) - F.sum(F.coalesce(q, F.lit(0.0)))),
                 6,
             ).alias("js_divergence"),
         )

@@ -533,3 +533,54 @@ def test_stream_neardup_probe_replay_is_exact(spark, tmp_path):
     # intra-batch pairs would have both endpoints outside the seed partition
     seed_ids = {r[0] for r in canon(seed_sigs.select("doc"))}
     assert all(c in seed_ids for _, c, _ in got)
+
+
+def test_stream_token_divergence_matches_batch(spark, tmp_path):
+    """Stream-vs-batch parity for the drift monitor: 4 sources delivered one
+    micro-batch each, baseline = the full corpus -> the union of batch
+    outputs equals the batch operator's self-baseline rows exactly; a
+    checkpoint re-run rewrites identical output (batch-keyed overwrite)."""
+    from team_126_spark.operators.textops import token_divergence
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    src = str(tmp_path / "src")
+    for s in ("src0", "src1", "src2", "src3"):
+        docs.filter(F.col("source") == s).coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        STR.stream_token_divergence(stream, docs, out, ckpt)
+        return {
+            r["source"]: (r["n_tokens"], r["vocab"], r["js_divergence"])
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+
+    got = drain()
+    want = {
+        r["source"]: (r["n_tokens"], r["vocab"], r["js_divergence"])
+        for r in token_divergence(docs, "text", "source").collect()
+    }
+    assert got == want and len(got) == 4
+    # restart on the same checkpoint: no new batches, output unchanged
+    assert drain() == want
+
+
+def test_token_divergence_external_baseline_disjoint_is_one(spark):
+    """The generalized baseline path: a batch with fully disjoint vocabulary
+    scores exactly JS = 1.0; a batch identical to the baseline scores 0."""
+    from team_126_spark.operators.textops import token_divergence
+
+    baseline = spark.createDataFrame([("b", "x y z x")], ["source", "text"])
+    drifted = spark.createDataFrame([("new", "q r s")], ["source", "text"])
+    r = token_divergence(drifted, "text", "source", baseline_df=baseline).collect()[0]
+    assert r["js_divergence"] == 1.0 and r["vocab"] == 3
+
+    same = spark.createDataFrame([("new", "x y z x")], ["source", "text"])
+    r2 = token_divergence(same, "text", "source", baseline_df=baseline).collect()[0]
+    assert r2["js_divergence"] == 0.0
