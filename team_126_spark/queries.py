@@ -4524,8 +4524,15 @@ def _minhash_index_probe_impl(spark, sf_dir, hash_fn: str):
     b0_sigs = D.minhash_signatures(b0, "text", "doc_id", k=3, hash_fn=hash_fn).filter(
         F.col("signature").isNotNull()
     )
-    b0_sigs.write.mode("overwrite").parquet(f"{idx}/sigs/b0")
-    D.banded_signatures(b0_sigs, 16).write.mode("overwrite").parquet(f"{idx}/bands/b0")
+    # batch subdirs are single-file, exactly like the streaming ingest
+    # (stream_neardup_probe) — repartition(1), NOT coalesce(1): coalesce
+    # would narrow the whole signing stage to one core; the exchange keeps
+    # signing parallel and only the tiny batch-sized write is single-file.
+    # The seed/backfill stays partitioned.
+    b0_sigs.repartition(1).write.mode("overwrite").parquet(f"{idx}/sigs/b0")
+    D.banded_signatures(b0_sigs, 16).repartition(1).write.mode("overwrite").parquet(
+        f"{idx}/bands/b0"
+    )
 
     # batch 0 probed the index state {seed}; batch 1 probes {seed, b0}
     # through the same b<id>-glob read the streaming ingest performs

@@ -245,8 +245,16 @@ def stream_neardup_probe(
             corpus_banded=corpus_banded, new_sigs=sigs,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        sigs.write.mode("overwrite").parquet(f"{index_dir}/sigs/b{batch_id}")
-        banded_signatures(sigs, bands).write.mode("overwrite").parquet(
+        # batch index subdirs are micro-batch-sized by construction — write
+        # them as single files so the index glob doesn't accumulate
+        # shuffle-partition-count tiny files per batch (the corpus-scale
+        # seed/backfill under seed/ stays partitioned). repartition(1), not
+        # coalesce(1): coalesce would narrow the banding computation to one
+        # core; the exchange keeps it parallel and only the write is 1-file.
+        sigs.repartition(1).write.mode("overwrite").parquet(
+            f"{index_dir}/sigs/b{batch_id}"
+        )
+        banded_signatures(sigs, bands).repartition(1).write.mode("overwrite").parquet(
             f"{index_dir}/bands/b{batch_id}"
         )
 
