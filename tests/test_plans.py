@@ -251,3 +251,31 @@ def test_cartesian_allowlist_pinned(spark):
             # keep the allowlist honest: prune entries that stop needing it
             offenders[name] = "no longer needs allowlisting"
     assert not offenders, offenders
+
+
+def test_audit_family_partial_aggregation(spark):
+    """Every audit-family groupBy must split partial/final (map-side
+    combine before the shuffle) — formatted plans print each HashAggregate
+    node at least twice per aggregation."""
+    for name in (
+        "token_divergence",
+        "ngram_novelty_split",
+        "lsh_blocking_eval",
+        "classifier_calibration",
+        "embedding_isotropy",
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("HashAggregate") >= 2, name
+        assert "SortAggregate" not in plan, name
+
+
+def test_isotropy_norm_fold_not_duplicated(spark):
+    """Regression pin for the CollapseProject pathology SCALING.md
+    documents: dividing by the norm inside a transform() lambda inlined the
+    64-step aggregate fold into every element (the plan carried 60+
+    `aggregate(` expressions; 8.7x at the 10x probe). The fixed plan
+    explodes first — the fold appears only a handful of times (filter,
+    projection, mean_norm consumer)."""
+    plan = plan_of(spark, "embedding_isotropy")
+    assert "posexplode" in plan
+    assert plan.count("aggregate(") <= 10
