@@ -548,3 +548,68 @@ def test_poisson_bootstrap_matches_python_replay(spark):
     rows = {r["stat"]: r["value_r"] for r in REGISTRY["bootstrap_ci"].fn(spark, sf).collect()}
     assert rows["ci_lo"] <= rows["point"] <= rows["ci_hi"]
     assert rows["ci_lo"] < rows["ci_hi"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),  # coarse scores -> many ties
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_rank_auc_matches_python_model(spark, pairs):
+    """Tie-aware Mann-Whitney AUC against the O(n^2) pure-python pair count
+    (1 per correctly ordered pos/neg pair, 0.5 per tie), plus the accuracy
+    definition, for ANY score/label multiset including heavy ties."""
+    from team_126_spark.operators.relational import rank_auc
+
+    rows = [(float(s), 1.0 if y else 0.0) for s, y in pairs]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = rank_auc(df, "s", "y").collect()[0]
+
+    pos = [s for s, y in rows if y == 1.0]
+    neg = [s for s, y in rows if y == 0.0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["n_eval"] == len(rows)
+    if pos and neg:
+        u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        assert got["auc_r"] == round(u / (len(pos) * len(neg)), 6)
+    else:
+        assert got["auc_r"] is None
+    acc = sum(1.0 for s, y in rows if (1.0 if s >= 0 else 0.0) == y) / len(rows)
+    assert got["acc_r"] == round(acc, 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.text(alphabet=st.sampled_from(list("xyz w")), min_size=1, max_size=20),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_token_divergence_bounds_and_self_zero(spark, docs):
+    """For ANY corpus: JS in [0, 1] per source (6dp rounding slack), and a
+    source identical to the whole corpus distribution scores 0 — pinned by
+    running a single-source corpus, where p == q exactly."""
+    import math
+
+    from team_126_spark.operators.textops import token_divergence
+
+    df = spark.createDataFrame(docs, ["source", "text"])
+    rows = token_divergence(df, "text", "source").collect()
+    for r in rows:
+        assert -1e-6 <= r["js_divergence"] <= 1.0 + 1e-6, r
+        assert r["n_tokens"] >= r["vocab"] >= 1
+
+    one = df.withColumn("source", F.lit("only"))
+    solo = token_divergence(one, "text", "source").collect()
+    if solo:  # empty when no doc has a token
+        assert solo[0]["js_divergence"] == 0.0
