@@ -82,7 +82,8 @@ def main() -> None:
     names = args or [
         "agg_pricing_summary", "minhash_lsh_pairs", "dedup_select",
         "pagerank_topk", "triangle_count", "shortest_paths", "graph_walks",
-        "lsh_blocking_eval", "ngram_novelty_split",
+        "lsh_blocking_eval", "ngram_novelty_split", "token_divergence",
+        "classifier_auc_eval", "hybrid_ndcg_eval", "embedding_isotropy",
     ]
     spark = get_spark("job-metrics")
     for n in names:
