@@ -330,6 +330,13 @@ def build_outputs(timings, spread, load_avg, sf):
         "metric": "headline_total_sec",
         "value": headline_total,
         "extra_total_sec": extra_total,
+        # Basis note (ADVICE r7): before r7 the committed `value` summed
+        # HEADLINE + EXTRA_BENCH together; since r7 it is HEADLINE-only.
+        # Cross-round readers comparing to pre-r7 records should use
+        # total_with_extra_sec (the old basis) to avoid reading the basis
+        # change as a performance win.
+        "total_with_extra_sec": round(headline_total + extra_total, 3),
+        "value_basis": "HEADLINE only since r7; pre-r7 value included EXTRA_BENCH",
         "unit": "sec",
         "sf": sf,
         "rows": len(HEADLINE),

@@ -4506,8 +4506,14 @@ def _minhash_index_probe_impl(spark, sf_dir, hash_fn: str):
     import os
 
     docs = load(spark, sf_dir, "documents")
+    # Per-run unique index dir (ADVICE r7): a fixed path let two concurrent
+    # runs (e.g. bench + oracle sweep) interleave overwrite writes with the
+    # other run's lazy glob reads. PID keeps it deterministic WITHIN a run
+    # (same path -> idempotent overwrite), unique across processes;
+    # TEAM126_INDEX_BASE overrides the base for non-/tmp environments.
+    base = os.environ.get("TEAM126_INDEX_BASE", "/tmp")
     idx = (
-        f"/tmp/team126_minhash_index_{hash_fn}_"
+        f"{base}/team126_minhash_index_{os.getpid()}_{hash_fn}_"
         f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     seed = docs.filter(~F.col("source").isin("src0", "src1"))
@@ -7012,6 +7018,38 @@ DRIVER_SAMPLE_R7: tuple[str, ...] = (
 )
 
 
+# Round-8 rotation (the queue documented above DRIVER_SAMPLE_R7): the 13
+# r4-evidence leftovers + the 8 never-driver-sampled r7 declarations lead;
+# the remaining 29 slots are the oldest r5-evidence rows in declaration
+# order. With CORRECTNESS_r08 green, no query's driver evidence is older
+# than r5, and every r7 declaration has a driver row.
+#
+# R9 ROTATION QUEUE (build it as DRIVER_SAMPLE_R9): the 21 r5-evidence
+# leftovers (contamination_spans .. cdc_apply, declaration order) + any
+# never-driver-sampled r8 declarations; fill remaining slots with the
+# oldest r6-evidence rows in declaration order.
+DRIVER_SAMPLE_R8: tuple[str, ...] = (
+    # r4-evidence leftovers (oldest driver evidence in the registry)
+    "session_window_native", "media_resize", "frame_sample", "doc_embed",
+    "ann_ivf", "multimodal_features", "hours_classify", "resource_format",
+    "doc_token_bpe", "doc_tfidf", "split_flags", "goal_transition",
+    "hybrid_fusion_fast",
+    # never-driver-sampled r7 declarations (judge-green in r7)
+    "hybrid_ndcg_eval", "minhash_index_probe", "lsh_blocking_eval",
+    "ngram_novelty_split", "token_divergence", "embedding_isotropy",
+    "classifier_auc_eval", "classifier_calibration",
+    # oldest r5-evidence rows, declaration order (29 of 50)
+    "filter_eq", "cast_truncate", "abnormal_rules", "agg_global",
+    "distinct_values", "conditional_counts", "groupby_sum_topk", "join_fk",
+    "join_null_safe", "join_full_outer", "set_intersect_except",
+    "latest_per_group", "date_trunc_counts", "day_name_counts",
+    "geo_radius", "geo_knn_join", "vec_knn", "hybrid_fusion", "doc_langid",
+    "interval_join_outer", "event_correlate", "profile_approx",
+    "gopher_rules", "bloom_decontaminate", "simhash_pairs", "doc_surprisal",
+    "doc_entropy", "corpus_diff", "cluster_size_hist",
+)
+
+
 def _rotate_registry(front: tuple[str, ...]) -> None:
     missing = [n for n in front if n not in REGISTRY]
     if missing:
@@ -7022,4 +7060,4 @@ def _rotate_registry(front: tuple[str, ...]) -> None:
     REGISTRY.update(ordered)
 
 
-_rotate_registry(DRIVER_SAMPLE_R7)
+_rotate_registry(DRIVER_SAMPLE_R8)

@@ -212,11 +212,15 @@ def stream_neardup_probe(
     same state instead of appending duplicate sig rows (a plain append
     would fan out the estimate join of every LATER batch into duplicate
     pair rows). A replayed batch probes an index that already contains
-    its own docs (written by the crashed attempt); the probe therefore
-    anti-joins the corpus read against the batch's own doc ids (broadcast
-    — the batch side is micro-batch-sized) so the replay sees exactly the
-    index state the original attempt saw and emits the IDENTICAL pair
-    set — not a superset with extra intra-batch pairs. Seed the index by
+    its own rows under b<batch_id>/ (written by the crashed attempt); the
+    probe therefore excludes exactly that subdir's files from the glob
+    read (an input_file_name filter — NOT a doc-id anti-join, which would
+    also drop a legitimately re-ingested doc_id's older corpus entries),
+    so the replay sees exactly the index state the original attempt saw
+    and emits the IDENTICAL pair set — not a superset with extra
+    intra-batch pairs. Re-ingested doc ids pair normally against their
+    older index entries; exact self-matches are dropped inside
+    minhash_lsh_probe. Seed the index by
     writing the existing corpus's signatures/bands to
     `index_dir/{sigs,bands}/seed/` before starting the stream (tests do
     exactly that).
@@ -231,14 +235,20 @@ def stream_neardup_probe(
             .localCheckpoint()
         )
         # Crash-replay exactness: a replayed batch's own sigs/bands may
-        # already sit under b<batch_id>/ from the crashed attempt — exclude
-        # the batch's docs so replay probes the pre-batch index state.
-        batch_docs = sigs.select("doc")
-        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs/*").join(
-            F.broadcast(batch_docs), "doc", "left_anti"
+        # already sit under b<batch_id>/ from the crashed attempt. Exclude
+        # exactly that subdir — by file path, not by doc id (ADVICE r7): a
+        # doc-id anti-join would also drop a legitimately re-ingested
+        # doc_id's OLDER corpus entries, silently losing every cross pair
+        # between the rest of the batch and those entries. Scoping to the
+        # b<batch_id>/ files makes replay probe precisely the pre-batch
+        # index state with no assumption that doc ids are never re-ingested
+        # (re-ingested ids pair against their older entries; exact
+        # self-matches are dropped inside minhash_lsh_probe).
+        corpus_sigs = spark.read.parquet(f"{index_dir}/sigs/*").filter(
+            ~F.input_file_name().contains(f"/sigs/b{batch_id}/")
         )
-        corpus_banded = spark.read.parquet(f"{index_dir}/bands/*").join(
-            F.broadcast(batch_docs), "doc", "left_anti"
+        corpus_banded = spark.read.parquet(f"{index_dir}/bands/*").filter(
+            ~F.input_file_name().contains(f"/bands/b{batch_id}/")
         )
         pairs = minhash_lsh_probe(
             bdf, corpus_sigs, text_col, id_col, k, bands, threshold, hash_fn,
