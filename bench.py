@@ -228,6 +228,9 @@ HEADLINE = [
     "hybrid_ndcg_eval",
     "classifier_calibration",
     "embedding_isotropy",
+    # round-8 additions
+    "dsir_weights",
+    "semdedup_select",
 ]
 
 

@@ -6912,6 +6912,138 @@ def q_pca_topcomp(spark, sf_dir):
     )
 
 
+_DSIR_BUCKETS = 64
+
+
+def _dsir_oracle_sql(buckets: int, k_smooth: float, target: str) -> str:
+    """DuckDB twin of textops.dsir_importance: identical normalization,
+    bigram construction, md5-low32 bucketing, add-k smoothed log-ratio,
+    and per-doc sum — every float step mirrored (ln on identically
+    computed doubles, round 6 after the sum, the doc_surprisal precedent)."""
+    kb = repr(float(k_smooth) * buckets)
+    ks = repr(float(k_smooth))
+    g = X.md5_low32_sql("g")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, ({target}) AS is_t,
+             str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, is_t, {g} % {buckets} AS b
+      FROM (
+        SELECT doc_id, is_t,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM tk WHERE len(toks) >= 2
+      )
+    ),
+    db AS (
+      SELECT doc_id, is_t, b, count(*)::DOUBLE AS c FROM bg GROUP BY ALL
+    ),
+    tb AS (SELECT b, sum(c) AS tc FROM db WHERE is_t GROUP BY b),
+    rb AS (SELECT b, sum(c) AS rc FROM db WHERE NOT is_t GROUP BY b),
+    tt AS (SELECT coalesce(sum(tc), 0) AS tt FROM tb),
+    rt AS (SELECT coalesce(sum(rc), 0) AS rt FROM rb),
+    ratio AS (
+      SELECT coalesce(tb.b, rb.b) AS b,
+             ln(coalesce(tc, 0) + {ks}) - ln(tt + {kb})
+             - ln(coalesce(rc, 0) + {ks}) + ln(rt + {kb}) AS lr
+      FROM tb FULL JOIN rb USING (b) CROSS JOIN tt CROSS JOIN rt
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, round(sum(c * lr), 6) AS s
+      FROM db JOIN ratio USING (b) WHERE NOT is_t GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.s, 0.0) AS dsir_logw
+    FROM (SELECT doc_id FROM documents WHERE NOT ({target})) d
+    LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@declared(
+    "dsir_weights",
+    oracle=_dsir_oracle_sql(_DSIR_BUCKETS, 0.5, "source = 'src0'"),
+    doc="§2.16 DSIR importance weights (Xie et al. 2023): per-raw-doc "
+    "log w = Σ_b c(b)·[ln p_target(b) − ln p_raw(b)] over 64 md5-hashed "
+    "bigram buckets (target = src0 docs), add-0.5 smoothing — the "
+    "content-based data-selection step upstream of corpus_mix/"
+    "temperature_mix, feeding weighted_resample. One codegen bigram "
+    "explode → B-row bucket LM (state O(B), a constant) broadcast back "
+    "onto per-doc counts; no quadratic, corpus read once "
+    "(operators/textops.dsir_importance)",
+)
+def q_dsir_weights(spark, sf_dir):
+    return TO.dsir_importance(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        is_target=F.col("source") == "src0",
+        buckets=_DSIR_BUCKETS,
+        k_smooth=0.5,
+    )
+
+
+def _semdedup_oracle_sql(n_cells: int, threshold: float) -> str:
+    """DuckDB twin of vector.semdedup over the planted near-dup corpus:
+    md5-sample centroid pick + unit-normalized argmax assignment (the
+    ann_ivf oracle machinery verbatim), intra-cell rounded-cosine pairs,
+    keep-min anti-join — the full approximate pipeline is hash-checked,
+    including which cross-cell near-dups it (by design) misses."""
+    md5key = X.md5_low32_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    b2 AS (SELECT vec_id, embedding FROM corpus WHERE embedding IS NOT NULL),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY {md5key}, vec_id) AS idx, embedding
+      FROM b2 ORDER BY {md5key}, vec_id LIMIT {n_cells}
+    ),
+    cent_unit AS (
+      SELECT idx, list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS u
+      FROM (SELECT idx, embedding, {V.norm_sql('embedding')} AS nrm FROM cent)
+    ),
+    assign AS (
+      SELECT b.vec_id, c.idx, b.embedding,
+             row_number() OVER (PARTITION BY b.vec_id
+                  ORDER BY {V.dot_sql('b.embedding', 'c.u')} DESC, c.idx) AS rn
+      FROM b2 b, cent_unit c
+    ),
+    cells AS (
+      SELECT vec_id, CAST(idx - 1 AS INT) AS cell, embedding
+      FROM assign WHERE rn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({V.cosine_similarity_sql('a.embedding', 'b.embedding')}, 6)
+            >= {repr(float(threshold))}
+    )
+    SELECT c.vec_id, c.cell FROM cells c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)
+    """
+
+
+@declared(
+    "semdedup_select",
+    oracle=_semdedup_oracle_sql(n_cells=16, threshold=0.9),
+    doc="§2.16 SemDeDup (Abbas et al. 2023): semantic dedup = cluster the "
+    "embedding space (md5-sample IVF cells), prune rounded-cosine ≥ 0.9 "
+    "pairs WITHIN each cell to the lowest id, emit kept (vec_id, cell) — "
+    "over the planted ≈0.995-cosine 3-clique corpus so the pruning regime "
+    "has real drops. The self-join is an equi-join on the cell id: the "
+    "quadratic is bounded by the largest CELL, never the corpus — n_cells "
+    "scales linearly with corpus size (paper: 50k clusters / 5B points); "
+    "full DuckDB twin of centroid pick, assignment, prune "
+    "(operators/vector.semdedup)",
+)
+def q_semdedup_select(spark, sf_dir):
+    corpus = _planted_neardup_corpus(load(spark, sf_dir, "embeddings"))
+    return OV.semdedup(corpus, "embedding", "vec_id", n_cells=16, threshold=0.9)
+
+
 # ===================================================================
 # Driver-sample rotation
 # ===================================================================

@@ -796,3 +796,78 @@ def test_lsh_blocking_eval_empty_truth(spark):
         ["doc_id", "text"],
     )
     assert D.lsh_blocking_eval(df, "text", "doc_id").count() == 0
+
+
+def test_semdedup_planted_cliques(spark):
+    """SemDeDup over the planted near-dup corpus: every base row is kept
+    (base max cosine ≈0.51 < 0.9), every dropped row has a smaller-id
+    same-cell neighbor at rounded cosine ≥ 0.9 (brute-force verified), the
+    minimum id of a near-dup group is never dropped, and the result is
+    rerun-stable."""
+    import numpy as np
+
+    from team_126_spark.operators.vector import semdedup
+    from team_126_spark.queries import _planted_neardup_corpus
+    from team_126_spark.tables import table
+
+    corpus = _planted_neardup_corpus(
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+    )
+    kept = semdedup(corpus, "embedding", "vec_id", n_cells=16, threshold=0.9)
+    rows = kept.collect()
+    kept_ids = {r["vec_id"] for r in rows}
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+
+    all_rows = corpus.collect()
+    base_ids = {r["vec_id"] for r in all_rows if r["vec_id"] < 10_000_000}
+    assert base_ids <= kept_ids  # no base row near-dups another base row
+    dropped = {r["vec_id"] for r in all_rows} - kept_ids
+    assert dropped and dropped <= {
+        r["vec_id"] for r in all_rows if r["vec_id"] >= 10_000_000
+    }
+
+    # brute-force justification for each drop: the assignment is needed for
+    # dropped rows too, so recompute cells for the full corpus
+    from team_126_spark.operators.vector import ivf_centroids, with_ivf_cell
+
+    cents = ivf_centroids(corpus, "embedding", "vec_id", 16)
+    full = {
+        r["vec_id"]: (r["ivf_cell"], np.array(r["embedding"], dtype=np.float64))
+        for r in with_ivf_cell(corpus, "embedding", cents).collect()
+    }
+    for d in dropped:
+        cell_d, v_d = full[d]
+        justified = False
+        for other, (cell_o, v_o) in full.items():
+            if other < d and cell_o == cell_d:
+                cos = float(
+                    v_o @ v_d / (np.linalg.norm(v_o) * np.linalg.norm(v_d))
+                )
+                if round(cos, 6) >= 0.9:
+                    justified = True
+                    break
+        assert justified, f"dropped {d} has no smaller same-cell neighbor"
+    # kept rows carry their assignment cell
+    for vid, cell in cell_of.items():
+        assert cell == full[vid][0]
+
+    again = {r["vec_id"] for r in semdedup(
+        corpus, "embedding", "vec_id", n_cells=16, threshold=0.9
+    ).collect()}
+    assert again == kept_ids
+
+
+def test_semdedup_threshold_bounds(spark):
+    """threshold > 1 keeps everything (cosine ≤ 1); threshold -1 keeps
+    exactly one row per cell (everything pairs with everything)."""
+    from team_126_spark.operators.vector import semdedup
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.filter("embedding IS NOT NULL").count()
+    lax = semdedup(emb, "embedding", "vec_id", n_cells=8, threshold=1.5)
+    assert lax.count() == n
+    strict = semdedup(emb, "embedding", "vec_id", n_cells=8, threshold=-1.0)
+    got = strict.collect()
+    cells = {r["cell"] for r in got}
+    assert len(got) == len(cells)  # one survivor per non-empty cell

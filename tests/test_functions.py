@@ -666,3 +666,65 @@ def test_cosine_calibration_pair_budget_and_bins(spark):
     assert sorted((r["bin"], r["n_pairs"]) for r in hist) == sorted(
         (r["bin"], r["n_pairs"]) for r in again
     )
+
+
+def test_dsir_importance_semantics(spark):
+    """Target-like raw docs score a higher importance log-weight than
+    off-target docs; target docs are excluded from the output; NULL/short
+    texts land at (0 bigrams, 0.0) instead of NULL/missing."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.textops import dsir_importance
+
+    target_text = "alpha beta gamma alpha beta gamma alpha beta"
+    rows = [
+        (1, target_text, "t"),
+        (2, target_text, "t"),
+        (3, "alpha beta gamma alpha beta", "r"),   # target-like raw
+        (4, "zeta omega psi zeta omega psi", "r"),  # disjoint raw
+        (5, None, "r"),
+        (6, "single", "r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "kind"])
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logw"])
+        for r in dsir_importance(
+            df, "text", "doc_id", is_target=F.col("kind") == "t", buckets=256
+        ).collect()
+    }
+    assert set(out) == {3, 4, 5, 6}  # raw docs only, totality included
+    assert out[3][0] == 4 and out[4][0] == 5
+    # per-bigram importance: doc 3's bigrams all appear in the target LM,
+    # doc 4's never do — the log-weight must separate them decisively even
+    # before length normalization
+    assert out[3][1] > 0 > out[4][1]
+    assert out[5] == (0, 0.0) and out[6] == (0, 0.0)
+
+
+def test_dsir_importance_deterministic_and_content_only(spark):
+    """Identical raw texts score identically (the weight is a pure function
+    of content + the two corpus LMs, not of ids or row order), and the
+    whole output is rerun-stable."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.textops import dsir_importance
+
+    rows = [
+        (1, "alpha beta", "t"),
+        (2, "alpha beta", "r"),
+        (4, "alpha beta", "r"),
+        (9, "zeta omega", "r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "kind"])
+
+    def run():
+        return {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_importance(
+                df, "text", "doc_id", is_target=F.col("kind") == "t", buckets=256
+            ).collect()
+        }
+
+    out = run()
+    assert out[2] == out[4] != out[9]
+    assert run() == out

@@ -553,3 +553,44 @@ def test_embedding_isotropy_identity(spark):
 
     solo = embedding_isotropy(basis.limit(1), "v").collect()[0]
     assert solo["mean_pairwise_cos"] is None
+
+
+def test_ivf_assign_broadcast_matches_literal(spark):
+    """with_ivf_cell_broadcast (large-k table path) assigns every row the
+    IDENTICAL cell as with_ivf_cell's codegen-literal argmax — same unit
+    normalization, same dot fold, same first-max/lowest-cell tie-break —
+    so semdedup(assign=...) is a pure cost choice."""
+    from team_126_spark.operators.vector import (
+        ivf_centroids,
+        semdedup,
+        with_ivf_cell,
+        with_ivf_cell_broadcast,
+    )
+    from team_126_spark.queries import _planted_neardup_corpus
+    from team_126_spark.tables import table
+
+    corpus = _planted_neardup_corpus(
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+    )
+    cents = ivf_centroids(corpus, "embedding", "vec_id", 16)
+    lit = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in with_ivf_cell(corpus, "embedding", cents).collect()
+    }
+    bc = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in with_ivf_cell_broadcast(corpus, "embedding", cents).collect()
+    }
+    assert bc == lit and len(lit) > 0
+
+    kept_lit = {
+        (r["vec_id"], r["cell"])
+        for r in semdedup(corpus, "embedding", "vec_id", 16, 0.9).collect()
+    }
+    kept_bc = {
+        (r["vec_id"], r["cell"])
+        for r in semdedup(
+            corpus, "embedding", "vec_id", 16, 0.9, assign="broadcast"
+        ).collect()
+    }
+    assert kept_bc == kept_lit
