@@ -230,6 +230,7 @@ HEADLINE = [
     "embedding_isotropy",
     # round-8 additions
     "dsir_weights",
+    "dsir_resample",
     "semdedup_select",
 ]
 

@@ -1194,6 +1194,124 @@ def inverted_index(
     return kept.join(postings, "term")
 
 
+def _bigram_buckets(df: DataFrame, text_col: str, id_col: str, buckets: int):
+    """(doc, bucket) rows — one per bigram occurrence: codegen-native
+    slice + arrays_zip bigrams (never transform(sequence, element_at), the
+    interpreted-HOF pitfall), md5-low32 bucketing."""
+    from ..functions.text import md5_low32
+    from ..tables import spread
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+    )
+    return spread(df, id_col).select(
+        F.col(id_col).alias("doc"), F.explode(zipped).alias("bg")
+    ).select(
+        "doc",
+        F.pmod(
+            md5_low32(F.concat_ws(" ", F.col("bg.0"), F.col("bg.1"))),
+            F.lit(buckets),
+        ).alias("b"),
+    )
+
+
+def dsir_bucket_ratios(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    buckets: int = 64,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """The FIT half of DSIR (see dsir_importance): the ≤`buckets`-row
+    log-ratio table lr(b) = ln p_target(b) − ln p_raw(b) with add-k
+    smoothed hashed-bigram bucket probabilities — target docs are the
+    rows where `is_target` holds, raw docs the rest. Fit ONCE over the
+    reference corpora, then dsir_score any number of corpora/streams
+    against it (the broadcastable model artifact — O(buckets) rows, a
+    constant). Totals come from a single-partition window over the
+    bucket table: bounded by B, crossJoin-free."""
+    # one exploded scan, flag carried through the explode instead of a
+    # join back onto the corpus
+    from ..functions.text import md5_low32
+    from ..tables import spread
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+    )
+    base = spread(df, id_col).select(
+        is_target.alias("is_t"), F.explode(zipped).alias("bg")
+    ).select(
+        "is_t",
+        F.pmod(
+            md5_low32(F.concat_ws(" ", F.col("bg.0"), F.col("bg.1"))),
+            F.lit(buckets),
+        ).alias("b"),
+    )
+    counts = base.groupBy("is_t", "b").agg(F.count("*").cast("double").alias("c"))
+    tb = counts.filter(F.col("is_t")).groupBy("b").agg(F.sum("c").alias("tc"))
+    rb = counts.filter(~F.col("is_t")).groupBy("b").agg(F.sum("c").alias("rc"))
+    merged = tb.join(rb, "b", "full_outer").select(
+        "b",
+        F.coalesce("tc", F.lit(0.0)).alias("tc"),
+        F.coalesce("rc", F.lit(0.0)).alias("rc"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    kb = float(k_smooth) * buckets
+    return merged.select(
+        "b",
+        (
+            F.log(F.col("tc") + F.lit(float(k_smooth)))
+            - F.log(F.sum("tc").over(w) + F.lit(kb))
+            - F.log(F.col("rc") + F.lit(float(k_smooth)))
+            + F.log(F.sum("rc").over(w) + F.lit(kb))
+        ).alias("lr"),
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ratios: DataFrame,
+    buckets: int = 64,
+) -> DataFrame:
+    """The SCORE half of DSIR: per-doc log w = Σ_b c(b)·lr(b) against a
+    fitted `ratios` table (dsir_bucket_ratios). Map-only per doc plus one
+    broadcast join on the bucket id and one partial-aggregated sum —
+    batch-boundary-free, so the streaming surface
+    (pipeline.stream_dsir_score) scores micro-batches with the IDENTICAL
+    plan and values. Docs with < 2 tokens score (0 bigrams, 0.0)."""
+    db = (
+        _bigram_buckets(df, text_col, id_col, buckets)
+        .groupBy("doc", "b")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    per_doc = (
+        db.join(F.broadcast(ratios), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("dsir_logw"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     text_col: str,
@@ -1210,7 +1328,9 @@ def dsir_importance(
     Feed the weights to relational.weighted_resample (exp(logw/T) or a
     rank-cap) to importance-resample a target-matched pre-training subset —
     the data-recipe step UPSTREAM of corpus_mix/temperature_mix, selecting
-    by CONTENT instead of provenance.
+    by CONTENT instead of provenance. This is dsir_bucket_ratios (fit) ∘
+    dsir_score (score) over one corpus; use the halves directly to fit
+    once and score many corpora/streams.
 
     `is_target` is a boolean Column over df marking the target-domain docs
     (e.g. F.col("source") == "src0"); they define p_target and are excluded
@@ -1218,80 +1338,14 @@ def dsir_importance(
     every raw doc — docs with < 2 tokens score 0.0 over 0 bigrams.
 
     Scale shape — hashing is what makes DSIR 100 TB-able: one bigram
-    explode (slice + arrays_zip, codegen-native — never
-    transform(sequence, element_at), the interpreted-HOF pitfall) →
-    per-(doc, bucket) partial-aggregated counts; the two corpus bucket
-    tables are ≤ `buckets` rows merged with a single-partition window for
-    totals (B is a CONSTANT ≤ ~1e6 — the whole LM state is O(B), never
-    O(vocab²)); the B-row log-ratio table broadcast-joins back onto the
-    per-doc counts and one partial-aggregated sum per doc finishes. No
-    quadratic anywhere; raw and target corpora are each read once.
+    explode (slice + arrays_zip, codegen-native) → per-(doc, bucket)
+    partial-aggregated counts; the two corpus bucket tables are ≤
+    `buckets` rows merged with a single-partition window for totals (B is
+    a CONSTANT ≤ ~1e6 — the whole LM state is O(B), never O(vocab²)); the
+    B-row log-ratio table broadcast-joins back onto the per-doc counts and
+    one partial-aggregated sum per doc finishes. No quadratic anywhere;
     md5-family bucketing keeps every intermediate DuckDB-reproducible
     (swap xxhash64 in production, the sketch-family precedent)."""
-    from ..functions.text import md5_low32
-    from ..tables import spread
-
-    t = tokens(F.col(text_col))
-    n = F.size(t)
-    zipped = F.arrays_zip(
-        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
-    )
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        is_target.alias("is_t"),
-        F.explode(zipped).alias("bg"),
-    )
-    db = (
-        base.select(
-            "doc",
-            "is_t",
-            F.pmod(
-                md5_low32(F.concat_ws(" ", F.col("bg.0"), F.col("bg.1"))),
-                F.lit(buckets),
-            ).alias("b"),
-        )
-        .groupBy("doc", "is_t", "b")
-        .agg(F.count("*").cast("double").alias("c"))
-    )
-    tb = db.filter(F.col("is_t")).groupBy("b").agg(F.sum("c").alias("tc"))
-    rb = db.filter(~F.col("is_t")).groupBy("b").agg(F.sum("c").alias("rc"))
-    merged = (
-        tb.join(rb, "b", "full_outer")
-        .select(
-            "b",
-            F.coalesce("tc", F.lit(0.0)).alias("tc"),
-            F.coalesce("rc", F.lit(0.0)).alias("rc"),
-        )
-    )
-    # totals via a single-partition window over the ≤B-row bucket table —
-    # bounded by the constant B, and it keeps the plan crossJoin-free
-    w = Window.partitionBy(F.lit(1))
-    kb = float(k_smooth) * buckets
-    ratio = merged.select(
-        "b",
-        (
-            F.log(F.col("tc") + F.lit(float(k_smooth)))
-            - F.log(F.sum("tc").over(w) + F.lit(kb))
-            - F.log(F.col("rc") + F.lit(float(k_smooth)))
-            + F.log(F.sum("rc").over(w) + F.lit(kb))
-        ).alias("lr"),
-    )
-    per_doc = (
-        db.filter(~F.col("is_t"))
-        .join(F.broadcast(ratio), "b")
-        .groupBy("doc")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("dsir_logw"),
-        )
-    )
-    raw_docs = df.filter(~is_target).select(F.col(id_col).alias("doc"))
-    return (
-        raw_docs.join(per_doc, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
-            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
-        )
-    )
+    ratios = dsir_bucket_ratios(df, text_col, id_col, is_target, buckets, k_smooth)
+    raw = df.filter(~is_target)
+    return dsir_score(raw, text_col, id_col, ratios, buckets)

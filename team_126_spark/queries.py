@@ -6915,16 +6915,18 @@ def q_pca_topcomp(spark, sf_dir):
 _DSIR_BUCKETS = 64
 
 
-def _dsir_oracle_sql(buckets: int, k_smooth: float, target: str) -> str:
-    """DuckDB twin of textops.dsir_importance: identical normalization,
-    bigram construction, md5-low32 bucketing, add-k smoothed log-ratio,
-    and per-doc sum — every float step mirrored (ln on identically
-    computed doubles, round 6 after the sum, the doc_surprisal precedent)."""
+def _dsir_ctes(buckets: int, k_smooth: float, target: str) -> str:
+    """Shared CTE chain of the DSIR oracles (dsir_weights, dsir_resample):
+    ends at `dsir` = (doc_id, n_bigrams, dsir_logw) for every raw doc —
+    the DuckDB twin of textops.dsir_bucket_ratios ∘ dsir_score. Identical
+    normalization, bigram construction, md5-low32 bucketing, add-k
+    smoothed log-ratio, per-doc sum — every float step mirrored (ln on
+    identically computed doubles, round 6 after the sum, the
+    doc_surprisal precedent)."""
     kb = repr(float(k_smooth) * buckets)
     ks = repr(float(k_smooth))
     g = X.md5_low32_sql("g")
-    return f"""
-    WITH tk AS (
+    return f"""tk AS (
       SELECT doc_id, ({target}) AS is_t,
              str_split({X.normalize_ws_sql('text')}, ' ') AS toks
       FROM documents
@@ -6954,12 +6956,20 @@ def _dsir_oracle_sql(buckets: int, k_smooth: float, target: str) -> str:
     per_doc AS (
       SELECT doc_id, sum(c)::BIGINT AS n_bigrams, round(sum(c * lr), 6) AS s
       FROM db JOIN ratio USING (b) WHERE NOT is_t GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           coalesce(p.n_bigrams, 0) AS n_bigrams,
-           coalesce(p.s, 0.0) AS dsir_logw
-    FROM (SELECT doc_id FROM documents WHERE NOT ({target})) d
-    LEFT JOIN per_doc p USING (doc_id)
+    ),
+    dsir AS (
+      SELECT d.doc_id,
+             coalesce(p.n_bigrams, 0) AS n_bigrams,
+             coalesce(p.s, 0.0) AS dsir_logw
+      FROM (SELECT doc_id FROM documents WHERE NOT ({target})) d
+      LEFT JOIN per_doc p USING (doc_id)
+    )"""
+
+
+def _dsir_oracle_sql(buckets: int, k_smooth: float, target: str) -> str:
+    return f"""
+    WITH {_dsir_ctes(buckets, k_smooth, target)}
+    SELECT doc_id, n_bigrams, dsir_logw FROM dsir
     """
 
 
@@ -6983,6 +6993,65 @@ def q_dsir_weights(spark, sf_dir):
         is_target=F.col("source") == "src0",
         buckets=_DSIR_BUCKETS,
         k_smooth=0.5,
+    )
+
+
+_DSIR_TEMP = 0.1
+
+
+@declared(
+    "dsir_resample",
+    oracle=f"""
+    WITH {_dsir_ctes(_DSIR_BUCKETS, 0.5, "source = 'src0'")},
+    w AS (
+      SELECT doc_id,
+             round(exp(dsir_logw / greatest(n_bigrams, 1) / {_DSIR_TEMP}), 6)
+               AS wt,
+             {X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':rs'")}
+               / 1152921504606846976.0 AS u
+      FROM dsir
+    ),
+    n AS (
+      SELECT doc_id, wt,
+             CASE WHEN wt IS NULL OR wt <= 0 THEN 0
+                  ELSE CAST(floor(wt) + CASE WHEN u < wt - floor(wt)
+                       THEN 1 ELSE 0 END AS INT) END AS nc
+      FROM w
+    )
+    SELECT doc_id, wt AS weight, CAST(t.ci AS INT) AS copy_idx
+    FROM n, unnest(range(1, nc + 1)) AS t(ci)
+    """,
+    doc="§2.16 DSIR end-to-end: the importance log-weights become actual "
+    "selection — multiplier = exp(logw̄ / T) (per-bigram-normalized so doc "
+    "length doesn't compound, temperature T=0.1, rounded to 6dp BEFORE "
+    "the survival compare so both engines branch on identical doubles) "
+    "fed into weighted_resample's deterministic md5-uniform multiplicity "
+    "rule. Target-like docs repeat, off-target docs thin — the full "
+    "Xie et al. pipeline as ONE declarative plan: fit (O(B) LM) → score "
+    "(broadcast join) → resample (one explode); stable under "
+    "reruns/appends/layout (queries.q_dsir_resample)",
+)
+def q_dsir_resample(spark, sf_dir):
+    w = TO.dsir_importance(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        is_target=F.col("source") == "src0",
+        buckets=_DSIR_BUCKETS,
+        k_smooth=0.5,
+    ).select(
+        "doc_id",
+        F.round(
+            F.exp(
+                F.col("dsir_logw")
+                / F.greatest(F.col("n_bigrams"), F.lit(1))
+                / F.lit(_DSIR_TEMP)
+            ),
+            6,
+        ).alias("wt"),
+    )
+    return R.weighted_resample(w, "wt", "doc_id").select(
+        "doc_id", F.col("wt").alias("weight"), "copy_idx"
     )
 
 

@@ -464,6 +464,46 @@ def stream_token_divergence(
     q.awaitTermination()
 
 
+def stream_dsir_score(
+    docs_stream: DataFrame,
+    ratios_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Streaming DSIR scoring — the streaming twin of
+    operators/textops.dsir_score: each micro-batch of incoming documents is
+    scored against a STATIC fitted bucket log-ratio table
+    (dsir_bucket_ratios over the reference target/raw corpora — fit once,
+    score forever: the ingest-time "is this crawl target-like?" gate) and
+    writes (doc_id, n_bigrams, dsir_logw) to `out_dir/batch=<id>`.
+
+    Stateless per batch + batch-keyed overwrite ⇒ checkpoint replay
+    rewrites identical output (trivially exactly-once, the
+    stream_token_divergence shape — no cross-batch state). dsir_score is
+    map-only per doc plus one broadcast join on the B-row model, so the
+    output is batch-boundary-FREE: the union of micro-batch outputs equals
+    the batch operator on the union, row for row (pinned in tests). At
+    100 TB-ingest scale per-batch cost ∝ batch bigrams; the model rides
+    along as a broadcast of O(buckets) rows.
+    """
+    from ..operators.textops import dsir_score
+
+    def score_batch(bdf: DataFrame, batch_id: int) -> None:
+        out = dsir_score(bdf, text_col, id_col, ratios_df, buckets)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_correlate(
     left: DataFrame,
     right: DataFrame,

@@ -584,3 +584,43 @@ def test_token_divergence_external_baseline_disjoint_is_one(spark):
     same = spark.createDataFrame([("new", "x y z x")], ["source", "text"])
     r2 = token_divergence(same, "text", "source", baseline_df=baseline).collect()[0]
     assert r2["js_divergence"] == 0.0
+
+
+def test_stream_dsir_score_matches_batch_and_replays_exact(spark, tmp_path):
+    """Stream-vs-batch parity for the DSIR ingest gate: dsir_score is
+    batch-boundary-free (map per doc + broadcast model join), so the union
+    of micro-batch outputs equals the batch operator on the union row for
+    row; a checkpointed re-run rewrites identical output (batch-keyed
+    overwrite, stateless)."""
+    from team_126_spark.operators.textops import dsir_bucket_ratios, dsir_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ratios = dsir_bucket_ratios(
+        docs, "text", "doc_id", is_target=F.col("source") == "src0"
+    ).localCheckpoint()
+    raw = docs.filter(F.col("source").isin("src1", "src2", "src3"))
+
+    src = str(tmp_path / "src")
+    for s in ("src1", "src2", "src3"):
+        raw.filter(F.col("source") == s).coalesce(1).write.mode("append").parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        STR.stream_dsir_score(stream, ratios, out, ckpt)
+        return {
+            (r["doc_id"], r["n_bigrams"], r["dsir_logw"])
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+
+    got = drain()
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["dsir_logw"])
+        for r in dsir_score(raw, "text", "doc_id", ratios).collect()
+    }
+    assert got == want and len(got) == raw.count()
+    assert drain() == got  # replay rewrites identical state
