@@ -232,6 +232,7 @@ HEADLINE = [
     "dsir_weights",
     "dsir_resample",
     "semdedup_select",
+    "quality_distill_score",
 ]
 
 

@@ -1015,3 +1015,60 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             "acc_r",
         )
     )
+
+
+def logreg_gd(
+    spark,
+    ex: DataFrame,
+    ys: DataFrame,
+    dim: int = 64,
+    lr: float = 0.5,
+    iters: int = 3,
+    round_dp: int = 12,
+) -> DataFrame:
+    """Full-batch gradient descent for binary logistic regression over
+    EXPLODED features — the engine's reusable distributed-ML primitive
+    (hoisted out of queries._logreg_weights so the embedding classifier,
+    the AUC/calibration evaluations, and the hashed-text quality
+    distiller all share one loop).
+
+    `ex` = (rid, i, x) feature triples (checkpoint it — every round reads
+    it twice), `ys` = (rid, y∈{0,1}) labels. The weight vector lives as a
+    dim-row (i, w) table broadcast into each round; each round is two
+    partial-aggregated groupBys (per-row dot, per-dimension gradient) and
+    NO driver collect — rows never leave the cluster, so the corpus size
+    only enters through the two aggregates. Per-iteration `round_dp`
+    weight rounding re-synchronizes libm/summation float drift on both
+    engines instead of letting it amplify through the loop (the
+    queries._logreg_iter_ctes DuckDB twin mirrors round for round).
+    Rows of `ex` with no ys match contribute nothing; rows of `ys` with
+    no features never enter the gradient."""
+    w = spark.range(dim).select(F.col("id").alias("i"), F.lit(0.0).alias("w"))
+    for _ in range(int(iters)):
+        dot = (
+            ex.join(F.broadcast(w), "i")
+            .groupBy("rid")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        )
+        err = dot.join(ys, "rid").select(
+            "rid", (1.0 / (1.0 + F.exp(-F.col("dot"))) - F.col("y")).alias("err")
+        )
+        grad = (
+            ex.join(err, "rid")
+            .groupBy("i")
+            .agg(F.avg(F.col("x") * F.col("err")).alias("g"))
+        )
+        # localCheckpoint the dim-row weight table each round: without it
+        # round t's plan embeds rounds 1..t-1 wholesale (each referencing
+        # `ex` twice), and analysis/optimization cost grows superlinearly
+        # with iters — the pagerank eager-checkpoint pattern; measured
+        # 9.2 s -> 4.2 s at sf0.1 for the 6-round distiller, identical
+        # values (the checkpoint is value-neutral)
+        w = (
+            w.join(grad, "i")
+            .select(
+                "i", F.round(F.col("w") - float(lr) * F.col("g"), round_dp).alias("w")
+            )
+            .localCheckpoint()
+        )
+    return w

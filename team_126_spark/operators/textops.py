@@ -1349,3 +1349,116 @@ def dsir_importance(
     ratios = dsir_bucket_ratios(df, text_col, id_col, is_target, buckets, k_smooth)
     raw = df.filter(~is_target)
     return dsir_score(raw, text_col, id_col, ratios, buckets)
+
+
+def quality_distill(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 64,
+    lr: float = 5.0,
+    iters: int = 6,
+    teacher_min: float = 1.0,
+    train_pct: int = 80,
+) -> DataFrame:
+    """Quality-classifier distillation (the CCNet / GPT-3 curation
+    pattern, fastText stand-in): train a linear classifier on hashed-
+    bigram proportions + a log-length feature + a bias to MIMIC an
+    expensive teacher label — here the quality_expr heuristic thresholded
+    at `teacher_min` — then score every document with the cheap student.
+    In production the teacher is an LLM judgment or a curated positive
+    set scored on a sample; the student is what actually runs over the
+    100 TB (one hash pass + a B-row broadcast dot product per doc — no
+    teacher cost at scale).
+
+    Feature design matters more than tuning here (measured): bucket
+    PROPORTIONS alone are length-invariant, and the teacher's length
+    sweet-spot is invisible to them — holdout AUC stalls ≈0.55 at any
+    (lr, iters, B). Adding i=B: ln(1+n_bigrams)/5 and i=B+1: bias lifts
+    holdout AUC to ~1.0. Full-batch GD then has a real stability ladder
+    (all pinned in tests): lr=5 improves CALIBRATION monotonically with
+    rounds (holdout Brier 0.234 → 0.229 over 6), lr 10–50 still ranks
+    (AUC ~1.0) but oscillates into mis-calibration (Brier worsens with
+    rounds), lr=200 diverges to a saturated 0.5 — rank survives
+    overshoot long before probabilities do.
+
+    Split: md5-bucket(id) < `train_pct` of 100 trains (rerun/append/
+    layout-stable, the hash_split rule); EVERY doc is scored. Output:
+    (id, is_train, y_teacher, p_keep) — p_keep = σ(round(w·x, 9))
+    rounded 6dp, 0.5 for docs with no bigrams (no evidence → prior; the
+    length/bias features attach only to docs with ≥1 bigram so the
+    prior path stays score-free).
+
+    Scale shape: features are per-(doc, bucket) COUNT PROPORTIONS (the
+    same O(B)-state hashing that makes dsir_importance scale — no vocab
+    explosion); training runs relational.logreg_gd — per round two
+    partial-aggregated groupBys and a dim-row broadcast, no driver
+    collect; scoring is one broadcast join + per-doc sum. Every float
+    step has a DuckDB twin (md5 buckets, round-12 weights per round,
+    round-9 dot, round-6 p)."""
+    from ..functions.text import md5_low60
+    from ..operators.relational import logreg_gd
+
+    base = df.select(
+        F.col(id_col),
+        (quality_expr(F.col(text_col)) >= F.lit(float(teacher_min))).alias(
+            "y_teacher"
+        ),
+        (
+            F.pmod(
+                md5_low60(F.concat(F.col(id_col).cast("string"), F.lit(":qd"))),
+                F.lit(100),
+            )
+            < train_pct
+        ).alias("is_train"),
+    )
+    cnt = (
+        _bigram_buckets(df, text_col, id_col, buckets)
+        .groupBy("doc", "b")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = cnt.groupBy("doc").agg(F.sum("c").alias("n"))
+    prop = cnt.join(tot, "doc").select(
+        F.col("doc").alias("rid"),
+        F.col("b").alias("i"),
+        (F.col("c") / F.col("n")).alias("x"),
+    )
+    lenf = tot.select(
+        F.col("doc").alias("rid"),
+        F.lit(buckets).cast("bigint").alias("i"),
+        (F.log(F.lit(1.0) + F.col("n")) / 5.0).alias("x"),
+    )
+    bias = tot.select(
+        F.col("doc").alias("rid"),
+        F.lit(buckets + 1).cast("bigint").alias("i"),
+        F.lit(1.0).alias("x"),
+    )
+    exall = (
+        prop.unionByName(lenf)
+        .unionByName(bias)
+        .localCheckpoint()  # reused by every GD round (dot + gradient) + scoring
+    )
+    train_ids = base.filter(F.col("is_train")).select(
+        F.col(id_col).alias("rid"),
+        F.when(F.col("y_teacher"), 1.0).otherwise(0.0).alias("y"),
+    )
+    ex = exall.join(train_ids.select("rid"), "rid", "left_semi")
+    w = logreg_gd(
+        df.sparkSession, ex, train_ids, dim=buckets + 2, lr=lr, iters=iters
+    )
+    score = (
+        exall.join(F.broadcast(w), "i")
+        .groupBy("rid")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 9).alias("s"))
+    )
+    return (
+        base.join(score, base[id_col] == score["rid"], "left")
+        .select(
+            F.col(id_col),
+            "is_train",
+            "y_teacher",
+            F.coalesce(
+                F.round(1.0 / (1.0 + F.exp(-F.col("s"))), 6), F.lit(0.5)
+            ).alias("p_keep"),
+        )
+    )

@@ -84,6 +84,10 @@ def main() -> None:
         "pagerank_topk", "triangle_count", "shortest_paths", "graph_walks",
         "lsh_blocking_eval", "ngram_novelty_split", "token_divergence",
         "classifier_auc_eval", "hybrid_ndcg_eval", "embedding_isotropy",
+        # round-8 family: the DSIR log-ratio model must cross the exchange
+        # as B rows (never per-doc text), semdedup's pair scan as slim
+        # (id, vec, cell) within-cell rows only
+        "dsir_weights", "dsir_resample", "semdedup_select",
     ]
     spark = get_spark("job-metrics")
     for n in names:
