@@ -1146,7 +1146,7 @@ def semdedup(
     # localCheckpoint: the assignment feeds BOTH pair-join sides AND the
     # final anti-join — without it the n_cells·dim argmax expression is
     # compiled and evaluated once per branch (the pmi_cooccur precedent;
-    # measured 3.8 s → 1.5 s at sf0.1 for identical output)
+    # measured 3.8 s → 2.4 s at sf0.1 for identical output)
     a = (
         assigner(df.filter(F.col(vec_col).isNotNull()), vec_col, cents)
         .select(F.col(id_col), F.col(vec_col), F.col("ivf_cell").alias("cell"))

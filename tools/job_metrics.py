@@ -88,6 +88,7 @@ def main() -> None:
         # as B rows (never per-doc text), semdedup's pair scan as slim
         # (id, vec, cell) within-cell rows only
         "dsir_weights", "dsir_resample", "semdedup_select",
+        "quality_distill_score",
     ]
     spark = get_spark("job-metrics")
     for n in names:
