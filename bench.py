@@ -233,6 +233,7 @@ HEADLINE = [
     "dsir_resample",
     "semdedup_select",
     "quality_distill_score",
+    "cluster_keywords",
 ]
 
 

@@ -7130,6 +7130,114 @@ def q_quality_distill_score(spark, sf_dir):
     )
 
 
+def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
+    """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
+    (md5-sample centroids, unit-normalized argmax) over embeddings +
+    doc_tfidf's tf/df tables over documents, joined on the fixture's
+    row-id FK. The per-(cell, term) score is sum(tf)·idf — an exact
+    integer sum times ONE float multiply, so there is no cross-engine
+    float-summation-order risk at all."""
+    md5key = X.md5_low32_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY {md5key}, vec_id) AS idx, embedding
+      FROM base ORDER BY {md5key}, vec_id LIMIT {n_cells}
+    ),
+    cent_unit AS (
+      SELECT idx, list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS u
+      FROM (SELECT idx, embedding, {V.norm_sql('embedding')} AS nrm FROM cent)
+    ),
+    assign AS (
+      SELECT b.vec_id, c.idx,
+             row_number() OVER (PARTITION BY b.vec_id
+                  ORDER BY {V.dot_sql('b.embedding', 'c.u')} DESC, c.idx) AS rn
+      FROM base b, cent_unit c
+    ),
+    cells AS (
+      SELECT vec_id AS doc_id, CAST(idx - 1 AS INT) AS cell
+      FROM assign WHERE rn = 1
+    ),
+    tok AS (
+      SELECT doc_id, unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS t
+      FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    cell_tf AS (
+      SELECT c.cell, tf.t AS term, sum(tf.tf)::BIGINT AS n_tf
+      FROM tf JOIN cells c USING (doc_id)
+      GROUP BY c.cell, tf.t
+    ),
+    scored AS (
+      SELECT ct.cell, ct.term, ct.n_tf,
+             round(ct.n_tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1), 6) AS score
+      FROM cell_tf ct JOIN dfreq d ON d.t = ct.term CROSS JOIN n
+    )
+    SELECT cell, term, n_tf, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY cell
+                  ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= {top_k}
+    """
+
+
+@declared(
+    "cluster_keywords",
+    oracle=_cluster_keywords_oracle_sql(n_cells=16, top_k=5),
+    doc="§2.16 cluster labeling — the inspection step after any embedding "
+    "clustering (SemDeDup cluster audit, topic bucketing, IVF cell "
+    "diagnostics): top-5 terms per IVF cell by summed-tf × smoothed idf, "
+    "joining the embedding-space cells onto the documents' term table via "
+    "the fixture's row-id FK. Cross-family composition under ONE oracle "
+    "(ann_ivf's assignment twin + doc_tfidf's tf/df twin); the score is "
+    "an exact integer tf sum times one idf multiply, so no float-"
+    "summation-order risk exists by construction. Shuffles: cell assign "
+    "is map-only over centroid literals, (cell, term) partial agg, "
+    "broadcast idf/n; top-k by window on the (≤ n_cells) partitions",
+)
+def q_cluster_keywords(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = OV.ivf_centroids(emb, "embedding", "vec_id", 16)
+    cells = OV.with_ivf_cell(
+        emb.filter(F.col("embedding").isNotNull()), "embedding", cents
+    ).select(F.col("vec_id").alias("doc_id"), F.col("ivf_cell").alias("cell"))
+    d = load(spark, sf_dir, "documents")
+    tok = T.spread(d, "doc_id").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    cell_tf = (
+        tf.join(cells, "doc_id")
+        .groupBy("cell", F.col("t").alias("term"))
+        .agg(F.sum("tf").cast("bigint").alias("n_tf"))
+    )
+    scored = (
+        cell_tf.join(F.broadcast(dfreq.select(F.col("t").alias("term"), "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cell",
+            "term",
+            "n_tf",
+            F.round(
+                F.col("n_tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("cell", "term", "n_tf", "score")
+    )
+
+
 def _semdedup_oracle_sql(n_cells: int, threshold: float) -> str:
     """DuckDB twin of vector.semdedup over the planted near-dup corpus:
     md5-sample centroid pick + unit-normalized argmax assignment (the

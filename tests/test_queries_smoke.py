@@ -233,9 +233,9 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory):
     # queries that NEED a fixture probe row raise a deliberate ValueError
     EXPECT_RAISE = {
         "ann_lsh", "ann_ivf", "ann_quantized", "vec_knn_scoped", "multimodal_knn",
-        # semdedup's centroid sample is a config error on an empty corpus,
+        # centroid samples are a config error on an empty corpus,
         # exactly like the ANN index builds above (ivf_centroids raises)
-        "semdedup_select",
+        "semdedup_select", "cluster_keywords",
     }
     bad = {}
     for name, q in REGISTRY.items():
@@ -249,3 +249,18 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001
             bad[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:80]}"
     assert not bad, bad
+
+
+def test_cluster_keywords_shape(spark):
+    """Exactly top-5 terms per non-empty IVF cell, cells in [0, 16), n_tf
+    positive, and scores non-increasing within a cell."""
+    from team_126_spark.queries import REGISTRY
+
+    rows = REGISTRY["cluster_keywords"].fn(spark, SF_SMOKE).collect()
+    by_cell = {}
+    for r in rows:
+        assert 0 <= r["cell"] < 16 and r["n_tf"] >= 1
+        by_cell.setdefault(r["cell"], []).append(r["score"])
+    assert by_cell and all(len(v) <= 5 for v in by_cell.values())
+    # the window emits scores in rank order per cell
+    assert all(v == sorted(v, reverse=True) for v in by_cell.values())
