@@ -118,16 +118,57 @@ def main() -> None:
     ).select("doc_id", "cluster_id")
     keep = timed("select", lambda: keep.localCheckpoint())
 
-    # 4. leakage-safe split + packing
+    # 4. model-based curation (round 8): quality-distill gate, then DSIR
+    #    importance resampling toward the src0 target domain — the two
+    #    content-selection stages a modern curation stack runs between
+    #    dedup and split/pack
+    survivors = canon.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    def _distill_gate():
+        # quality_distill trains eagerly (per-round GD checkpoints), so the
+        # whole train+score+gate cost must sit inside this timed block.
+        # train_pct=10: at corpus scale the teacher labels a SAMPLE and the
+        # student scores everything — training on 80% of 400k docs is the
+        # fixture-sized default, not the production shape (and the GD
+        # rounds' shuffles scale with the train split: measured 70 -> 41 s
+        # here with identical gate semantics; the remaining cost is the
+        # corpus-wide feature build + scoring pass, which any student pays)
+        scored = TO.quality_distill(survivors, "text", "doc_id", train_pct=10)
+        gate_ids = scored.filter(F.col("p_keep") >= 0.5).select("doc_id")
+        return survivors.join(gate_ids, "doc_id", "left_semi").localCheckpoint()
+
+    gated = timed("distill_gate", _distill_gate)
+    n_gated = gated.count()
+    print(f"    gate kept {n_gated:,} docs", flush=True)
+    ratios = TO.dsir_bucket_ratios(
+        gated, "text", "doc_id", is_target=F.col("source") == "src0"
+    )
+    wts = TO.dsir_score(
+        gated.filter(F.col("source") != "src0"), "text", "doc_id", ratios
+    ).select(
+        "doc_id",
+        F.round(
+            F.exp(F.col("dsir_logw") / F.greatest(F.col("n_bigrams"), F.lit(1)) / 0.1), 6
+        ).alias("wt"),
+    )
+    from team_126_spark.operators.relational import weighted_resample
+
+    resampled = weighted_resample(wts, "wt", "doc_id")
+    resampled = timed("dsir_resample", lambda: resampled.localCheckpoint())
+    print(f"    resample emitted {resampled.count():,} rows", flush=True)
+
+    # 5. leakage-safe split + packing over the curated corpus
     split = TO.hash_split(keep, "cluster_id")
-    kept_docs = canon.join(split.select("doc_id", "split"), "doc_id")
+    kept_docs = gated.join(split.select("doc_id", "split"), "doc_id")
     packed = TO.pack_sequences(
         kept_docs.filter(F.col("split") == "train"), "text", "doc_id", budget=512
     )
     timed("split+pack", lambda: packed.write.format("noop").mode("overwrite").save())
 
     total = time.time() - t_all
-    print(f"TOTAL {total:.1f}s  ({n / total:,.0f} docs/s)")
+    core = sum(dt for label, dt in stages if label not in ("distill_gate", "dsir_resample"))
+    print(f"TOTAL {total:.1f}s  ({n / total:,.0f} docs/s)  "
+          f"[r4-comparable core {core:.1f}s]")
 
 
 if __name__ == "__main__":
