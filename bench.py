@@ -234,6 +234,7 @@ HEADLINE = [
     "semdedup_select",
     "quality_distill_score",
     "cluster_keywords",
+    "semdedup_index_probe",
 ]
 
 

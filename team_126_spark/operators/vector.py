@@ -1178,3 +1178,51 @@ def semdedup(
         .distinct()
     )
     return a.join(drops, id_col, "left_anti").select(id_col, "cell")
+
+
+def embedding_index_probe(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Cell-blocked near-dup probe of a NEW batch of vectors against a
+    persisted corpus vector table — the incremental (ingest-time) form of
+    `semdedup`, and the embedding analog of dedup.minhash_lsh_probe: both
+    sides already carry their IVF cell under the SAME fixed centroids, so
+    the candidate join is an equi-join on the cell id and only the
+    batch-sized side is new work; the corpus is never re-embedded or
+    re-assigned. Returns (new_id, corpus_id, cos_sim) with rounded cosine
+    ≥ threshold; exact self-matches (a replayed batch probing an index
+    that already contains it) are dropped.
+
+    The blocking trade is semdedup's: a near-dup pair straddling a cell
+    boundary is missed, deterministically — the same pair set at any
+    batch size or replay history. Norms computed once per row before the
+    join (embedding_neardup_exact precedent)."""
+    from ..functions.vector import dot, norm
+
+    left = new_vecs.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+        F.col(cell_col).alias("_cell"),
+    )
+    right = corpus_vecs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+        F.col(cell_col).alias("_cell"),
+    )
+    sim = F.when(
+        (F.col("_na") == 0.0) | (F.col("_nb") == 0.0), F.lit(0.0)
+    ).otherwise(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+    return (
+        left.join(right, "_cell")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+        .select("new_id", "corpus_id", "cos_sim")
+    )

@@ -7130,6 +7130,161 @@ def q_quality_distill_score(spark, sf_dir):
     )
 
 
+def _semdedup_index_probe_oracle_sql(n_cells: int, threshold: float) -> str:
+    """DuckDB twin of semdedup_index_probe: HashEmbedder vectors (the
+    doc_embed twin machinery, densified to full 64-component float32
+    lists), md5-sample centroids from the SEED subset, unit-normalized
+    argmax assignment, then the two batch probes as cell-equi-joins with
+    rounded cosine ≥ threshold — the ENTIRE ingest-index pipeline
+    (embed → assign → probe → grow) hash-checked, including which
+    cross-cell near-dups the blocking (by design) misses."""
+    md5key = X.md5_low32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 0
+                  WHEN source = 'src1' THEN 1 ELSE -1 END AS batch
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tokq AS (
+      SELECT doc_id, unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND {X.normalize_ws_sql('text')} <> ''
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 64 AS INT) AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                       >= 9223372036854775808 THEN -1.0 ELSE 1.0 END AS s
+      FROM tokq
+    ),
+    sums AS (SELECT doc_id, bucket, sum(s) AS v FROM contrib GROUP BY ALL),
+    n2 AS (SELECT doc_id, sum(v * v) AS n2 FROM sums GROUP BY doc_id),
+    emb AS MATERIALIZED (
+      SELECT l.doc_id,
+             list(CAST(CAST(coalesce(s.v, 0.0)
+                  / (CASE WHEN n.n2 IS NULL OR n.n2 = 0 THEN 1.0
+                     ELSE sqrt(n.n2) END) AS FLOAT) AS DOUBLE)
+                  ORDER BY g.i) AS vec
+      FROM lab l
+      CROSS JOIN range(0, 64) g(i)
+      LEFT JOIN sums s ON s.doc_id = l.doc_id AND s.bucket = g.i
+      LEFT JOIN n2 n ON n.doc_id = l.doc_id
+      GROUP BY l.doc_id
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY {md5key}, doc_id) AS idx, vec
+      FROM (SELECT e.doc_id, e.vec FROM emb e JOIN lab l USING (doc_id)
+            WHERE l.batch = -1)
+      ORDER BY {md5key}, doc_id LIMIT {n_cells}
+    ),
+    cent_unit AS (
+      SELECT idx, list_transform(vec,
+               x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS u
+      FROM (SELECT idx, vec, {V.norm_sql('vec')} AS nrm FROM cent)
+    ),
+    assign AS MATERIALIZED (
+      SELECT e.doc_id, l.batch, e.vec, c.idx,
+             row_number() OVER (PARTITION BY e.doc_id
+                  ORDER BY {V.dot_sql('e.vec', 'c.u')} DESC, c.idx) AS rn
+      FROM emb e JOIN lab l USING (doc_id), cent_unit c
+    ),
+    cells AS MATERIALIZED (
+      SELECT doc_id, batch, vec, CAST(idx - 1 AS INT) AS cell
+      FROM assign WHERE rn = 1
+    ),
+    p0 AS (
+      SELECT 0 AS batch, a.doc_id AS new_id, b.doc_id AS corpus_id,
+             round({V.cosine_similarity_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+      FROM cells a JOIN cells b ON a.cell = b.cell
+      WHERE a.batch = 0 AND b.batch = -1 AND a.doc_id <> b.doc_id
+        AND round({V.cosine_similarity_sql('a.vec', 'b.vec')}, 6)
+            >= {repr(float(threshold))}
+    ),
+    p1 AS (
+      SELECT 1 AS batch, a.doc_id AS new_id, b.doc_id AS corpus_id,
+             round({V.cosine_similarity_sql('a.vec', 'b.vec')}, 6) AS cos_sim
+      FROM cells a JOIN cells b ON a.cell = b.cell
+      WHERE a.batch = 1 AND b.batch IN (-1, 0) AND a.doc_id <> b.doc_id
+        AND round({V.cosine_similarity_sql('a.vec', 'b.vec')}, 6)
+            >= {repr(float(threshold))}
+    )
+    SELECT * FROM p0 UNION ALL SELECT * FROM p1
+    """
+
+
+@declared(
+    "semdedup_index_probe",
+    oracle=_semdedup_index_probe_oracle_sql(n_cells=16, threshold=0.9),
+    doc="§2.16 the streaming SEMANTIC ingest-index layout under the batch "
+    "oracle gate (the minhash_index_probe pattern, embedding flavor): "
+    "builds the SAME persisted index_dir/vecs/b<id>/ parquet layout "
+    "stream_semdedup_probe maintains (seed = sources other than "
+    "src0/src1, HashEmbedder vectors + IVF cells over seed-fit "
+    "centroids), then replays two ingest batches — b0 probes the seed "
+    "subdir, b1 probes the GROWN index via the multi-subdir glob — "
+    "reproducing the cross-batch cosine pair set exactly. Per-batch cost "
+    "∝ batch size × its cells' population; the corpus is never "
+    "re-embedded (streaming/pipeline.stream_semdedup_probe; md5-family "
+    "embedder + centroids ⇒ full DuckDB twin of embed, assign, probe)",
+)
+def q_semdedup_index_probe(spark, sf_dir):
+    import os
+
+    from .functions.embed import embed
+
+    docs = load(spark, sf_dir, "documents")
+    base = os.environ.get("TEAM126_INDEX_BASE", "/tmp")
+    idx = (
+        f"{base}/team126_semdedup_index_{os.getpid()}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+    def vecs_of(df):
+        return df.select(
+            F.col("doc_id").alias("doc"), embed(F.col("text")).alias("vec")
+        ).filter(F.col("vec").isNotNull())
+
+    # embed the seed corpus ONCE (checkpoint): the centroid sample, the
+    # cell assignment, and the index write all read it — without this the
+    # Arrow embed pass runs twice over the corpus-sized side (9.1 → 5.7 s
+    # at sf0.1)
+    seed_v = vecs_of(
+        docs.filter(~F.col("source").isin("src0", "src1"))
+    ).localCheckpoint()
+    cents = OV.ivf_centroids(seed_v, "vec", "doc", 16)
+
+    def assigned(df):
+        return OV.with_ivf_cell(vecs_of(df), "vec", cents).withColumnRenamed(
+            "ivf_cell", "cell"
+        )
+
+    OV.with_ivf_cell(seed_v, "vec", cents).withColumnRenamed(
+        "ivf_cell", "cell"
+    ).write.mode("overwrite").parquet(f"{idx}/vecs/seed")
+    b0 = assigned(docs.filter(F.col("source") == "src0"))
+    # batch subdirs single-file like the streaming ingest: repartition(1),
+    # never coalesce(1) (the minhash_index_probe lesson)
+    b0.repartition(1).write.mode("overwrite").parquet(f"{idx}/vecs/b0")
+
+    p0 = OV.embedding_index_probe(
+        spark.read.parquet(f"{idx}/vecs/b0"),
+        spark.read.parquet(f"{idx}/vecs/seed"),
+        "vec",
+        "doc",
+        threshold=0.9,
+    )
+    b1 = assigned(docs.filter(F.col("source") == "src1")).localCheckpoint()
+    p1 = OV.embedding_index_probe(
+        b1, spark.read.parquet(f"{idx}/vecs/*"), "vec", "doc", threshold=0.9
+    )
+    return p0.select(
+        F.lit(0).alias("batch"), "new_id", "corpus_id", "cos_sim"
+    ).unionByName(
+        p1.select(F.lit(1).alias("batch"), "new_id", "corpus_id", "cos_sim")
+    )
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +

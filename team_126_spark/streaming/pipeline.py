@@ -504,6 +504,76 @@ def stream_dsir_score(
     q.awaitTermination()
 
 
+def stream_semdedup_probe(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    embedder=None,
+) -> None:
+    """Streaming ingest-time SEMANTIC near-dup detection — the embedding
+    twin of stream_neardup_probe (which catches shared n-grams; this
+    catches paraphrases/re-encodes via cosine): each micro-batch embeds
+    ONLY its own documents (Arrow-batched HashEmbedder by default — swap a
+    provider via `embedder`), assigns them to IVF cells over the FIXED
+    `centroids` (fit once on the seed corpus — drifting centroids would
+    silently re-shard the index), probes the PERSISTED per-cell vector
+    index at `index_dir/vecs/*`, writes match pairs to
+    `out_dir/batch=<id>`, and appends its own (doc, vec, cell) rows under
+    `index_dir/vecs/b<batch_id>` — so the next batch near-dups against
+    THIS one. Per-batch cost ∝ batch size × its cells' population; the
+    corpus is never re-embedded, and at 100 TB the index is written
+    partitionBy(cell) so a batch reads only its own cells' files.
+
+    Crash-replay exactness (the stream_neardup_probe contract): every
+    write is a batch-keyed overwrite, and the probe excludes exactly the
+    crashed attempt's b<batch_id>/ files from the glob read (an
+    input_file_name filter — never a doc-id anti-join, which would drop a
+    legitimately re-ingested doc_id's older corpus entries); exact
+    self-matches are dropped inside embedding_index_probe. Seed the index
+    by writing the existing corpus's vectors+cells to
+    `index_dir/vecs/seed/` before starting the stream."""
+    from ..functions.embed import embed
+    from ..operators.vector import embedding_index_probe, with_ivf_cell
+
+    def probe_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        vecs = (
+            with_ivf_cell(
+                bdf.select(
+                    F.col(id_col).alias("doc"),
+                    embed(F.col(text_col), embedder).alias("vec"),
+                ).filter(F.col("vec").isNotNull()),
+                "vec",
+                centroids,
+            )
+            .withColumnRenamed("ivf_cell", "cell")
+            .localCheckpoint()
+        )
+        corpus = spark.read.parquet(f"{index_dir}/vecs/*").filter(
+            ~F.input_file_name().contains(f"/vecs/b{batch_id}/")
+        )
+        pairs = embedding_index_probe(vecs, corpus, "vec", "doc", threshold)
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # micro-batch-sized subdir: repartition(1), never coalesce(1) — the
+        # same single-file/parallel-compute trade as the minhash index
+        vecs.repartition(1).write.mode("overwrite").parquet(
+            f"{index_dir}/vecs/b{batch_id}"
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_correlate(
     left: DataFrame,
     right: DataFrame,

@@ -235,7 +235,7 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory):
         "ann_lsh", "ann_ivf", "ann_quantized", "vec_knn_scoped", "multimodal_knn",
         # centroid samples are a config error on an empty corpus,
         # exactly like the ANN index builds above (ivf_centroids raises)
-        "semdedup_select", "cluster_keywords",
+        "semdedup_select", "cluster_keywords", "semdedup_index_probe",
     }
     bad = {}
     for name, q in REGISTRY.items():

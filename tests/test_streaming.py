@@ -624,3 +624,102 @@ def test_stream_dsir_score_matches_batch_and_replays_exact(spark, tmp_path):
     }
     assert got == want and len(got) == raw.count()
     assert drain() == got  # replay rewrites identical state
+
+
+def _semdedup_stream_fixture(spark):
+    from team_126_spark.functions.embed import embed
+    from team_126_spark.operators.vector import ivf_centroids, with_ivf_cell
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    vecs = (
+        docs.select(F.col("doc_id").alias("doc"), embed(F.col("text")).alias("vec"))
+        .filter(F.col("vec").isNotNull())
+        .localCheckpoint()
+    )
+    seed_v = vecs.filter(F.col("doc") % 3 == 0)
+    cents = ivf_centroids(seed_v, "vec", "doc", 16)
+    assigned = (
+        with_ivf_cell(vecs, "vec", cents)
+        .withColumnRenamed("ivf_cell", "cell")
+        .localCheckpoint()
+    )
+    return docs, assigned, cents
+
+
+def test_stream_semdedup_probe_matches_batch(spark, tmp_path):
+    """The streaming semantic near-dup probe equals the batch computation
+    replayed in arrival order (the stream_neardup_probe contract, embedding
+    flavor): batch 1 probes the seed vectors, batch 2 probes seed+batch 1,
+    and the index after draining holds a vector for every embeddable doc."""
+    from team_126_spark.operators.vector import embedding_index_probe
+
+    docs, assigned, cents = _semdedup_stream_fixture(spark)
+    seed_a = assigned.filter(F.col("doc") % 3 == 0)
+    b1_a = assigned.filter(F.col("doc") % 3 == 1)
+    b2_a = assigned.filter(F.col("doc") % 3 == 2)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    seed_a.write.parquet(f"{index_dir}/vecs/seed")
+
+    stream_src = str(tmp_path / "incoming")
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    b1.coalesce(1).write.mode("append").parquet(stream_src)
+    b2.coalesce(1).write.mode("append").parquet(stream_src)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    STR.stream_semdedup_probe(
+        src, index_dir, out_dir, str(tmp_path / "ckpt"), cents, threshold=0.9
+    )
+
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"),
+                ["new_id", "corpus_id", "cos_sim"])
+
+    def want(first, second):
+        w1 = embedding_index_probe(first, seed_a, "vec", "doc", 0.9)
+        w2 = embedding_index_probe(
+            second, seed_a.unionByName(first), "vec", "doc", 0.9
+        )
+        return canon(w1.unionByName(w2), ["new_id", "corpus_id", "cos_sim"])
+
+    assert got in (want(b1_a, b2_a), want(b2_a, b1_a)) and len(got) > 0
+    n_idx = spark.read.parquet(f"{index_dir}/vecs/*").select("doc").distinct().count()
+    assert n_idx == assigned.count()
+
+
+def test_stream_semdedup_probe_replay_is_exact(spark, tmp_path):
+    """A batch replayed AFTER its index write landed (crash between index
+    write and checkpoint commit) probes an index already containing its own
+    vectors under b0/ — the file-scoped exclusion makes the replay emit the
+    IDENTICAL pair set the clean run emits, with no intra-batch pairs."""
+    from team_126_spark.operators.vector import embedding_index_probe
+
+    docs, assigned, cents = _semdedup_stream_fixture(spark)
+    seed_a = assigned.filter(F.col("doc") % 3 == 0)
+    batch_a = assigned.filter(F.col("doc") % 3 != 0)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    seed_a.write.parquet(f"{index_dir}/vecs/seed")
+    # the crashed attempt's own rows are already under b0/
+    batch_a.write.parquet(f"{index_dir}/vecs/b0")
+
+    stream_src = str(tmp_path / "incoming")
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    batch.coalesce(1).write.parquet(stream_src)
+    src = spark.readStream.schema(docs.schema).parquet(stream_src)
+    STR.stream_semdedup_probe(
+        src, index_dir, out_dir, str(tmp_path / "ckpt"), cents, threshold=0.9
+    )
+
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"),
+                ["new_id", "corpus_id", "cos_sim"])
+    want = canon(
+        embedding_index_probe(batch_a, seed_a, "vec", "doc", 0.9),
+        ["new_id", "corpus_id", "cos_sim"],
+    )
+    assert got == want and len(got) > 0
+    seed_ids = {r[0] for r in canon(seed_a.select("doc"))}
+    assert all(c in seed_ids for _, c, _ in got)  # no intra-batch pairs
