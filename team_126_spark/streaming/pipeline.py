@@ -574,6 +574,57 @@ def stream_semdedup_probe(
     q.awaitTermination()
 
 
+def compact_index(
+    spark: SparkSession, index_dir: str, subdirs: tuple[str, ...] = ("sigs", "bands", "vecs")
+) -> dict:
+    """Ingest-index maintenance: fold the accumulated per-batch b<id>/
+    subdirs into the corpus-scale seed/ partition — the compaction step
+    every growing index needs (a year of micro-batches is a year of tiny
+    subdirs: the glob read's file-listing cost grows linearly with batch
+    COUNT even though the data doesn't). For each existing layout subdir
+    (sigs/bands for the MinHash index, vecs for the semantic one): read
+    seed/* plus every b*/, rewrite the union to seed/ via a temp dir (the
+    write must not read its own output), then drop the b<id>/ dirs.
+
+    Probe-equivalence is exact BY CONSTRUCTION — probes read the
+    `{layout}/*` glob, and compaction only moves rows between subdirs of
+    that glob (pinned in tests: identical pair sets before/after). Run it
+    BETWEEN stream restarts (it deletes locations an in-flight batch may
+    treat as its own b<batch_id> overwrite target); at 100 TB scale,
+    partition the seed rewrite by the blocking key (band / cell) so
+    probes prune files.
+
+    Returns {subdir: n_batch_dirs_folded}. Local/HDFS-style dirs via the
+    Hadoop FileSystem API — works on any Spark-supported filesystem.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    folded: dict[str, int] = {}
+    for layout in subdirs:
+        root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{layout}")
+        fs = root.getFileSystem(conf)
+        if not fs.exists(root):
+            continue
+        batch_dirs = [
+            st.getPath()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("b")
+        ]
+        if not batch_dirs:
+            folded[layout] = 0
+            continue
+        union = spark.read.parquet(f"{index_dir}/{layout}/*")
+        tmp = f"{index_dir}/{layout}__compact_tmp"
+        union.write.mode("overwrite").parquet(tmp)
+        seed = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{layout}/seed")
+        fs.delete(seed, True)
+        for p in batch_dirs:
+            fs.delete(p, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seed)
+        folded[layout] = len(batch_dirs)
+    return folded
+
+
 def stream_correlate(
     left: DataFrame,
     right: DataFrame,

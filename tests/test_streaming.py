@@ -723,3 +723,71 @@ def test_stream_semdedup_probe_replay_is_exact(spark, tmp_path):
     assert got == want and len(got) > 0
     seed_ids = {r[0] for r in canon(seed_a.select("doc"))}
     assert all(c in seed_ids for _, c, _ in got)  # no intra-batch pairs
+
+
+def test_compact_index_preserves_probe_results(spark, tmp_path):
+    """Folding the accumulated b<id>/ subdirs into seed/ leaves every
+    probe's pair set IDENTICAL (probes read the glob; compaction only
+    moves rows between its subdirs) and removes the per-batch dirs for
+    both index layouts (MinHash sigs/bands and semantic vecs)."""
+    import os
+
+    from team_126_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_probe,
+        minhash_signatures,
+    )
+    from team_126_spark.operators.vector import embedding_index_probe
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+
+    # MinHash layout: seed + two batch subdirs
+    sigs = minhash_signatures(docs, "text", "doc_id", 3).filter(
+        F.col("signature").isNotNull()
+    ).localCheckpoint()
+    for part, sub in ((0, "seed"), (1, "b0"), (2, "b1")):
+        s = sigs.filter(F.col("doc") % 3 == part)
+        s.write.parquet(f"{index_dir}/sigs/{sub}")
+        banded_signatures(s, 16).write.parquet(f"{index_dir}/bands/{sub}")
+    # semantic layout: seed + one batch subdir
+    _, assigned, _ = _semdedup_stream_fixture(spark)
+    assigned.filter(F.col("doc") % 2 == 0).write.parquet(f"{index_dir}/vecs/seed")
+    assigned.filter(F.col("doc") % 2 == 1).write.parquet(f"{index_dir}/vecs/b0")
+
+    probe_docs = docs.filter(F.col("doc_id") < 50)
+    probe_vecs = assigned.filter(F.col("doc") < 50)
+
+    def minhash_pairs():
+        return canon(
+            minhash_lsh_probe(
+                probe_docs, spark.read.parquet(f"{index_dir}/sigs/*"),
+                "text", "doc_id", threshold=0.3,
+                corpus_banded=spark.read.parquet(f"{index_dir}/bands/*"),
+            ),
+            ["new_id", "corpus_id", "est_jaccard"],
+        )
+
+    def vec_pairs():
+        return canon(
+            embedding_index_probe(
+                probe_vecs, spark.read.parquet(f"{index_dir}/vecs/*"),
+                "vec", "doc", 0.9,
+            ),
+            ["new_id", "corpus_id", "cos_sim"],
+        )
+
+    before_mh, before_v = minhash_pairs(), vec_pairs()
+    assert before_mh and before_v
+
+    folded = STR.compact_index(spark, index_dir)
+    assert folded == {"sigs": 2, "bands": 2, "vecs": 1}
+    for layout in ("sigs", "bands", "vecs"):
+        subdirs = sorted(os.listdir(f"{index_dir}/{layout}"))
+        assert subdirs == ["seed"], (layout, subdirs)
+
+    assert minhash_pairs() == before_mh
+    assert vec_pairs() == before_v
+    # idempotent: a second compaction folds nothing and changes nothing
+    assert STR.compact_index(spark, index_dir) == {"sigs": 0, "bands": 0, "vecs": 0}
+    assert vec_pairs() == before_v
