@@ -613,3 +613,89 @@ def test_token_divergence_bounds_and_self_zero(spark, docs):
     solo = token_divergence(one, "text", "source").collect()
     if solo:  # empty when no doc has a token
         assert solo[0]["js_divergence"] == 0.0
+
+
+# small random embedding corpora: ids are distinct by construction; values
+# bounded floats so norms stay finite
+_vec = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+_corpora = st.lists(_vec, min_size=3, max_size=14)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpora)
+def test_semdedup_keepmin_invariants(spark, vecs):
+    """For ANY corpus: (1) every kept row has no smaller-id same-cell
+    neighbor at rounded cosine ≥ τ, (2) every dropped row has one
+    (brute-force verified), (3) the minimum id of each cell always
+    survives — keep-min can never empty a group."""
+    import numpy as np
+
+    from team_126_spark.operators.vector import (
+        ivf_centroids,
+        semdedup,
+        with_ivf_cell,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    n_cells = min(4, len(vecs))
+    tau = 0.8
+    kept = {
+        r["vec_id"]: r["cell"]
+        for r in semdedup(df, "embedding", "vec_id", n_cells, tau).collect()
+    }
+    cents = ivf_centroids(df, "embedding", "vec_id", n_cells)
+    full = {
+        r["vec_id"]: (r["ivf_cell"], np.array(r["embedding"], dtype=np.float64))
+        for r in with_ivf_cell(df, "embedding", cents).collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(a @ b / (na * nb)), 6)
+
+    for vid, (cell, v) in full.items():
+        has_smaller_neighbor = any(
+            o < vid and full[o][0] == cell and cos(full[o][1], v) >= tau
+            for o in full
+        )
+        assert (vid not in kept) == has_smaller_neighbor, vid
+    # min id per cell survives
+    for cell in {c for c, _ in full.values()}:
+        assert min(v for v, (c, _) in full.items() if c == cell) in kept
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_dsir_score_additivity_and_totality(spark, xs):
+    """For ANY texts: dsir_score is total (one output row per input doc,
+    no NULLs) and a doc's weight is a pure function of its normalized
+    text — duplicate texts always score identically, whatever the LM."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.textops import dsir_bucket_ratios, dsir_score
+
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # arbitrary target split: even ids define the target LM
+    ratios = dsir_bucket_ratios(
+        df, "text", "doc_id", is_target=F.col("doc_id") % 2 == 0
+    ).localCheckpoint()
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logw"])
+        for r in dsir_score(df, "text", "doc_id", ratios).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+    assert all(v is not None and w is not None for v, w in out.values())
+    by_text = {}
+    for i, x in rows:
+        by_text.setdefault(" ".join((x or "").lower().split()), set()).add(out[i])
+    assert all(len(v) == 1 for v in by_text.values())  # content-only
