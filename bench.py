@@ -235,6 +235,7 @@ HEADLINE = [
     "quality_distill_score",
     "cluster_keywords",
     "semdedup_index_probe",
+    "winnow_fingerprints",
 ]
 
 

@@ -1129,3 +1129,80 @@ def fuzzy_pairs(df: DataFrame, text_col: str, max_dist: int = 2) -> DataFrame:
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    window of `w` consecutive gram hashes over each document, and select
+    each window's minimum hash (RIGHTMOST position on ties, the paper's
+    rule) — the selected (position, hash) set is the fingerprint. The
+    guarantee that distinguishes winnowing from random sampling (MinHash)
+    or content-defined chunking: ANY shared token run of length ≥ w+k-1
+    between two documents shares at least one selected fingerprint, and
+    the selected density is ~2/(w+1) of all grams — detection is
+    guaranteed, not probabilistic (pinned against a brute-force Python
+    reference in tests).
+
+    Spark shape: gram hashes come from the zip-shifted-slice windows
+    (token_windows, codegen-native) + md5_low60 — ONE map-side explode to
+    (doc, pos, h); each gram then fans out to the ≤ w window ids that
+    contain it (explode of a bounded sequence — a generator, not the
+    interpreted-HOF pitfall), and one partial-aggregated
+    min(struct(h, −pos)) per (doc, window) implements min-with-rightmost-
+    tie; a final distinct dedupes positions selected by several windows.
+    Shuffle ∝ n_grams·w slim int rows with a CONSTANT w — linear in
+    corpus size at any scale, and the fingerprint table is the equi-join
+    key for cross-doc span matching (group by h, the contamination_spans
+    shape). md5 family ⇒ full DuckDB twin. Output: (id, pos, fp), pos =
+    1-based gram position. Docs with fewer than w+k-1 tokens have no
+    complete window and emit nothing (the paper's domain)."""
+    from ..functions.text import md5_low60, token_windows, tokens
+    from ..tables import spread
+
+    grams = spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(token_windows(tokens(F.col(text_col)), k)).alias("p0", "gram"),
+    ).select(
+        "doc",
+        (F.col("p0") + 1).alias("pos"),  # 1-based
+        md5_low60(F.col("gram")).alias("h"),
+    )
+    # gram at pos belongs to windows [pos-w+1 .. pos]; windows are valid
+    # for ids >= 1 (window j covers grams j..j+w-1); trailing partial
+    # windows are dropped by requiring the window to END within the doc,
+    # via the per-doc gram count broadcast through a groupBy-free path:
+    # a window j is complete iff some gram has pos = j + w - 1, so
+    # selecting min over EXISTING members of j and keeping only windows
+    # whose max member pos - j = w - 1 is equivalent and needs no count.
+    member = grams.select(
+        "doc",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (w - 1), F.lit(1)), F.col("pos")
+            )
+        ).alias("win"),
+    )
+    sel = (
+        member.groupBy("doc", "win")
+        .agg(
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("m"),
+            F.max("pos").alias("maxpos"),
+        )
+        .filter(F.col("maxpos") - F.col("win") == w - 1)  # complete windows only
+        .select(
+            F.col("doc").alias(id_col),
+            (-F.col("m.np")).alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

@@ -7285,6 +7285,66 @@ def q_semdedup_index_probe(spark, sf_dir):
     )
 
 
+def _winnow_oracle_sql(k: int, w: int) -> str:
+    """DuckDB twin of dedup.winnow_fingerprints: identical normalization,
+    k-gram strings, md5-low60 hashes, window membership, min hash with
+    RIGHTMOST-position tie (two-step: window min, then max pos among the
+    rows achieving it), complete-window filter, distinct."""
+    g = X.md5_low60_sql("g")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+      FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, {g} AS h
+      FROM (
+        SELECT doc_id, unnest(range(1, len(toks) - {k - 2})) AS i,
+               unnest(list_transform(range(1, len(toks) - {k - 2}),
+                      i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(k))})) AS g
+        FROM tk WHERE len(toks) >= {k}
+      )
+    ),
+    member AS (
+      SELECT doc_id, pos, h,
+             unnest(range(greatest(pos - {w - 1}, 1), pos + 1)) AS win
+      FROM grams
+    ),
+    wmin AS (
+      SELECT doc_id, win, min(h) AS fp, max(pos) AS maxpos
+      FROM member GROUP BY ALL
+    ),
+    sel AS (
+      SELECT wm.doc_id, wm.win, wm.fp, max(m.pos) AS pos
+      FROM wmin wm
+      JOIN member m ON m.doc_id = wm.doc_id AND m.win = wm.win AND m.h = wm.fp
+      WHERE wm.maxpos - wm.win = {w - 1}
+      GROUP BY wm.doc_id, wm.win, wm.fp
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
+    """
+
+
+@declared(
+    "winnow_fingerprints",
+    oracle=_winnow_oracle_sql(k=3, w=4),
+    doc="§2.16 winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the "
+    "MOSS algorithm): every w=4-window of 3-gram hashes selects its min "
+    "(rightmost tie) — GUARANTEED detection of any shared token run ≥ "
+    "w+k-1 = 6 at ~2/(w+1) selected density, the deterministic complement "
+    "to MinHash's probabilistic sampling. Distributed as one gram explode "
+    "→ bounded ≤w window fan-out (generator explode, constant w) → "
+    "min(struct(h, −pos)) partial agg per (doc, window) → distinct; "
+    "shuffle ∝ grams·w slim ints, linear at any corpus size; pinned equal "
+    "to the paper's sequential algorithm in tests; md5 family ⇒ full "
+    "DuckDB twin (operators/dedup.winnow_fingerprints)",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    return D.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, w=4
+    )
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +

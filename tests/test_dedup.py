@@ -871,3 +871,63 @@ def test_semdedup_threshold_bounds(spark):
     got = strict.collect()
     cells = {r["cell"] for r in got}
     assert len(got) == len(cells)  # one survivor per non-empty cell
+
+
+def _winnow_reference(tokens_list, k, w):
+    """Brute-force Schleimer et al. winnowing: k-gram md5_low60 hashes,
+    every window of w hashes selects its minimum (rightmost tie)."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens_list[i : i + k]) for i in range(len(tokens_list) - k + 1)
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[17:32], 16) for g in grams
+    ]
+    out = set()
+    for j in range(0, len(hs) - w + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        rightmost = max(i for i, h in enumerate(win) if h == m)
+        out.add((j + rightmost + 1, m))  # 1-based gram pos
+    return out
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """The distributed winnowing equals the paper's sequential algorithm
+    exactly on real corpus docs (positions AND hashes), and the guarantee
+    holds: two docs sharing a token run of length >= w+k-1 share a
+    selected fingerprint."""
+    from team_126_spark.functions.text import normalize_ws
+    from team_126_spark.operators.dedup import winnow_fingerprints
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 40 AND text IS NOT NULL")
+        .select("doc_id", "text")
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=3, w=4).collect()
+    }
+    want = set()
+    for r in docs.select("doc_id", normalize_ws(F.col("text")).alias("t")).collect():
+        toks = (r["t"] or "").split()
+        for pos, h in _winnow_reference(toks, 3, 4):
+            want.add((r["doc_id"], pos, h))
+    assert got == want and len(got) > 0
+
+    # guarantee: a planted shared run of w+k-1 = 6 tokens is always caught
+    shared = "q1 q2 q3 q4 q5 q6"
+    pair = spark.createDataFrame(
+        [(1, "aa bb " + shared + " cc"), (2, shared + " zz yy xx ww")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(pair, "text", "doc_id", k=3, w=4).collect()
+    h1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    h2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert h1 & h2, "shared 6-token run produced no shared fingerprint"
+
+    # short docs (< w+k-1 tokens) emit nothing rather than crashing
+    tiny = spark.createDataFrame([(9, "a b c d"), (10, None)], ["doc_id", "text"])
+    assert winnow_fingerprints(tiny, "text", "doc_id", k=3, w=4).count() == 0
