@@ -7624,12 +7624,12 @@ DRIVER_SAMPLE_R7: tuple[str, ...] = (
 # than r5, and every r7 declaration has a driver row.
 #
 # R9 ROTATION QUEUE (build it as DRIVER_SAMPLE_R9): the 21 r5-evidence
-# leftovers (contamination_spans .. cdc_apply, declaration order) + the 6
+# leftovers (contamination_spans .. cdc_apply, declaration order) + the 7
 # never-driver-sampled r8 declarations (dsir_weights, dsir_resample,
 # quality_distill_score, semdedup_index_probe, cluster_keywords,
-# semdedup_select — plus any r9 pre-rotation declarations) = 27 rows;
-# fill the remaining slots with the oldest r6-evidence rows in
-# declaration order.
+# semdedup_select, winnow_fingerprints — plus any r9 pre-rotation
+# declarations) = 28 rows; fill the remaining slots with the oldest
+# r6-evidence rows in declaration order.
 DRIVER_SAMPLE_R8: tuple[str, ...] = (
     # r4-evidence leftovers (oldest driver evidence in the registry)
     "session_window_native", "media_resize", "frame_sample", "doc_embed",
