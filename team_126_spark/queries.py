@@ -7662,4 +7662,39 @@ def _rotate_registry(front: tuple[str, ...]) -> None:
     REGISTRY.update(ordered)
 
 
-_rotate_registry(DRIVER_SAMPLE_R8)
+# Round-9 rotation (the queue documented above DRIVER_SAMPLE_R8, executed
+# per VERDICT r8 "Next round #1"): the 7 never-driver-sampled r8
+# declarations lead, then any round-9 declarations, then the 21 r5-evidence
+# leftovers; the remaining slots are the oldest r6-evidence rows in
+# declaration order. With CORRECTNESS_r09 green, cumulative driver coverage
+# returns to 100% and no query's evidence is older than r6.
+#
+# R10 ROTATION QUEUE (build it as DRIVER_SAMPLE_R10): any never-sampled
+# r9/r10 declarations + the 28 remaining r6-evidence rows (json_extract
+# onward in registry order) first; fill with the oldest r7-evidence rows.
+DRIVER_SAMPLE_R9: tuple[str, ...] = (
+    # never-driver-sampled r8 declarations (judge-green in r8)
+    "dsir_weights", "dsir_resample", "quality_distill_score",
+    "semdedup_index_probe", "winnow_fingerprints", "cluster_keywords",
+    "semdedup_select",
+    # round-9 declarations (never driver-sampled; names appended here as
+    # each is declared — the tuple must stay valid at every commit)
+    # r5-evidence leftovers (oldest driver evidence in the registry)
+    "contamination_spans", "redact_contamination", "temperature_mix",
+    "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
+    "corpus_stats", "length_outliers", "conversation_assemble",
+    "pivot_counts", "length_deciles", "minhash_incremental",
+    "ann_quantized", "dedup_overlap_matrix", "corpus_resample",
+    "segment_dedup", "data_checks", "segment_dedup_doc",
+    "boilerplate_report", "cdc_apply",
+    # oldest r6-evidence rows, declaration order (fill to 50; each round-9
+    # declaration above displaces one row from the END of this block)
+    "filter_range", "filter_contains", "filter_ilike", "filter_ts_range",
+    "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
+    "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
+    "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
+    "doc_quality", "doc_repetition", "hash_split", "multimodal_knn",
+    "bpe_pair_counts", "ngram_diversity",
+)
+
+_rotate_registry(DRIVER_SAMPLE_R9)
