@@ -574,6 +574,27 @@ def stream_semdedup_probe(
     q.awaitTermination()
 
 
+def _manifest_write(fs, jvm, path: str, names: list[str]) -> None:
+    """Write the folded-dir manifest (one name per line) via the Hadoop FS
+    API. writeUTF caps a chunk at 64 KB, so the blob is chunked: readInt
+    chunk-count, then that many readUTF strings — deterministic read-back
+    with no EOF probing."""
+    blob = "\n".join(names)
+    chunks = [blob[i : i + 15000] for i in range(0, len(blob), 15000)] or [""]
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    out.writeInt(len(chunks))
+    for c in chunks:
+        out.writeUTF(c)
+    out.close()
+
+
+def _manifest_read(fs, jvm, path: str) -> list[str]:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    blob = "".join(stream.readUTF() for _ in range(stream.readInt()))
+    stream.close()
+    return [n for n in blob.split("\n") if n]
+
+
 def compact_index(
     spark: SparkSession, index_dir: str, subdirs: tuple[str, ...] = ("sigs", "bands", "vecs")
 ) -> dict:
@@ -583,8 +604,24 @@ def compact_index(
     subdirs: the glob read's file-listing cost grows linearly with batch
     COUNT even though the data doesn't). For each existing layout subdir
     (sigs/bands for the MinHash index, vecs for the semantic one): read
-    seed/* plus every b*/, rewrite the union to seed/ via a temp dir (the
-    write must not read its own output), then drop the b<id>/ dirs.
+    seed/* plus every b*/, rewrite the union to a temp dir, SWAP it into
+    place, then drop the folded sources.
+
+    Crash-safe by rename-before-delete (ADVICE r8): the swap order is
+    write tmp (with a `_FOLDED` manifest naming the b-dirs it absorbed) →
+    rename seed → seed_old → rename tmp → seed → delete seed_old + exactly
+    the manifested b-dirs. Every crash window leaves a full copy on disk
+    and a recoverable marker; the next run auto-recovers instead of
+    re-reading a partial glob and overwriting the only copy:
+      * tmp + seed both exist   → crash before the swap: sources are
+        intact, tmp is a stale snapshot — drop tmp, recompact fresh.
+      * tmp exists, seed absent → crash mid-swap: finish it (tmp holds the
+        full union; rename to seed, clean up via its manifest).
+      * seed_old exists, no tmp → crash after the swap: seed is complete —
+        delete seed_old and the b-dirs named in seed/_FOLDED.
+    The `_FOLDED` manifest is why cleanup never guesses: b-dirs written by
+    a stream that resumed AFTER the crash are not in it and survive to the
+    next compaction. (`_`-prefixed files are invisible to parquet reads.)
 
     Probe-equivalence is exact BY CONSTRUCTION — probes read the
     `{layout}/*` glob, and compaction only moves rows between subdirs of
@@ -592,35 +629,140 @@ def compact_index(
     BETWEEN stream restarts (it deletes locations an in-flight batch may
     treat as its own b<batch_id> overwrite target); at 100 TB scale,
     partition the seed rewrite by the blocking key (band / cell) so
-    probes prune files.
+    probes prune files — `compact_index_partitioned`.
 
     Returns {subdir: n_batch_dirs_folded}. Local/HDFS-style dirs via the
     Hadoop FileSystem API — works on any Spark-supported filesystem.
     """
+    return _compact_index(spark, index_dir, subdirs, partition_cols=None)
+
+
+def compact_index_partitioned(
+    spark: SparkSession,
+    index_dir: str,
+    partition_cols: dict | None = None,
+    subdirs: tuple[str, ...] = ("sigs", "bands", "vecs"),
+) -> dict:
+    """`compact_index` with the 100 TB seed layout: rewrite each layout's
+    seed/ `partitionBy` its blocking key (default bands→band, vecs→cell)
+    so probe joins prune whole partition directories instead of scanning
+    the full corpus index. The probe side of the index join is a
+    micro-batch (small → broadcast), so Spark's dynamic partition pruning
+    can skip every seed/band=K/ (seed/cell=K/) directory the batch never
+    touches — at corpus scale that turns each probe from a full-index scan
+    into a read of only the batch's blocks. sigs/ stays unpartitioned (its
+    probe joins on doc id, not a block key). Crash-safety protocol is
+    identical to `compact_index` (rename-before-delete + `_FOLDED`
+    manifest). Probe-equivalence and file-pruning are pinned in
+    tests/test_streaming.py.
+
+    After a partitioned compaction, read the layout with
+    `read_index_layout` (handles a partitioned seed coexisting with
+    later unpartitioned b<id>/ ingest dirs; the raw `{layout}/*` glob
+    cannot mix the two)."""
+    if partition_cols is None:
+        partition_cols = {"bands": "band", "vecs": "cell"}
+    return _compact_index(spark, index_dir, subdirs, partition_cols=partition_cols)
+
+
+def read_index_layout(spark: SparkSession, index_dir: str, layout: str) -> DataFrame:
+    """Read one index layout (seed/ + any per-batch b<id>/ dirs) into a
+    single DataFrame, whether or not seed/ was rewritten partitioned.
+    A partitioned seed stores its blocking key as a directory column, so
+    it must be read with seed/ as the base path (partition discovery),
+    while b-dirs store the key as a data column — `unionByName` stitches
+    the two physical layouts back into one logical table. Equivalent to
+    the `{layout}/*` glob on an unpartitioned index."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{layout}")
+    fs = root.getFileSystem(conf)
+    parts = []
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{layout}/seed")):
+        parts.append(spark.read.parquet(f"{index_dir}/{layout}/seed"))
+    has_batches = fs.exists(root) and any(
+        st.isDirectory() and st.getPath().getName().startswith("b")
+        for st in fs.listStatus(root)
+    )
+    if has_batches:
+        parts.append(spark.read.parquet(f"{index_dir}/{layout}/b*"))
+    if not parts:
+        raise FileNotFoundError(f"no seed/ or b*/ dirs under {index_dir}/{layout}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    subdirs: tuple[str, ...],
+    partition_cols: dict | None,
+) -> dict:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
     folded: dict[str, int] = {}
     for layout in subdirs:
-        root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{layout}")
+        root = hpath(f"{index_dir}/{layout}")
         fs = root.getFileSystem(conf)
         if not fs.exists(root):
             continue
+        seed = hpath(f"{index_dir}/{layout}/seed")
+        tmp = hpath(f"{index_dir}/{layout}__compact_tmp")
+        seed_old = hpath(f"{index_dir}/{layout}__seed_old")
+        manifest = f"{index_dir}/{layout}/seed/_FOLDED"
+
+        # --- recovery: resolve any crash marker before compacting ---
+        if fs.exists(tmp):
+            if fs.exists(hpath(f"{str(tmp)}/_FOLDED")) and not fs.exists(seed):
+                # crashed mid-swap: tmp IS the full union — finish the swap
+                fs.rename(tmp, seed)
+            else:
+                # crashed before the swap (or mid-tmp-write): sources
+                # intact (seed, or seed_old rolled back below) — drop the
+                # stale snapshot and recompact fresh
+                fs.delete(tmp, True)
+        if fs.exists(seed_old):
+            if not fs.exists(seed):
+                # swap aborted before tmp landed: roll the old seed back
+                fs.rename(seed_old, seed)
+            else:
+                # crashed after the swap, before cleanup: seed is complete
+                if fs.exists(hpath(manifest)):
+                    for name in _manifest_read(fs, jvm, manifest):
+                        fs.delete(hpath(f"{index_dir}/{layout}/{name}"), True)
+                    fs.delete(hpath(manifest), False)
+                fs.delete(seed_old, True)
+
         batch_dirs = [
-            st.getPath()
+            st.getPath().getName()
             for st in fs.listStatus(root)
             if st.isDirectory() and st.getPath().getName().startswith("b")
         ]
         if not batch_dirs:
             folded[layout] = 0
             continue
-        union = spark.read.parquet(f"{index_dir}/{layout}/*")
-        tmp = f"{index_dir}/{layout}__compact_tmp"
-        union.write.mode("overwrite").parquet(tmp)
-        seed = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{layout}/seed")
-        fs.delete(seed, True)
-        for p in batch_dirs:
-            fs.delete(p, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seed)
+
+        # read_index_layout, not the raw glob: a prior partitioned
+        # compaction leaves seed's blocking key as a directory column,
+        # which the glob read cannot mix with unpartitioned b-dirs
+        union = read_index_layout(spark, index_dir, layout)
+        writer = union.write.mode("overwrite")
+        pcol = (partition_cols or {}).get(layout)
+        if pcol:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(str(tmp))
+        _manifest_write(fs, jvm, f"{str(tmp)}/_FOLDED", batch_dirs)
+        # --- swap: rename before delete; a crash anywhere is recoverable ---
+        if fs.exists(seed):
+            fs.rename(seed, seed_old)
+        fs.rename(tmp, seed)
+        for name in batch_dirs:
+            fs.delete(hpath(f"{index_dir}/{layout}/{name}"), True)
+        fs.delete(seed_old, True)
+        fs.delete(hpath(manifest), False)
         folded[layout] = len(batch_dirs)
     return folded
 

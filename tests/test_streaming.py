@@ -791,3 +791,146 @@ def test_compact_index_preserves_probe_results(spark, tmp_path):
     # idempotent: a second compaction folds nothing and changes nothing
     assert STR.compact_index(spark, index_dir) == {"sigs": 0, "bands": 0, "vecs": 0}
     assert vec_pairs() == before_v
+
+
+def _vecs_layout(spark, tmp_path, name):
+    """Small vecs index layout (seed + b0 + b1) plus its probe closure."""
+    from team_126_spark.operators.vector import embedding_index_probe
+
+    _, assigned, _ = _semdedup_stream_fixture(spark)
+    index_dir = str(tmp_path / name)
+    assigned.filter(F.col("doc") % 3 == 0).write.parquet(f"{index_dir}/vecs/seed")
+    assigned.filter(F.col("doc") % 3 == 1).write.parquet(f"{index_dir}/vecs/b0")
+    assigned.filter(F.col("doc") % 3 == 2).write.parquet(f"{index_dir}/vecs/b1")
+    probe_vecs = assigned.filter(F.col("doc") < 50).localCheckpoint()
+
+    def pairs(corpus_df):
+        return canon(
+            embedding_index_probe(probe_vecs, corpus_df, "vec", "doc", 0.9),
+            ["new_id", "corpus_id", "cos_sim"],
+        )
+
+    return index_dir, pairs
+
+
+def test_compact_index_crash_recovery(spark, tmp_path):
+    """Every crash window of the rename-before-delete swap leaves a state
+    the next compact_index run recovers without data loss (ADVICE r8: the
+    old delete-then-rename order could destroy the only full copy).
+    Windows simulated with direct local-FS moves:
+      A) tmp written WITHOUT manifest (crash mid-tmp-write), seed intact
+      B) tmp complete + seed renamed away (crash between the two renames)
+      C) swap done, cleanup not run (seed complete, seed_old + b-dirs linger)
+      D) stale incomplete tmp + seed renamed away (crashed recovery)
+    After each: one compact_index call → probe pairs identical to the
+    clean baseline and only seed/ remains."""
+    import os
+    import shutil
+
+    from team_126_spark.streaming.pipeline import _manifest_write
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path("/").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def only_seed(d):
+        return sorted(os.listdir(f"{d}/vecs")) == ["seed"]
+
+    # clean baseline
+    index_dir, pairs = _vecs_layout(spark, tmp_path, "clean")
+    corpus = spark.read.parquet(f"{index_dir}/vecs/*")
+    baseline = pairs(corpus)
+    assert baseline
+    STR.compact_index(spark, index_dir, subdirs=("vecs",))
+    assert pairs(spark.read.parquet(f"{index_dir}/vecs/*")) == baseline
+
+    # A) incomplete tmp (no _FOLDED), sources intact
+    d, pairs_a = _vecs_layout(spark, tmp_path, "a")
+    spark.read.parquet(f"{d}/vecs/b0").limit(3).write.parquet(f"{d}/vecs__compact_tmp")
+    assert STR.compact_index(spark, d, subdirs=("vecs",)) == {"vecs": 2}
+    assert pairs_a(spark.read.parquet(f"{d}/vecs/*")) == baseline and only_seed(d)
+
+    # B) complete tmp + manifest, seed renamed away (crash between renames)
+    d, pairs_b = _vecs_layout(spark, tmp_path, "b")
+    spark.read.parquet(f"{d}/vecs/*").write.parquet(f"{d}/vecs__compact_tmp")
+    _manifest_write(fs, jvm, f"{d}/vecs__compact_tmp/_FOLDED", ["b0", "b1"])
+    shutil.move(f"{d}/vecs/seed", f"{d}/vecs__seed_old")
+    # recovery finishes the swap; nothing new to fold afterwards
+    assert STR.compact_index(spark, d, subdirs=("vecs",)) == {"vecs": 0}
+    assert pairs_b(spark.read.parquet(f"{d}/vecs/*")) == baseline and only_seed(d)
+
+    # C) swap done, cleanup not run: seed holds the union + _FOLDED,
+    #    seed_old and the folded b-dirs still on disk
+    d, pairs_c = _vecs_layout(spark, tmp_path, "c")
+    spark.read.parquet(f"{d}/vecs/*").write.parquet(f"{d}/vecs__compact_tmp")
+    _manifest_write(fs, jvm, f"{d}/vecs__compact_tmp/_FOLDED", ["b0", "b1"])
+    shutil.move(f"{d}/vecs/seed", f"{d}/vecs__seed_old")
+    shutil.move(f"{d}/vecs__compact_tmp", f"{d}/vecs/seed")
+    assert STR.compact_index(spark, d, subdirs=("vecs",)) == {"vecs": 0}
+    assert pairs_c(spark.read.parquet(f"{d}/vecs/*")) == baseline and only_seed(d)
+
+    # D) stale incomplete tmp + seed renamed away: roll seed_old back,
+    #    then a fresh compaction folds the (intact) b-dirs
+    d, pairs_d = _vecs_layout(spark, tmp_path, "d")
+    spark.read.parquet(f"{d}/vecs/b1").limit(2).write.parquet(f"{d}/vecs__compact_tmp")
+    shutil.move(f"{d}/vecs/seed", f"{d}/vecs__seed_old")
+    assert STR.compact_index(spark, d, subdirs=("vecs",)) == {"vecs": 2}
+    assert pairs_d(spark.read.parquet(f"{d}/vecs/*")) == baseline and only_seed(d)
+
+
+def test_compact_index_partitioned_prunes_and_round_trips(spark, tmp_path):
+    """compact_index_partitioned rewrites seed/ partitionBy the blocking
+    key (vecs→cell): probe pairs are unchanged, a cell-filtered scan gets
+    a PartitionFilter and touches only that cell's files, and a later
+    unpartitioned b-dir coexists via read_index_layout (then re-compacts
+    cleanly)."""
+    import glob as pyglob
+    import os
+
+    index_dir, pairs = _vecs_layout(spark, tmp_path, "part")
+    baseline = pairs(spark.read.parquet(f"{index_dir}/vecs/*"))
+    assert baseline
+
+    assert STR.compact_index_partitioned(spark, index_dir, subdirs=("vecs",)) == {
+        "vecs": 2
+    }
+    # seed is now hive-partitioned by cell
+    cell_dirs = [
+        p for p in os.listdir(f"{index_dir}/vecs/seed") if p.startswith("cell=")
+    ]
+    assert len(cell_dirs) > 1
+    # probe equivalence through the layout-aware reader
+    corpus = STR.read_index_layout(spark, index_dir, "vecs")
+    assert pairs(corpus) == baseline
+
+    # static partition pruning: filtering one cell plans a PartitionFilter
+    # and the layout confines that cell to a strict file subset
+    seed_df = spark.read.parquet(f"{index_dir}/vecs/seed")
+    one_cell = int(cell_dirs[0].split("=")[1])
+    plan = (
+        seed_df.filter(F.col("cell") == one_cell)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    total = len(pyglob.glob(f"{index_dir}/vecs/seed/*/*.parquet"))
+    in_cell = len(pyglob.glob(f"{index_dir}/vecs/seed/cell={one_cell}/*.parquet"))
+    assert 0 < in_cell < total
+
+    # a post-compaction ingest batch (unpartitioned b-dir) still reads and
+    # re-compacts: rows survive into the re-partitioned seed
+    _, assigned, _ = _semdedup_stream_fixture(spark)
+    extra = assigned.filter(F.col("doc") % 3 == 2)
+    n_before = STR.read_index_layout(spark, index_dir, "vecs").count()
+    extra.write.parquet(f"{index_dir}/vecs/b9")
+    mixed_count = STR.read_index_layout(spark, index_dir, "vecs").count()
+    assert mixed_count == n_before + extra.count()
+    assert STR.compact_index_partitioned(spark, index_dir, subdirs=("vecs",)) == {
+        "vecs": 1
+    }
+    assert STR.read_index_layout(spark, index_dir, "vecs").count() == mixed_count
+    assert sorted(
+        p for p in os.listdir(f"{index_dir}/vecs") if not p.startswith(".")
+    ) == ["seed"]
