@@ -1233,7 +1233,16 @@ def dsir_bucket_ratios(
     reference corpora, then dsir_score any number of corpora/streams
     against it (the broadcastable model artifact — O(buckets) rows, a
     constant). Totals come from a single-partition window over the
-    bucket table: bounded by B, crossJoin-free."""
+    bucket table: bounded by B, crossJoin-free.
+
+    The table is COMPLETE: exactly `buckets` rows, one per bucket id (a
+    range spine left-joined to the observed counts), so a bucket no
+    fit-corpus bigram hashed to still carries its add-k smoothed default
+    lr = ln(k/(tt+kB)) - ln(k/(rt+kB)). That makes dsir_score's bucket
+    join total: a NEW corpus/stream whose bigrams hit fit-unseen buckets
+    gets the smoothed value the model implies instead of silently
+    dropping those bigrams from both dsir_logw and n_bigrams (ADVICE
+    r8)."""
     # one exploded scan, flag carried through the explode instead of a
     # join back onto the corpus
     from ..functions.text import md5_low32
@@ -1257,10 +1266,17 @@ def dsir_bucket_ratios(
     counts = base.groupBy("is_t", "b").agg(F.count("*").cast("double").alias("c"))
     tb = counts.filter(F.col("is_t")).groupBy("b").agg(F.sum("c").alias("tc"))
     rb = counts.filter(~F.col("is_t")).groupBy("b").agg(F.sum("c").alias("rc"))
-    merged = tb.join(rb, "b", "full_outer").select(
-        "b",
-        F.coalesce("tc", F.lit(0.0)).alias("tc"),
-        F.coalesce("rc", F.lit(0.0)).alias("rc"),
+    # complete bucket spine: every bucket id gets a row (and thereby the
+    # smoothed default log-ratio) even if no fit bigram hashed to it
+    spine = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    merged = (
+        spine.join(tb, "b", "left")
+        .join(rb, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0.0)).alias("tc"),
+            F.coalesce("rc", F.lit(0.0)).alias("rc"),
+        )
     )
     w = Window.partitionBy(F.lit(1))
     kb = float(k_smooth) * buckets
@@ -1287,7 +1303,10 @@ def dsir_score(
     broadcast join on the bucket id and one partial-aggregated sum —
     batch-boundary-free, so the streaming surface
     (pipeline.stream_dsir_score) scores micro-batches with the IDENTICAL
-    plan and values. Docs with < 2 tokens score (0 bigrams, 0.0)."""
+    plan and values. Docs with < 2 tokens score (0 bigrams, 0.0). The
+    bucket join is TOTAL because the fitted table carries all `buckets`
+    ids (dsir_bucket_ratios' spine) — bigrams from fit-unseen buckets
+    score the smoothed default instead of being dropped (ADVICE r8)."""
     db = (
         _bigram_buckets(df, text_col, id_col, buckets)
         .groupBy("doc", "b")

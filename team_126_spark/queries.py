@@ -6933,10 +6933,14 @@ def _dsir_ctes(buckets: int, k_smooth: float, target: str) -> str:
     tt AS (SELECT coalesce(sum(tc), 0) AS tt FROM tb),
     rt AS (SELECT coalesce(sum(rc), 0) AS rt FROM rb),
     ratio AS (
-      SELECT coalesce(tb.b, rb.b) AS b,
+      -- complete bucket spine (textops.dsir_bucket_ratios): fit-unseen
+      -- buckets carry the add-k smoothed default log-ratio
+      SELECT s.b,
              ln(coalesce(tc, 0) + {ks}) - ln(tt + {kb})
              - ln(coalesce(rc, 0) + {ks}) + ln(rt + {kb}) AS lr
-      FROM tb FULL JOIN rb USING (b) CROSS JOIN tt CROSS JOIN rt
+      FROM (SELECT unnest(range(0, {buckets})) AS b) s
+      LEFT JOIN tb ON s.b = tb.b LEFT JOIN rb ON s.b = rb.b
+      CROSS JOIN tt CROSS JOIN rt
     ),
     per_doc AS (
       SELECT doc_id, sum(c)::BIGINT AS n_bigrams, round(sum(c * lr), 6) AS s

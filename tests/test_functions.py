@@ -730,6 +730,48 @@ def test_dsir_importance_deterministic_and_content_only(spark):
     assert run() == out
 
 
+def test_dsir_score_covers_fit_unseen_buckets(spark):
+    """Scoring a corpus the LM never saw (ADVICE r8): the fitted ratio
+    table is a COMPLETE B-row spine, so bigrams hashing to buckets with
+    zero fit-corpus mass still count toward n_bigrams and score the add-k
+    smoothed default lr = ln(k/(tt+kB)) - ln(k/(rt+kB)) — not silently
+    dropped by an inner join."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.textops import dsir_bucket_ratios, dsir_score
+
+    B, k = 512, 0.5
+    fit = spark.createDataFrame(
+        [(1, "alpha beta alpha", True), (2, "alpha beta", False)],
+        ["doc_id", "text", "is_t"],
+    )
+    ratios = dsir_bucket_ratios(fit, "text", "doc_id", F.col("is_t"), B, k)
+    rows = ratios.collect()
+    assert len(rows) == B  # complete spine
+    lr_by_b = {r["b"]: r["lr"] for r in rows}
+    # fit mass: target has 2 bigrams, raw has 1 -> smoothed default
+    default = math.log(k / (2 + k * B)) - math.log(k / (1 + k * B))
+    unseen = [b for b, lr in lr_by_b.items() if abs(lr - default) < 1e-12]
+    assert len(unseen) >= B - 3  # at most 3 occupied buckets
+    # a disjoint-vocabulary doc: every bigram hits some bucket; with B=512
+    # and 3 bigrams the chance all collide with the <=3 fit buckets is nil
+    new = spark.createDataFrame([(7, "qq ww ee rr")], ["doc_id", "text"])
+    got = dsir_score(new, "text", "doc_id", ratios, B).collect()[0]
+    assert got["n_bigrams"] == 3  # nothing dropped
+    # exact expectation: re-hash the doc's bigrams through the SAME
+    # bucketing and sum the fitted table's lr for those buckets
+    from team_126_spark.operators.textops import _bigram_buckets
+
+    doc_buckets = [
+        r["b"] for r in _bigram_buckets(new, "text", "doc_id", B).collect()
+    ]
+    assert len(doc_buckets) == 3
+    assert got["dsir_logw"] == round(sum(lr_by_b[b] for b in doc_buckets), 6)
+    assert got["dsir_logw"] != 0.0
+
+
 def test_quality_distill_learns_teacher(spark):
     """The distilled student actually learns the teacher: held-out AUC of
     p_keep against y_teacher > 0.95 (measured 0.999 at sf0.01 — the
