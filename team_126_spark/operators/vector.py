@@ -345,7 +345,13 @@ def with_ivf_cell_broadcast(
     same floats), same left-to-right dot fold, and min_by on the
     (-score, cell) struct = first-max / lowest-cell tie-break, exactly
     array_position(scores, array_max(scores)) (pinned by
-    test_ivf_assign_broadcast_matches_literal)."""
+    test_ivf_assign_broadcast_matches_literal).
+
+    Row-preserving like with_ivf_cell (ADVICE r8): the aggregate keys on a
+    per-row uid (monotonically_increasing_id), not on the value columns,
+    so fully-duplicate input rows keep their multiplicity; null-vector
+    rows bypass the join and come back with a null ivf_cell — exactly
+    what the literal path's null dot-product scores produce."""
     from ..functions.vector import dot
 
     def unit(c: list[float]) -> list[float]:
@@ -358,14 +364,23 @@ def with_ivf_cell_broadcast(
         "_cell int, _u array<double>",
     )
     score = dot(F.col(vec_col), F.col("_u"))
+    # uid only needs uniqueness WITHIN the non-null branch (each source row
+    # lands in exactly one branch), so the two-branch re-scan is safe
+    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
     assigned = (
-        df.filter(F.col(vec_col).isNotNull())
+        tagged.filter(F.col(vec_col).isNotNull())
         .join(F.broadcast(cdf))
-        .select(*df.columns, F.col("_cell"), score.alias("_s"))
-        .groupBy(*df.columns)
-        .agg(F.min_by("_cell", F.struct(-F.col("_s"), F.col("_cell"))).alias("ivf_cell"))
+        .select("_rid", *df.columns, F.col("_cell"), score.alias("_s"))
+        .groupBy("_rid")
+        .agg(
+            *[F.first(c).alias(c) for c in df.columns],
+            F.min_by("_cell", F.struct(-F.col("_s"), F.col("_cell"))).alias("ivf_cell"),
+        )
     )
-    return assigned
+    nulls = tagged.filter(F.col(vec_col).isNull()).select(
+        "_rid", *df.columns, F.lit(None).cast("int").alias("ivf_cell")
+    )
+    return assigned.unionByName(nulls).drop("_rid")
 
 
 def ivf_candidates(

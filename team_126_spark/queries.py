@@ -4497,25 +4497,46 @@ def q_minhash_index_probe(spark, sf_dir):
     return _minhash_index_probe_impl(spark, sf_dir, hash_fn="md5")
 
 
+_PID_INDEX_DIRS: set = set()
+
+
+def _cleanup_pid_index_dirs() -> None:
+    import shutil
+
+    for p in _PID_INDEX_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _pid_index_dir(kind: str, sf_dir: str) -> str:
+    """Per-run unique index dir (ADVICE r7): a fixed path let two
+    concurrent runs (e.g. bench + oracle sweep) interleave overwrite
+    writes with the other run's lazy glob reads. PID keeps it
+    deterministic WITHIN a run (same path -> idempotent overwrite),
+    unique across processes; TEAM126_INDEX_BASE overrides the base for
+    non-/tmp environments. Registered for atexit removal so repeated
+    runs don't accumulate corpus-sized parquet trees (ADVICE r8)."""
+    import atexit
+    import os
+
+    base = os.environ.get("TEAM126_INDEX_BASE", "/tmp")
+    path = (
+        f"{base}/team126_{kind}_index_{os.getpid()}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _PID_INDEX_DIRS:
+        atexit.register(_cleanup_pid_index_dirs)
+    _PID_INDEX_DIRS.add(path)
+    return path
+
+
 def _minhash_index_probe_impl(spark, sf_dir, hash_fn: str):
     """Shared body of minhash_index_probe and bench.py's production-family
     _xx twin — identical index-build + two-batch replay plan, only the
     signature hash family differs (md5 = oracle-checkable, xxhash64 =
     production; the twin separates md5 CPU from the ingest-index plan
     cost, the bootstrap_ci_xx precedent)."""
-    import os
-
     docs = load(spark, sf_dir, "documents")
-    # Per-run unique index dir (ADVICE r7): a fixed path let two concurrent
-    # runs (e.g. bench + oracle sweep) interleave overwrite writes with the
-    # other run's lazy glob reads. PID keeps it deterministic WITHIN a run
-    # (same path -> idempotent overwrite), unique across processes;
-    # TEAM126_INDEX_BASE overrides the base for non-/tmp environments.
-    base = os.environ.get("TEAM126_INDEX_BASE", "/tmp")
-    idx = (
-        f"{base}/team126_minhash_index_{os.getpid()}_{hash_fn}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    idx = _pid_index_dir(f"minhash_{hash_fn}", sf_dir)
     seed = docs.filter(~F.col("source").isin("src0", "src1"))
     b0 = docs.filter(F.col("source") == "src0")
     b1 = docs.filter(F.col("source") == "src1")
@@ -7233,16 +7254,10 @@ def _semdedup_index_probe_oracle_sql(n_cells: int, threshold: float) -> str:
     "embedder + centroids ⇒ full DuckDB twin of embed, assign, probe)",
 )
 def q_semdedup_index_probe(spark, sf_dir):
-    import os
-
     from .functions.embed import embed
 
     docs = load(spark, sf_dir, "documents")
-    base = os.environ.get("TEAM126_INDEX_BASE", "/tmp")
-    idx = (
-        f"{base}/team126_semdedup_index_{os.getpid()}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    idx = _pid_index_dir("semdedup", sf_dir)
 
     def vecs_of(df):
         return df.select(

@@ -594,3 +594,29 @@ def test_ivf_assign_broadcast_matches_literal(spark):
         ).collect()
     }
     assert kept_bc == kept_lit
+
+
+def test_ivf_assign_broadcast_row_preserving(spark):
+    """ADVICE r8: the broadcast path must be row-preserving like the
+    literal path — fully-duplicate rows keep their multiplicity (the agg
+    keys on a per-row uid, not the value columns) and null-vector rows
+    survive with a null ivf_cell instead of being filtered out."""
+    from team_126_spark.operators.vector import with_ivf_cell, with_ivf_cell_broadcast
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [0.9, 0.1]),
+        (1, [0.9, 0.1]),  # exact duplicate row
+        (2, [0.1, 0.9]),
+        (3, None),  # null vector
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    got = with_ivf_cell_broadcast(df, "v", cents).collect()
+    assert len(got) == 4  # multiplicity + nulls preserved
+    cells = sorted((r["id"], r["ivf_cell"]) for r in got)
+    assert cells == [(1, 0), (1, 0), (2, 1), (3, None)]
+    # literal path agrees on the same input
+    lit = sorted(
+        (r["id"], r["ivf_cell"]) for r in with_ivf_cell(df, "v", cents).collect()
+    )
+    assert lit == cells

@@ -157,11 +157,29 @@ def main() -> None:
     resampled = timed("dsir_resample", lambda: resampled.localCheckpoint())
     print(f"    resample emitted {resampled.count():,} rows", flush=True)
 
-    # 5. leakage-safe split + packing over the curated corpus
+    # 5. leakage-safe split + packing over the CURATED corpus: target-domain
+    #    (src0) docs pass through once, every other doc appears with the
+    #    multiplicity DSIR resampling assigned it (copies get a unique
+    #    pack id so the packer treats each as its own sequence) — the
+    #    resample stage feeds downstream instead of being a side branch
+    #    (ADVICE r8)
+    pack_id = F.concat_ws(
+        "#", F.col("doc_id").cast("string"), F.col("copy_idx").cast("string")
+    ).alias("pack_id")
+    curated = (
+        gated.filter(F.col("source") == "src0")
+        .withColumn("copy_idx", F.lit(0))
+        .select(pack_id, "doc_id", "text")
+        .unionByName(
+            resampled.select("doc_id", "copy_idx")
+            .join(gated, "doc_id")
+            .select(pack_id, "doc_id", "text")
+        )
+    )
     split = TO.hash_split(keep, "cluster_id")
-    kept_docs = gated.join(split.select("doc_id", "split"), "doc_id")
+    kept_docs = curated.join(split.select("doc_id", "split"), "doc_id")
     packed = TO.pack_sequences(
-        kept_docs.filter(F.col("split") == "train"), "text", "doc_id", budget=512
+        kept_docs.filter(F.col("split") == "train"), "text", "pack_id", budget=512
     )
     timed("split+pack", lambda: packed.write.format("noop").mode("overwrite").save())
 
