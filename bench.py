@@ -251,6 +251,7 @@ HEADLINE = [
     "dsir_resample",
     "semdedup_select",
     "quality_distill_score",
+    "influence_select",
     "cluster_keywords",
     "semdedup_index_probe",
     "winnow_fingerprints",

@@ -1415,6 +1415,42 @@ def quality_distill(
     collect; scoring is one broadcast join + per-doc sum. Every float
     step has a DuckDB twin (md5 buckets, round-12 weights per round,
     round-9 dot, round-6 p)."""
+    base, exall, train_ids, w = _distill_fit(
+        df, text_col, id_col, buckets, lr, iters, teacher_min, train_pct
+    )
+    score = (
+        exall.join(F.broadcast(w), "i")
+        .groupBy("rid")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 9).alias("s"))
+    )
+    return (
+        base.join(score, base[id_col] == score["rid"], "left")
+        .select(
+            F.col(id_col),
+            "is_train",
+            "y_teacher",
+            F.coalesce(
+                F.round(1.0 / (1.0 + F.exp(-F.col("s"))), 6), F.lit(0.5)
+            ).alias("p_keep"),
+        )
+    )
+
+
+def _distill_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    lr: float,
+    iters: int,
+    teacher_min: float,
+    train_pct: int,
+):
+    """Shared fit of the distillation stack (quality_distill and
+    influence_scores): teacher labels + md5 split (`base`), the
+    per-(doc, feature) table `exall` (bucket proportions, log-length,
+    bias — checkpointed, reused by every GD round and by scoring),
+    the train (rid, y) table, and the logreg_gd weight table."""
     from ..functions.text import md5_low60
     from ..operators.relational import logreg_gd
 
@@ -1465,19 +1501,58 @@ def quality_distill(
     w = logreg_gd(
         df.sparkSession, ex, train_ids, dim=buckets + 2, lr=lr, iters=iters
     )
+    return base, exall, train_ids, w
+
+
+def influence_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 64,
+    lr: float = 5.0,
+    iters: int = 6,
+    teacher_min: float = 1.0,
+    train_pct: int = 80,
+) -> DataFrame:
+    """Per-example influence proxy for data selection — the GraNd score
+    of Paul et al. 2021 ("Deep Learning on a Data Diet",
+    arXiv:2107.07075): for logistic regression the per-example gradient
+    is (p − y)·x, so its norm factors EXACTLY into |p − y| · ‖x‖₂ — no
+    second training pass, no per-example autograd. High-influence
+    examples (confidently-wrong or hard) are what curriculum/pruning
+    keeps; near-zero influence = already-learned or featureless, the
+    prunable mass. This turns the distilled quality student
+    (quality_distill's fit, shared via _distill_fit) into a
+    training-data SELECTION signal rather than a gate.
+
+    Output: one row per TRAIN doc — (id, p_keep, influence) with
+    influence = round(|p − y| · sqrt(round(Σx², 9)), 6); docs with no
+    features score p=0.5 and ‖x‖=0 → influence 0 (no evidence, no
+    gradient). Scale shape identical to the distiller: O(B) model state,
+    two partial-agg groupBys per doc (dot and ‖x‖²), a (B+2)-row
+    broadcast — the whole selection signal is one more aggregate over
+    the checkpointed feature table. Full round-for-round DuckDB twin
+    (queries._influence_oracle_sql)."""
+    base, exall, train_ids, w = _distill_fit(
+        df, text_col, id_col, buckets, lr, iters, teacher_min, train_pct
+    )
     score = (
         exall.join(F.broadcast(w), "i")
         .groupBy("rid")
         .agg(F.round(F.sum(F.col("x") * F.col("w")), 9).alias("s"))
     )
+    xnorm = exall.groupBy("rid").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("ss"))
+    p = F.coalesce(F.round(1.0 / (1.0 + F.exp(-F.col("s"))), 6), F.lit(0.5))
     return (
-        base.join(score, base[id_col] == score["rid"], "left")
+        train_ids.join(score, "rid", "left")
+        .join(xnorm, "rid", "left")
         .select(
-            F.col(id_col),
-            "is_train",
-            "y_teacher",
-            F.coalesce(
-                F.round(1.0 / (1.0 + F.exp(-F.col("s"))), 6), F.lit(0.5)
-            ).alias("p_keep"),
+            F.col("rid").alias(id_col),
+            p.alias("p_keep"),
+            F.round(
+                F.abs(p - F.col("y"))
+                * F.sqrt(F.coalesce(F.col("ss"), F.lit(0.0))),
+                6,
+            ).alias("influence"),
         )
     )

@@ -7162,15 +7162,16 @@ def q_dsir_resample(spark, sf_dir):
 _QD_LR, _QD_ITERS = 5.0, 6
 
 
-def _quality_distill_oracle_sql(buckets: int, train_pct: int) -> str:
-    """DuckDB twin of textops.quality_distill: identical teacher label
+def _distill_fit_ctes(buckets: int, train_pct: int) -> str:
+    """CTE chain of the distillation fit, shared by the
+    quality_distill_score and influence_select oracles (the DuckDB twin
+    of textops._distill_fit + the round-9 dot): identical teacher label
     (_QUALITY_SQL >= 1.0), md5 train split, bigram-proportion features,
-    round-for-round GD (_logreg_iter_ctes, the logreg_gd twin), round-9
-    dot, round-6 sigmoid, 0.5 for featureless docs."""
+    round-for-round GD (_logreg_iter_ctes, the logreg_gd twin), ending
+    at `sc` = per-doc round-9 dot product."""
     g = X.md5_low32_sql("g")
     split = X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':qd'")
-    return f"""
-    WITH lab AS MATERIALIZED (
+    return f"""lab AS MATERIALIZED (
       SELECT doc_id,
              ({_QUALITY_SQL} >= 1.0) AS yt,
              ({split} % 100 < {train_pct}) AS is_tr
@@ -7212,10 +7213,36 @@ def _quality_distill_oracle_sql(buckets: int, train_pct: int) -> str:
     sc AS (
       SELECT e.rid, round(sum(e.x * w.w), 9) AS s
       FROM exall e JOIN w{_QD_ITERS} w ON w.i = e.i GROUP BY e.rid
-    )
+    )"""
+
+
+def _quality_distill_oracle_sql(buckets: int, train_pct: int) -> str:
+    """`_distill_fit_ctes` + round-6 sigmoid, 0.5 for featureless docs."""
+    return f"""
+    WITH {_distill_fit_ctes(buckets, train_pct)}
     SELECT l.doc_id, l.is_tr AS is_train, l.yt AS y_teacher,
            coalesce(round(1.0 / (1.0 + exp(-s.s)), 6), 0.5) AS p_keep
     FROM lab l LEFT JOIN sc s ON s.rid = l.doc_id
+    """
+
+
+def _influence_oracle_sql(buckets: int, train_pct: int) -> str:
+    """DuckDB twin of textops.influence_scores: `_distill_fit_ctes` +
+    per-doc round-9 Σx², then the GraNd factorization
+    round(|p − y| · sqrt(Σx²), 6) over the TRAIN docs."""
+    return f"""
+    WITH {_distill_fit_ctes(buckets, train_pct)},
+    xn AS (SELECT rid, round(sum(x * x), 9) AS ss FROM exall GROUP BY rid),
+    tr AS (
+      SELECT l.doc_id,
+             coalesce(round(1.0 / (1.0 + exp(-s.s)), 6), 0.5) AS p_keep,
+             CASE WHEN l.yt THEN 1.0 ELSE 0.0 END AS y
+      FROM lab l LEFT JOIN sc s ON s.rid = l.doc_id
+      WHERE l.is_tr
+    )
+    SELECT t.doc_id, t.p_keep,
+           round(abs(t.p_keep - t.y) * sqrt(coalesce(x.ss, 0.0)), 6) AS influence
+    FROM tr t LEFT JOIN xn x ON x.rid = t.doc_id
     """
 
 
@@ -7240,6 +7267,33 @@ def _quality_distill_oracle_sql(buckets: int, train_pct: int) -> str:
 )
 def q_quality_distill_score(spark, sf_dir):
     return TO.quality_distill(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        buckets=_DSIR_BUCKETS,
+        lr=_QD_LR,
+        iters=_QD_ITERS,
+    )
+
+
+@declared(
+    "influence_select",
+    oracle=_influence_oracle_sql(_DSIR_BUCKETS, 80),
+    doc="§2.17 per-example influence proxy for training-data selection — "
+    "the GraNd score (Paul et al. 2021, arXiv:2107.07075): for logistic "
+    "regression the per-example gradient norm factors EXACTLY into "
+    "|p − y| · ‖x‖₂, so the distilled quality student (shared "
+    "_distill_fit) yields a data-pruning/curriculum signal with no "
+    "second training pass and no per-example autograd. High influence = "
+    "hard or confidently-wrong examples (what pruning keeps); zero = "
+    "featureless/already-learned (the prunable mass). One extra "
+    "partial-agg groupBy (Σx²) over the checkpointed feature table + "
+    "the (B+2)-row broadcast dot — O(B) model state, no quadratic. "
+    "Full round-for-round DuckDB twin incl. the GD loop "
+    "(operators/textops.influence_scores)",
+)
+def q_influence_select(spark, sf_dir):
+    return TO.influence_scores(
         load(spark, sf_dir, "documents"),
         "text",
         "doc_id",
@@ -7792,7 +7846,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "semdedup_select",
     # round-9 declarations (never driver-sampled; names appended here as
     # each is declared — the tuple must stay valid at every commit)
-    "hybrid_fusion_adaptive",
+    "hybrid_fusion_adaptive", "influence_select",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -7808,7 +7862,6 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
     "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
     "doc_quality", "doc_repetition", "hash_split", "multimodal_knn",
-    "bpe_pair_counts",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

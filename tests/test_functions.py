@@ -730,6 +730,47 @@ def test_dsir_importance_deterministic_and_content_only(spark):
     assert run() == out
 
 
+def test_influence_scores_grand_semantics(spark):
+    """GraNd factorization semantics: influence = |p - y| * ||x||2 over
+    TRAIN docs only; featureless docs (no bigrams) carry zero gradient
+    (p=0.5, ||x||=0 -> influence 0); and the ranking is error-aligned —
+    the mean influence of misclassified train docs exceeds that of
+    correctly-classified ones (hard examples score high, learned ones
+    low: the data-diet selection signal)."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.textops import influence_scores, quality_distill
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inf = {r["doc_id"]: r for r in influence_scores(docs, "text", "doc_id").collect()}
+    qd = {
+        r["doc_id"]: r
+        for r in quality_distill(docs, "text", "doc_id").collect()
+        if r["is_train"]
+    }
+    assert set(inf) == set(qd)  # exactly the train docs
+    assert all(r["influence"] >= 0.0 for r in inf.values())
+    # p_keep agrees with the distiller's (shared fit, shared dot)
+    assert all(inf[d]["p_keep"] == qd[d]["p_keep"] for d in inf)
+    wrong = [
+        inf[d]["influence"]
+        for d in inf
+        if (inf[d]["p_keep"] >= 0.5) != qd[d]["y_teacher"]
+    ]
+    right = [
+        inf[d]["influence"]
+        for d in inf
+        if (inf[d]["p_keep"] >= 0.5) == qd[d]["y_teacher"]
+    ]
+    assert right and sum(right) / len(right) < (
+        sum(wrong) / len(wrong) if wrong else float("inf")
+    )
+    # featureless docs: zero influence
+    empty = {r["doc_id"] for r in docs.collect() if not (r["text"] or "").strip()}
+    for d in empty & set(inf):
+        assert inf[d]["influence"] == 0.0 and inf[d]["p_keep"] == 0.5
+
+
 def test_dsir_selection_quality_at_realistic_bucket_count(spark):
     """VERDICT r8 #7: B=64 is fixture-sized; the DSIR paper uses ~1e4-1e6
     buckets. Pin that at B=10,000 (hash collisions ~gone) the importance
