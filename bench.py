@@ -255,6 +255,7 @@ HEADLINE = [
     "cluster_keywords",
     "semdedup_index_probe",
     "winnow_fingerprints",
+    "suffix_ngram_dedup",
 ]
 
 

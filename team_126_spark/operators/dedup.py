@@ -1206,3 +1206,81 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring spans — the span-level exact
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, ExactSubstr) re-expressed
+    relationally: instead of a suffix array over the concatenated
+    corpus, flag every token position whose k-gram occurs in at least
+    `min_docs` DISTINCT documents, then merge overlapping/adjacent
+    flagged gram intervals [pos, pos+k-1] into MAXIMAL per-doc spans
+    (gaps-and-islands). Any cross-doc duplicated run of length >= k is
+    covered by flagged grams at every internal offset, so the merged
+    span recovers the full run — the suffix-array guarantee for runs
+    >= k, with k the minimum match length (the paper uses 50 BPE
+    tokens; spans are what you CUT, unlike doc-level dedup which drops
+    whole documents for partial overlap).
+
+    Scale shape: one codegen k-gram explode (token_windows zip-slices)
+    -> (doc, pos, h); duplicated hashes via one partial-aggregated
+    count-distinct-docs groupBy; a semi join flags positions; the
+    island merge is a per-doc window (lag + running sum) over FLAGGED
+    positions only — shuffle ∝ flagged grams, partitioned by doc, no
+    quadratic anywhere. md5-low60 gram hashes ⇒ full DuckDB twin
+    (queries.q_suffix_ngram_dedup).
+
+    Output: (id, span_start, span_end, span_tokens, n_dup_grams), token
+    positions 1-based inclusive; docs with no duplicated k-gram emit
+    nothing."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_windows
+    from ..tables import spread
+
+    grams = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(token_windows(tokens(F.col(text_col)), k)).alias(
+                "p0", "gram"
+            ),
+        )
+        .select(
+            "doc", (F.col("p0") + 1).alias("pos"), md5_low60(F.col("gram")).alias("h")
+        )
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = grams.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = flagged.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w))
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )

@@ -7512,6 +7512,78 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def _dup_spans_oracle_sql(k: int, min_docs: int) -> str:
+    """DuckDB twin of dedup.duplicated_spans: identical normalization,
+    k-gram md5-low60 hashes, >= min_docs DISTINCT-doc flag, and the same
+    two-level gaps-and-islands merge (lag marker, running-sum island)."""
+    g = X.md5_low60_sql("g")
+    gram_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+      FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, {g} AS h
+      FROM (
+        SELECT doc_id, unnest(range(1, len(toks) - {k - 2})) AS i,
+               unnest(list_transform(range(1, len(toks) - {k - 2}),
+                      i -> {gram_expr})) AS g
+        FROM tk WHERE len(toks) >= {k}
+      )
+    ),
+    duph AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    fl AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN duph USING (h)),
+    mark AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > {k} THEN 1 ELSE 0 END AS ni
+      FROM fl
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM mark
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+           count(*)::BIGINT AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@declared(
+    "suffix_ngram_dedup",
+    oracle=_dup_spans_oracle_sql(k=5, min_docs=2),
+    doc="§2.17 span-level exact dedup (Lee et al. 2022, arXiv:2107.06499 "
+    "ExactSubstr, re-expressed relationally): flag every position whose "
+    "5-gram occurs in >= 2 distinct docs, merge overlapping/adjacent "
+    "gram intervals into MAXIMAL per-doc spans via gaps-and-islands — "
+    "any cross-doc duplicated run >= k is recovered in full (the "
+    "suffix-array guarantee at minimum match length k), and spans are "
+    "what you CUT instead of dropping whole docs. One codegen gram "
+    "explode, one partial-agg distinct-doc count, a semi join, and a "
+    "per-doc lag/running-sum window over flagged positions only — "
+    "shuffle ∝ flagged grams, no quadratic "
+    "(operators/dedup.duplicated_spans)",
+)
+def q_suffix_ngram_dedup(spark, sf_dir):
+    out = D.duplicated_spans(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=5, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+    )
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +
@@ -7846,7 +7918,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "semdedup_select",
     # round-9 declarations (never driver-sampled; names appended here as
     # each is declared — the tuple must stay valid at every commit)
-    "hybrid_fusion_adaptive", "influence_select",
+    "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -7861,7 +7933,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
     "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
-    "doc_quality", "doc_repetition", "hash_split", "multimodal_knn",
+    "doc_quality", "doc_repetition", "hash_split",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -931,3 +931,43 @@ def test_winnow_fingerprints_matches_reference(spark):
     # short docs (< w+k-1 tokens) emit nothing rather than crashing
     tiny = spark.createDataFrame([(9, "a b c d"), (10, None)], ["doc_id", "text"])
     assert winnow_fingerprints(tiny, "text", "doc_id", k=3, w=4).count() == 0
+
+
+def test_duplicated_spans_recovers_full_run(spark):
+    """ExactSubstr guarantee at minimum match length k: a shared token
+    run of length L >= k between two docs is recovered as ONE maximal
+    span covering exactly that run in each doc; unique content flags
+    nothing; two shared runs separated by more than k unique tokens stay
+    separate spans; and a run shared only WITHIN one doc (repetition,
+    not cross-doc duplication) does not flag at min_docs=2."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    run2 = "pack my box with five dozen jugs"  # 7 toks
+    rows = [
+        # doc 1: unique prefix (3) + shared run at positions 4..13
+        (1, "alpha beta gamma " + shared),
+        # doc 2: shared run at 1..10 + unique + run2 at 17..23
+        (2, shared + " uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 " + run2),
+        # doc 3: run2 at 1..7
+        (3, run2),
+        # doc 4: fully unique
+        (4, "zephyr quartz vixen jackdaws my sphinx of black onyx"),
+        # doc 5: internal repetition only (same 5-gram twice, one doc)
+        (5, "r1 r2 r3 r4 r5 x y z r1 r2 r3 r4 r5"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_dup_grams"]
+        for r in duplicated_spans(df, "text", "doc_id", k=5, min_docs=2).collect()
+    }
+    # doc1: span 4..13 (10 tokens, 6 flagged grams)
+    # doc2: spans 1..10 and 17..23; doc3: 1..7 (3 grams)
+    assert got == {
+        (1, 4, 13): 6,
+        (2, 1, 10): 6,
+        (2, 17, 23): 3,
+        (3, 1, 7): 3,
+    }
