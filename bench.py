@@ -139,6 +139,7 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_fk",
     "join_multi",
+    "rule_mining",
     "topk_per_group",
     "latest_per_group",
     "union_dedup",

@@ -1072,3 +1072,72 @@ def logreg_gd(
             .localCheckpoint()
         )
     return w
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 10,
+) -> DataFrame:
+    """Pairwise association-rule mining (Agrawal & Srikant, VLDB 1994 —
+    the Apriori support/confidence/lift core, depth-2): over distinct
+    (basket, item) rows, count every co-occurring item pair, keep pairs
+    with support >= `min_support`, and emit BOTH directed rules a->b and
+    b->a with confidence = supp(a,b)/supp(a) and
+    lift = n_baskets·supp(a,b)/(supp(a)·supp(b)). The
+    recommendation/affinity query every commerce-shaped dataset runs.
+
+    Scale shape: one distinct (shuffle on basket), a self equi-join ON
+    THE BASKET KEY (fan-out bounded by basket size squared — basket
+    cardinality is a data invariant, not corpus-scale), partial-agg pair
+    counts, item supports broadcast back onto the pair table, and the
+    n_baskets scalar as a broadcast single-row cross join. min_support
+    prunes BEFORE the support joins, so the rule table stays small.
+    Integer counts multiplied before the single division keep
+    confidence/lift float-exact across engines (the cluster_keywords
+    rule). Output: (antecedent, consequent, support, confidence, lift),
+    rounded 6dp."""
+    b = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    n_b = b.select(F.count_distinct("bk").alias("n_baskets"))
+    item_supp = b.groupBy("it").agg(F.count("*").alias("supp_i"))
+    left = b.select("bk", F.col("it").alias("a"))
+    right = b.select("bk", F.col("it").alias("b"))
+    pairs = (
+        left.join(right, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= min_support)
+    )
+    directed = pairs.select("a", "b", "supp_ab").unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "supp_ab"
+        )
+    )
+    enriched = (
+        directed.join(
+            F.broadcast(item_supp.withColumnRenamed("it", "a").withColumnRenamed("supp_i", "supp_a")),
+            "a",
+        )
+        .join(
+            F.broadcast(item_supp.withColumnRenamed("it", "b").withColumnRenamed("supp_i", "supp_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_b))
+    )
+    return enriched.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        F.col("supp_ab").cast("bigint").alias("support"),
+        F.round(
+            F.col("supp_ab").cast("double") / F.col("supp_a"), 6
+        ).alias("confidence"),
+        F.round(
+            (F.col("n_baskets") * F.col("supp_ab")).cast("double")
+            / (F.col("supp_a") * F.col("supp_b")),
+            6,
+        ).alias("lift"),
+    )

@@ -7584,6 +7584,52 @@ def q_suffix_ngram_dedup(spark, sf_dir):
     )
 
 
+@declared(
+    "rule_mining",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+    si AS (SELECT it, count(*) AS supp_i FROM b GROUP BY it),
+    pr AS (
+      SELECT l.it AS ia, r.it AS ib, count(*) AS supp_ab
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    d AS (
+      SELECT ia, ib, supp_ab FROM pr
+      UNION ALL
+      SELECT ib, ia, supp_ab FROM pr
+    )
+    SELECT d.ia AS antecedent, d.ib AS consequent,
+           CAST(supp_ab AS BIGINT) AS support,
+           round(CAST(supp_ab AS DOUBLE) / sa.supp_i, 6) AS confidence,
+           round(CAST(nb.n * supp_ab AS DOUBLE) / (sa.supp_i * sb.supp_i), 6)
+             AS lift
+    FROM d JOIN si sa ON sa.it = d.ia JOIN si sb ON sb.it = d.ib
+    CROSS JOIN nb
+    """,
+    doc="§2.17 pairwise association rules (Agrawal & Srikant 1994 — the "
+    "Apriori support/confidence/lift core, depth-2) over order→brand "
+    "baskets: both directed rules per co-occurring pair with support "
+    ">= 10 — the affinity/recommendation query every commerce dataset "
+    "runs. Distinct baskets, a self equi-join ON THE BASKET KEY (fan-out "
+    "= basket size, a data invariant), partial-agg pair counts, "
+    "dim-sized broadcast supports, scalar n_baskets broadcast; integer "
+    "products before the single division keep confidence/lift "
+    "float-exact (operators/relational.association_rules)",
+)
+def q_rule_mining(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it")
+    )
+    return R.association_rules(baskets, "bk", "it", min_support=10)
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +
@@ -7919,6 +7965,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # round-9 declarations (never driver-sampled; names appended here as
     # each is declared — the tuple must stay valid at every commit)
     "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
+    "rule_mining",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -7933,7 +7980,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
     "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
-    "doc_quality", "doc_repetition", "hash_split",
+    "doc_quality", "doc_repetition",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -919,3 +919,34 @@ def test_calibration_bin_margins(spark):
     assert sum(r["n"] for r in rows) == len(ps)
     assert all(0 <= r["bin"] <= 9 for r in rows)
     assert all(0.0 <= r["frac_pos"] <= 1.0 and 0.0 < r["mean_p"] < 1.0 for r in rows)
+
+
+def test_association_rules_exact_counts(spark):
+    """Apriori depth-2 semantics on a hand-computable basket set:
+    supports, both directed confidences, and lift = n*supp_ab/
+    (supp_a*supp_b) are exact; pairs under min_support are absent;
+    duplicate (basket, item) rows collapse before counting."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.relational import association_rules
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),  # dup (1, y) must collapse
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "x"), (4, "z"),
+        (5, "y"),
+        (6, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(df, "bk", "it", min_support=2).collect()
+    }
+    # supports: x=4, y=4, z=2, n=6; pairs: (x,y)=3, (x,z)=1 (pruned)
+    assert got == {
+        ("x", "y"): (3, 0.75, round(6 * 3 / (4 * 4), 6)),
+        ("y", "x"): (3, 0.75, round(6 * 3 / (4 * 4), 6)),
+    }
