@@ -211,6 +211,7 @@ HEADLINE = [
     "unpivot_metrics",
     "profile_approx",
     "bpe_pair_counts",
+    "tokenizer_bpe_train",
     "ngram_diversity",
     "cosine_calibration",
     "contrastive_pairs",

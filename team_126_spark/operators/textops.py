@@ -1556,3 +1556,77 @@ def influence_scores(
             ).alias("influence"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """BPE merge-rule induction (Sennrich, Haddow & Birch, ACL 2016,
+    arXiv:1508.07909) at the VOCABULARY level — the original algorithm's
+    trick and the 100 TB one: the corpus is scanned ONCE to build
+    (distinct word, occurrence count); every merge round then runs over
+    the vocab table, whose size is |vocab|, not corpus tokens. Words are
+    the lowercase-normalized whitespace tokens restricted to
+    ^[a-z0-9]+$ (plain char-BPE within words, no end-of-word marker —
+    the restriction also keeps every symbol free of the oracle's fold
+    delimiter). Per round: adjacent symbol-pair counts weighted by word
+    count (one bounded explode + partial agg), the argmax pair
+    (count desc, then (left, right) lexicographic — deterministic), and
+    a left-to-right array fold replacing every adjacent (left, right)
+    with the merged symbol, exactly the greedy re-tokenization of the
+    reference implementation.
+
+    Driver state is ONE pair per round (the kmeans-centroid precedent);
+    the vocab table is localCheckpointed per round so plan depth stays
+    linear in rounds (the logreg_gd/pagerank rule). Returns the merge
+    TABLE (round, lhs, rhs, pair_count) — the model artifact a
+    tokenizer applies — with a full unrolled round-for-round DuckDB
+    twin (queries.q_tokenizer_bpe_train). Rounds stop early if no
+    adjacent pair remains."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    syms_df = (
+        words.select("cnt", F.split("word", "").alias("syms")).localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            syms_df.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms)-2),"
+                        " i -> struct(syms[i] AS a, syms[i+1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r, a, b, c))
+        # symbols are ^[a-z0-9]+$ by construction: literal inlining is safe
+        fold = (
+            f"aggregate(slice(syms, 2, greatest(size(syms)-1, 0)), "
+            f"slice(syms, 1, 1), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}' "
+            f"THEN concat(slice(acc, 1, size(acc)-1), array('{a}{b}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+        syms_df = syms_df.select("cnt", F.expr(fold).alias("syms")).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "round int, lhs string, rhs string, pair_count bigint"
+    )

@@ -7630,6 +7630,70 @@ def q_rule_mining(spark, sf_dir):
     return R.association_rules(baskets, "bk", "it", min_support=10)
 
 
+def _bpe_train_oracle_sql(n_merges: int) -> str:
+    """Unrolled round-for-round DuckDB twin of textops.bpe_train: same
+    vocab build (occurrence-weighted distinct alnum words, char symbols),
+    per-round pair argmax (count desc, (lhs, rhs) asc), and the SAME
+    greedy left-to-right merge fold — expressed as a list_reduce over a
+    '|'-delimited accumulator string (symbols are ^[a-z0-9]+$, so the
+    delimiter cannot collide)."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""
+    p{r} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS c FROM (
+        SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+        FROM w{r - 1} WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    w{r} AS (
+      SELECT cnt,
+             str_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN regexp_extract(acc, '[^|]*$') = bb.a AND x = bb.b
+               THEN substr(acc, 1, len(acc) - len(bb.a)) || bb.a || bb.b
+               ELSE acc || '|' || x END), '|') AS syms
+      FROM w{r - 1} CROSS JOIN best{r} bb
+    )""")
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({r} AS INT) AS round, a AS lhs, b AS rhs, "
+        f"c::BIGINT AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT count(*)::BIGINT AS cnt, str_split(word, '') AS syms
+      FROM (
+        SELECT unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS word
+        FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+      ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word
+    ),{",".join(rounds)}
+    SELECT * FROM (
+{unions}
+    )
+    """
+
+
+@declared(
+    "tokenizer_bpe_train",
+    oracle=_bpe_train_oracle_sql(8),
+    doc="§2.17 BPE merge-rule induction (Sennrich et al., ACL 2016) at "
+    "the VOCABULARY level — the original algorithm's trick and the "
+    "100 TB one: the corpus is scanned once into (distinct word, "
+    "occurrence count) and every merge round runs over the vocab table "
+    "(one bounded pair explode + partial agg + a deterministic argmax + "
+    "a left-to-right codegen array fold), so per-round cost ∝ |vocab|, "
+    "never corpus tokens. Driver state = ONE pair per round (the "
+    "kmeans-centroid precedent), per-round localCheckpoint keeps plan "
+    "depth linear. Output = the 8-row merge table a tokenizer applies; "
+    "full unrolled round-for-round DuckDB twin incl. the greedy merge "
+    "fold (operators/textops.bpe_train)",
+)
+def q_tokenizer_bpe_train(spark, sf_dir):
+    return TO.bpe_train(load(spark, sf_dir, "documents"), "text", "doc_id", 8)
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +
@@ -7965,7 +8029,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # round-9 declarations (never driver-sampled; names appended here as
     # each is declared — the tuple must stay valid at every commit)
     "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
-    "rule_mining",
+    "rule_mining", "tokenizer_bpe_train",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -7980,7 +8044,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
     "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
-    "doc_quality", "doc_repetition",
+    "doc_quality",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -923,3 +923,30 @@ def test_quality_distill_stability_window(spark):
     assert brier6 < brier1  # rounds buy calibration, not just rank
     auc_osc, brier_osc = holdout(lr=50.0, iters=6)
     assert auc_osc > 0.95 and brier_osc > brier6  # oscillation band
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """Round-for-round pin against a hand-run of the reference sequential
+    BPE (Sennrich et al. 2016, the paper's low/lower/newest/widest
+    vocabulary, no end-of-word marker): occurrence-weighted pair counts,
+    count-desc/(lhs, rhs)-asc tie-break, greedy left-to-right merge."""
+    from team_126_spark.operators.textops import bpe_train
+
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower"),
+        (3, "newest newest newest newest newest newest"),
+        (4, "widest widest widest"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_train(df, "text", "doc_id", 8).collect()]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+        (6, "ew", "est", 6),
+        (7, "n", "ewest", 6),
+        (8, "d", "est", 3),
+    ]
