@@ -152,6 +152,7 @@ HEADLINE = [
     # training-data pipeline
     "doc_exact_dedup",
     "doc_langid",
+    "code_detect",
     "doc_profile",
     "doc_tfidf",
     "minhash_lsh_pairs",
@@ -162,6 +163,7 @@ HEADLINE = [
     "doc_chunk",
     "corpus_curate",
     "vec_knn_batch",
+    "hard_negatives",
     "rollup_counts",
     "dedup_select",
     "corpus_mix",

@@ -1630,3 +1630,58 @@ def bpe_train(
     return df.sparkSession.createDataFrame(
         merges, "round int, lhs string, rhs string, pair_count bigint"
     )
+
+
+def code_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Code-vs-prose routing signals — the corpus-separation step a
+    code-LM pipeline runs before language-specific filters (The Stack /
+    StarCoder preprocessing shape): per doc, the RAW-text structural
+    ratios prose essentially never exhibits together —
+      * symbol_ratio: share of chars in the code-symbol class
+        {}[]();=<>&|      (operators, brackets, terminators)
+      * indent_share: share of non-empty lines starting with >= 2 spaces
+        or a tab (block structure; measured on RAW text — normalization
+        would destroy it)
+      * semi_share: share of non-empty lines ending in ; { or }
+      * ident_hits: count of snake_case / camelCase identifier tokens
+    and the routing flag is_code = symbol_ratio >= 0.03 AND
+    (semi_share >= 0.2 OR indent_share >= 0.3 OR ident_hits >= 3).
+    All counts are regexp_replace length differences (codegen, one text
+    pass, no explode) — map-only at any scale; ratios rounded 6dp with
+    empty-text guards. Thresholds are the knobs; the SIGNALS are the
+    product (route, then tune per corpus)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(raw)
+    sym = n_chars - F.length(F.regexp_replace(raw, r"[{}\[\]();=<>&|]", ""))
+    # non-empty lines; DuckDB twin splits identically on \n
+    lines = F.filter(F.split(raw, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    indented = F.size(F.filter(lines, lambda x: x.rlike(r"^(  |\t)")))
+    semi = F.size(F.filter(lines, lambda x: x.rlike(r"[;{}]\s*$")))
+    ident = F.size(
+        F.filter(
+            F.split(F.trim(raw), r"\s+"),
+            lambda t: t.rlike(r"^[a-z]+(_[a-z0-9]+)+$")
+            | t.rlike(r"^[a-z]+([A-Z][a-z0-9]+)+$"),
+        )
+    )
+    symbol_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.round(sym.cast("double") / n_chars, 6)
+    )
+    indent_share = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.round(indented.cast("double") / n_lines, 6)
+    )
+    semi_share = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.round(semi.cast("double") / n_lines, 6)
+    )
+    return df.select(
+        F.col(id_col),
+        symbol_ratio.alias("symbol_ratio"),
+        indent_share.alias("indent_share"),
+        semi_share.alias("semi_share"),
+        ident.cast("bigint").alias("ident_hits"),
+        (
+            (symbol_ratio >= 0.03)
+            & ((semi_share >= 0.2) | (indent_share >= 0.3) | (ident >= 3))
+        ).alias("is_code"),
+    )

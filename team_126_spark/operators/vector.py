@@ -1319,3 +1319,59 @@ def embedding_index_probe(
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
         .select("new_id", "corpus_id", "cos_sim")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Similarity-mined hard negatives for contrastive training (the ANCE
+    insight — Xiong et al. 2021, arXiv:2007.00808: negatives that are
+    globally the MOST similar wrong-label items dominate the gradient
+    signal, while random negatives quickly become uninformative): for
+    each anchor, the top-k highest-cosine corpus rows with a DIFFERENT
+    label. Complements contrastive_pairs' content-independent random
+    negatives — this is the mining pass an embedding-training loop runs
+    per epoch.
+
+    One corpus scan for the whole anchor batch: broadcast anchors, score
+    every (anchor, corpus) pair with a different label, per-anchor
+    window top-k — the vec_knn_batch shape (bounded by |anchors| ×
+    corpus, with |anchors| the batch knob). At 100 TB the same mining
+    runs per IVF cell / LSH bucket (ann_ivf / lsh_candidates) so each
+    anchor scores only its neighborhood; the exact pass here is the
+    oracle-checkable semantics both share."""
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("anchor_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    scored = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .join(
+            F.broadcast(a.filter(F.col("anchor_vec").isNotNull())),
+            F.col(label_col) != F.col("anchor_label"),
+        )
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("anchor_vec")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -7694,6 +7694,92 @@ def q_tokenizer_bpe_train(spark, sf_dir):
     return TO.bpe_train(load(spark, sf_dir, "documents"), "text", "doc_id", 8)
 
 
+@declared(
+    "hard_negatives",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id, e.label AS negative_label,
+             round({V.cosine_similarity_sql('e.embedding', 'a.av')}, 6) AS cos_sim
+      FROM embeddings e JOIN a ON e.label <> a.al
+      WHERE e.embedding IS NOT NULL
+    )
+    SELECT anchor_id, negative_id, negative_label, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rn
+      FROM s
+    ) WHERE rn <= 3
+    """,
+    doc="\u00a72.17 similarity-mined hard negatives for contrastive training "
+    "(the ANCE insight, Xiong et al. 2021): per anchor, the top-3 "
+    "highest-cosine DIFFERENT-label corpus rows \u2014 the negatives that "
+    "dominate the contrastive gradient, vs contrastive_pairs' random "
+    "negatives which go stale after the first epochs. One corpus scan "
+    "for the whole anchor batch (broadcast anchors + per-anchor window "
+    "top-k, the vec_knn_batch shape); at 100 TB the identical mining "
+    "runs per IVF cell / LSH bucket so each anchor scores only its "
+    "neighborhood (operators/vector.hard_negatives)",
+)
+def q_hard_negatives(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 32)
+    return OV.hard_negatives(emb, anchors, "embedding", "vec_id", "label", k=3)
+
+
+@declared(
+    "code_detect",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS raw FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, raw,
+             len(raw) AS n_chars,
+             len(raw) - len(regexp_replace(raw, '[{}\[\]();=<>&|]', '', 'g'))
+               AS sym,
+             list_filter(str_split(raw, chr(10)), x -> trim(x) <> '') AS lines,
+             list_filter(str_split_regex(trim(raw), '\s+'),
+               t -> regexp_matches(t, '^[a-z]+(_[a-z0-9]+)+$')
+                 OR regexp_matches(t, '^[a-z]+([A-Z][a-z0-9]+)+$')) AS idents
+      FROM base
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE round(CAST(sym AS DOUBLE) / n_chars, 6) END AS symbol_ratio,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE round(CAST(len(list_filter(lines,
+                       x -> regexp_matches(x, '^(  |\t)'))) AS DOUBLE)
+                       / len(lines), 6) END AS indent_share,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE round(CAST(len(list_filter(lines,
+                       x -> regexp_matches(x, '[;{}]\s*$'))) AS DOUBLE)
+                       / len(lines), 6) END AS semi_share,
+             CAST(len(idents) AS BIGINT) AS ident_hits
+      FROM feat
+    )
+    SELECT doc_id, symbol_ratio, indent_share, semi_share, ident_hits,
+           (symbol_ratio >= 0.03 AND
+            (semi_share >= 0.2 OR indent_share >= 0.3 OR ident_hits >= 3))
+             AS is_code
+    FROM r
+    """,
+    doc="§2.17 code-vs-prose routing signals (the corpus-separation "
+    "step a code-LM pipeline runs — The Stack/StarCoder preprocessing "
+    "shape): RAW-text structural ratios (code-symbol share, indented-"
+    "line share, ;{}-terminated-line share, snake/camelCase identifier "
+    "hits) + the conjunctive routing flag. All counts are "
+    "regexp_replace/list_filter length differences — one codegen text "
+    "pass, map-only at any scale, no explode "
+    "(operators/textops.code_signals)",
+)
+def q_code_detect(spark, sf_dir):
+    return TO.code_signals(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +
@@ -8029,7 +8115,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # round-9 declarations (never driver-sampled; names appended here as
     # each is declared — the tuple must stay valid at every commit)
     "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
-    "rule_mining", "tokenizer_bpe_train",
+    "rule_mining", "tokenizer_bpe_train", "hard_negatives", "code_detect",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -8043,8 +8129,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "filter_range", "filter_contains", "filter_ilike", "filter_ts_range",
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
-    "geo_knn_join_nested", "km_to_miles", "doc_token_count", "doc_profile",
-    "doc_quality",
+    "geo_knn_join_nested", "km_to_miles", "doc_token_count",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -950,3 +950,27 @@ def test_bpe_train_matches_sequential_reference(spark):
         (7, "n", "ewest", 6),
         (8, "d", "est", 3),
     ]
+
+
+def test_code_signals_routes_code_vs_prose(spark):
+    """A real code snippet trips every signal and the is_code flag; plain
+    prose trips none; empty text is all-zero and not code."""
+    from team_126_spark.operators.textops import code_signals
+
+    code = (
+        "def total(xs):\n"
+        "    acc = 0;\n"
+        "    for x_val in xs:\n"
+        "        acc = acc + int(x_val);\n"
+        "    return acc;\n"
+    )
+    prose = "the quiet afternoon settled over the harbor and the boats swayed"
+    rows = [(1, code), (2, prose), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in code_signals(df, "text", "doc_id").collect()}
+    c, p, e = got[1], got[2], got[3]
+    assert c["is_code"] and c["symbol_ratio"] >= 0.03
+    assert c["indent_share"] > 0.5 and c["semi_share"] > 0.5
+    assert c["ident_hits"] >= 1  # x_val
+    assert not p["is_code"] and p["symbol_ratio"] == 0.0 and p["ident_hits"] == 0
+    assert not e["is_code"] and e["symbol_ratio"] == 0.0 and e["semi_share"] == 0.0

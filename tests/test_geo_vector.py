@@ -664,3 +664,43 @@ def test_ivf_assign_broadcast_row_preserving(spark):
         (r["id"], r["ivf_cell"]) for r in with_ivf_cell(df, "v", cents).collect()
     )
     assert lit == cells
+
+
+def test_hard_negatives_matches_bruteforce(spark):
+    """Mined negatives are exactly the top-k highest-cosine wrong-label
+    rows per anchor (brute-force Python reference), never share the
+    anchor's label, and are at least as hard (similar) as any random
+    wrong-label pick — the ANCE property the op exists for."""
+    import math
+
+    from team_126_spark.operators.vector import hard_negatives
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = [
+        (r["vec_id"], r["label"], list(r["embedding"]))
+        for r in emb.collect()
+        if r["embedding"] is not None
+    ]
+    anchors = emb.filter(F.col("vec_id") < 8)
+    got = {}
+    for r in hard_negatives(emb, anchors, "embedding", "vec_id", "label", k=3).collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["negative_id"], r["negative_label"], r["cos_sim"])
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    by_id = {v: (l, e) for v, l, e in rows}
+    for aid, negs in got.items():
+        al, av = by_id[aid]
+        want = sorted(
+            ((round(cos(e, av), 6), -v) for v, l, e in rows if l != al),
+            reverse=True,
+        )[:3]
+        want_ids = [(-nv, round(c, 6)) for c, nv in want]
+        assert [(n, c) for n, _, c in negs] == want_ids
+        assert all(l != al for _, l, _ in negs)
