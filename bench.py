@@ -260,6 +260,7 @@ HEADLINE = [
     "semdedup_index_probe",
     "winnow_fingerprints",
     "suffix_ngram_dedup",
+    "ngram_index_probe",
 ]
 
 

@@ -1240,12 +1240,25 @@ def duplicated_spans(
     Output: (id, span_start, span_end, span_tokens, n_dup_grams), token
     positions 1-based inclusive; docs with no duplicated k-gram emit
     nothing."""
-    from pyspark.sql import Window
+    grams = span_grams(df, text_col, id_col, k)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    return merge_flagged_spans(grams.join(dup_h, "h", "left_semi"), id_col, k)
 
+
+def span_grams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc, pos, h) k-gram hash positions — the shared front of
+    duplicated_spans and the n-gram ingest index (dup_spans_probe /
+    stream_dup_spans). pos is 1-based; h is md5_low60 of the gram string
+    (DuckDB-twin family)."""
     from ..functions.text import token_windows
     from ..tables import spread
 
-    grams = (
+    return (
         spread(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
@@ -1257,13 +1270,15 @@ def duplicated_spans(
             "doc", (F.col("p0") + 1).alias("pos"), md5_low60(F.col("gram")).alias("h")
         )
     )
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
-    )
-    flagged = grams.join(dup_h, "h", "left_semi")
+
+
+def merge_flagged_spans(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged (doc, pos) gram positions into
+    maximal spans [pos, pos+k-1] (shared tail of duplicated_spans and
+    the ingest-gate probes): intervals overlapping or adjacent
+    (pos_next <= pos_prev + k) coalesce."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc").orderBy("pos")
     islands = flagged.withColumn(
         "new_isl",
@@ -1284,3 +1299,23 @@ def duplicated_spans(
             "n_dup_grams",
         )
     )
+
+
+def dup_spans_probe(
+    new_docs: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Spans of `new_docs` duplicated against an EXISTING corpus — the
+    incremental half of duplicated_spans (the stream_neardup_probe
+    contract, n-gram flavor): flag every position of a new doc whose
+    k-gram hash exists in `corpus_hashes` (a 1-column `h` table — the
+    persisted distinct gram-hash index), merge into maximal spans. The
+    probe is one semi join of the batch's grams against the index: cost
+    ∝ batch grams, never corpus size; the index side is what a
+    partitioned/compacted layout prunes."""
+    grams = span_grams(new_docs, text_col, id_col, k)
+    flagged = grams.join(corpus_hashes.select("h"), "h", "left_semi")
+    return merge_flagged_spans(flagged, id_col, k)

@@ -7780,6 +7780,96 @@ def q_code_detect(spark, sf_dir):
     return TO.code_signals(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _ngram_probe_oracle_sql(k: int) -> str:
+    """DuckDB twin of the two-batch n-gram ingest-gate replay: identical
+    gram hashes (the _dup_spans family), per-batch flag sets (batch 0 vs
+    the seed grams; batch 1 vs seed + batch 0), and the same two-level
+    gaps-and-islands merge per batch."""
+    g = X.md5_low60_sql("g")
+    gram_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    merges = []
+    for tag, flt in (("0", "sh"), ("1", "sh1")):
+        merges.append(f"""
+    fl{tag} AS (
+      SELECT gr.doc_id, gr.pos FROM grams gr
+      JOIN {flt} USING (h) WHERE gr.src = 'src{tag}'
+    ),
+    mark{tag} AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > {k} THEN 1 ELSE 0 END AS ni
+      FROM fl{tag}
+    ),
+    isl{tag} AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM mark{tag}
+    ),
+    sp{tag} AS (
+      SELECT CAST({tag} AS INT) AS batch, doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+             CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+             count(*)::BIGINT AS n_dup_grams
+      FROM isl{tag} GROUP BY doc_id, island
+    )""")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, source AS src,
+             str_split({X.normalize_ws_sql('text')}, ' ') AS toks
+      FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, src, i AS pos, {g} AS h
+      FROM (
+        SELECT doc_id, src, unnest(range(1, len(toks) - {k - 2})) AS i,
+               unnest(list_transform(range(1, len(toks) - {k - 2}),
+                      i -> {gram_expr})) AS g
+        FROM tk WHERE len(toks) >= {k}
+      )
+    ),
+    sh AS (SELECT DISTINCT h FROM grams WHERE src NOT IN ('src0', 'src1')),
+    sh1 AS (SELECT h FROM sh UNION SELECT DISTINCT h FROM grams WHERE src = 'src0'),{",".join(merges)}
+    SELECT * FROM sp0 UNION ALL SELECT * FROM sp1
+    """
+
+
+@declared(
+    "ngram_index_probe",
+    oracle=_ngram_probe_oracle_sql(5),
+    doc="\u00a72.17 the ExactSubstr gate INCREMENTALLY \u2014 batch twin of the "
+    "13th streaming surface (streaming/pipeline.stream_dup_spans): two "
+    "arrival-ordered batches probe the persisted distinct-gram index "
+    "(batch 0 vs the seed corpus's grams, batch 1 vs seed + batch 0), "
+    "flagged positions merge into maximal spans per batch. Each probe is "
+    "ONE semi join of the batch's grams against the index \u2014 cost \u221d "
+    "batch grams, never corpus size; the gram index is one slim bigint "
+    "per distinct gram, folded by compact_index like the MinHash and "
+    "semantic layouts (operators/dedup.dup_spans_probe; stream-vs-batch "
+    "parity + replay exactness + compaction-equivalence pytest-pinned)",
+)
+def q_ngram_index_probe(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    seed = docs.filter(~F.col("source").isin("src0", "src1"))
+    b0 = docs.filter(F.col("source") == "src0")
+    b1 = docs.filter(F.col("source") == "src1")
+    seed_h = D.span_grams(seed, "text", "doc_id", 5).select("h").distinct()
+    h0 = D.span_grams(b0, "text", "doc_id", 5).select("h").distinct()
+    sp0 = D.dup_spans_probe(b0, seed_h, "text", "doc_id", 5)
+    sp1 = D.dup_spans_probe(b1, seed_h.unionByName(h0).distinct(), "text", "doc_id", 5)
+    cast = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+    )
+    return (
+        cast(sp0).select(F.lit(0).alias("batch"), "*")
+        .unionByName(cast(sp1).select(F.lit(1).alias("batch"), "*"))
+    )
+
+
 def _cluster_keywords_oracle_sql(n_cells: int, top_k: int) -> str:
     """DuckDB twin of cluster_keywords: the ann_ivf assignment machinery
     (md5-sample centroids, unit-normalized argmax) over embeddings +
@@ -8116,6 +8206,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # each is declared — the tuple must stay valid at every commit)
     "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
     "rule_mining", "tokenizer_bpe_train", "hard_negatives", "code_detect",
+    "ngram_index_probe",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -8129,7 +8220,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "filter_range", "filter_contains", "filter_ilike", "filter_ts_range",
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
     "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
-    "geo_knn_join_nested", "km_to_miles", "doc_token_count",
+    "geo_knn_join_nested", "km_to_miles",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -574,6 +574,58 @@ def stream_semdedup_probe(
     q.awaitTermination()
 
 
+def stream_dup_spans(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> None:
+    """Streaming ingest-time SPAN dedup — the ExactSubstr gate as the 13th
+    streaming surface (the stream_neardup_probe contract, n-gram-index
+    flavor): each micro-batch hashes its own k-grams, flags every
+    position whose gram exists in the PERSISTED distinct-gram index at
+    `index_dir/grams/*`, merges flagged positions into maximal spans
+    (operators/dedup.dup_spans_probe), writes spans to
+    `out_dir/batch=<id>`, and appends its own DISTINCT gram hashes under
+    `index_dir/grams/b<batch_id>` — so the next batch's spans see THIS
+    batch's content. Per-batch cost ∝ batch grams (one semi join against
+    the index); the index stores one slim bigint per distinct gram, and
+    compact_index(..., subdirs=("grams",)) folds the per-batch dirs into
+    seed/ like the MinHash and semantic layouts.
+
+    Crash-replay exactness: batch-keyed overwrites + the probe excludes
+    exactly the crashed attempt's b<batch_id>/ files via input_file_name
+    (never an anti-join on content). Seed by writing the existing
+    corpus's distinct gram hashes to `index_dir/grams/seed/`."""
+    from ..operators.dedup import merge_flagged_spans, span_grams
+
+    def probe_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        # checkpoint the batch's grams ONCE: the span probe and the index
+        # append both read them (the seed-embed-once lesson)
+        grams = span_grams(bdf, text_col, id_col, k).localCheckpoint()
+        corpus = spark.read.parquet(f"{index_dir}/grams/*").filter(
+            ~F.input_file_name().contains(f"/grams/b{batch_id}/")
+        )
+        flagged = grams.join(corpus.select("h"), "h", "left_semi")
+        spans = merge_flagged_spans(flagged, id_col, k)
+        spans.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        grams.select("h").distinct().repartition(1).write.mode("overwrite").parquet(
+            f"{index_dir}/grams/b{batch_id}"
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _manifest_write(fs, jvm, path: str, names: list[str]) -> None:
     """Write the folded-dir manifest (one name per line) via the Hadoop FS
     API. writeUTF caps a chunk at 64 KB, so the blob is chunked: readInt

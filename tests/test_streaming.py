@@ -725,6 +725,93 @@ def test_stream_semdedup_probe_replay_is_exact(spark, tmp_path):
     assert all(c in seed_ids for _, c, _ in got)  # no intra-batch pairs
 
 
+def test_stream_dup_spans_matches_batch_and_compacts(spark, tmp_path):
+    """The streaming span-dedup gate (13th surface) equals the batch
+    dup_spans_probe replayed in arrival order: batch 1's spans flag
+    against the seed gram index, batch 2's against seed+batch 1; the
+    index after draining holds every distinct gram hash; and
+    compact_index(subdirs=("grams",)) folds the batch dirs without
+    changing a subsequent probe."""
+    from team_126_spark.operators.dedup import dup_spans_probe, span_grams
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "spans")
+    seed_h = span_grams(seed, "text", "doc_id", 5).select("h").distinct()
+    seed_h.write.parquet(f"{index_dir}/grams/seed")
+
+    stream_src = str(tmp_path / "incoming")
+    b1.coalesce(1).write.mode("append").parquet(stream_src)
+    b2.coalesce(1).write.mode("append").parquet(stream_src)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    STR.stream_dup_spans(src, index_dir, out_dir, str(tmp_path / "ckpt"), k=5)
+
+    cols = ["doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"]
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"), cols)
+
+    def want(first, second):
+        h1 = span_grams(first, "text", "doc_id", 5).select("h")
+        w1 = dup_spans_probe(first, seed_h, "text", "doc_id", 5)
+        w2 = dup_spans_probe(second, seed_h.unionByName(h1), "text", "doc_id", 5)
+        return canon(w1.unionByName(w2), cols)
+
+    assert got in (want(b1, b2), want(b2, b1)) and len(got) > 0
+    # index completeness: every distinct gram hash of every doc is present
+    n_idx = spark.read.parquet(f"{index_dir}/grams/*").select("h").distinct().count()
+    n_all = span_grams(docs, "text", "doc_id", 5).select("h").distinct().count()
+    assert n_idx == n_all
+    # compaction folds the two batch dirs; a fresh probe is unchanged
+    probe = dup_spans_probe(
+        b1, spark.read.parquet(f"{index_dir}/grams/*"), "text", "doc_id", 5
+    )
+    before = canon(probe, cols)
+    assert STR.compact_index(spark, index_dir, subdirs=("grams",)) == {"grams": 2}
+    after = canon(
+        dup_spans_probe(
+            b1, spark.read.parquet(f"{index_dir}/grams/*"), "text", "doc_id", 5
+        ),
+        cols,
+    )
+    assert after == before
+
+
+def test_stream_dup_spans_replay_is_exact(spark, tmp_path):
+    """A batch replayed AFTER its gram-index write landed (crash between
+    index write and checkpoint commit) probes an index already holding
+    its own grams under b0/ — the file-scoped exclusion makes the replay
+    emit the IDENTICAL span set (its own grams would otherwise flag
+    EVERY position of every doc)."""
+    from team_126_spark.operators.dedup import dup_spans_probe, span_grams
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "spans")
+    seed_h = span_grams(seed, "text", "doc_id", 5).select("h").distinct()
+    seed_h.write.parquet(f"{index_dir}/grams/seed")
+    span_grams(batch, "text", "doc_id", 5).select("h").distinct().write.parquet(
+        f"{index_dir}/grams/b0"
+    )
+
+    stream_src = str(tmp_path / "incoming")
+    batch.coalesce(1).write.parquet(stream_src)
+    src = spark.readStream.schema(docs.schema).parquet(stream_src)
+    STR.stream_dup_spans(src, index_dir, out_dir, str(tmp_path / "ckpt"), k=5)
+
+    cols = ["doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"]
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"), cols)
+    want = canon(dup_spans_probe(batch, seed_h, "text", "doc_id", 5), cols)
+    assert got == want and len(got) > 0
+
+
 def test_compact_index_preserves_probe_results(spark, tmp_path):
     """Folding the accumulated b<id>/ subdirs into seed/ leaves every
     probe's pair set IDENTICAL (probes read the glob; compaction only
