@@ -161,6 +161,7 @@ HEADLINE = [
     "embedding_neardup",
     "decontaminate",
     "doc_chunk",
+    "fim_split",
     "corpus_curate",
     "vec_knn_batch",
     "hard_negatives",
@@ -182,6 +183,7 @@ HEADLINE = [
     "contamination_spans",
     "simhash_pairs",
     "doc_surprisal",
+    "ccnet_buckets",
     "segment_dedup",
     "segment_dedup_doc",
     "boilerplate_report",
@@ -192,6 +194,7 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "ann_lsh",
     "ann_ivf",
+    "matryoshka_eval",
     "hybrid_fusion_fast",
     "hybrid_fusion_adaptive",
     "geo_knn_join_nested",

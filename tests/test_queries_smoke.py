@@ -233,7 +233,7 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory):
     # queries that NEED a fixture probe row raise a deliberate ValueError
     EXPECT_RAISE = {
         "ann_lsh", "ann_ivf", "ann_quantized", "vec_knn_scoped", "multimodal_knn",
-        "hybrid_fusion_adaptive",  # driver-side probe vec (_probe_embedding)
+        "hybrid_fusion_adaptive", "matryoshka_eval",  # driver-side probe vec
         # centroid samples are a config error on an empty corpus,
         # exactly like the ANN index builds above (ivf_centroids raises)
         "semdedup_select", "cluster_keywords", "semdedup_index_probe",
