@@ -1375,3 +1375,103 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def kmeans_lloyd_distributed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """kmeans_lloyd with the centroid state kept IN THE CLUSTER — the
+    large-k / large-dim regime (VERDICT r8 watch item: the literal-path
+    update loop round-trips k·dim means through the driver every round;
+    here NO driver collect exists anywhere in the loop). Centroids live
+    as a broadcast (cell, centroid) table: assignment is the
+    kmeans_assign_broadcast shape (n·k slim rows collapsed map-side by
+    min_by, shuffle carries n rows), the update is one posexplode +
+    partial-agg avg per (cell, pos) rebuilt into arrays with
+    array_sort(collect_list(struct(pos, m))), and the k-row table is
+    localCheckpointed per round (plan depth linear — the logreg_gd
+    rule). Empty cells keep their previous centroid via left-join
+    coalesce. Init is the same bounded ivf_centroids md5 sample.
+
+    Semantics pinned equal to kmeans_lloyd on the fixture corpus
+    (identical init, per-round round-6 centroid quantization, identical
+    (d2, cell) tie-break; the one theoretical divergence is Python
+    HALF_EVEN vs Spark HALF_UP rounding on an exact 5e-7 boundary — a
+    measure-zero event for real-valued means, and the parity test would
+    surface it). `stats` adds one inertia action per round (stats-mode
+    only — without it the loop runs zero driver-facing actions beyond
+    the checkpoint jobs)."""
+    cents0 = ivf_centroids(df, vec_col, id_col, k)
+    if len(cents0) < k:
+        raise ValueError(
+            f"kmeans_lloyd_distributed: corpus has only {len(cents0)} "
+            f"non-null vectors < k={k}"
+        )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents0)],
+        "cell int, _centroid array<double>",
+    ).localCheckpoint()
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .localCheckpoint()
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    inertia_hist: list[float] = []
+    for _ in range(int(iters)):
+        assign = (
+            base.join(F.broadcast(cent_df))
+            .select(id_col, "_v", "cell", d2.alias("_d2"))
+            .groupBy(id_col)
+            .agg(
+                F.first("_v").alias("_v"),
+                F.min_by("cell", F.struct("_d2", "cell")).alias("cell"),
+                F.min("_d2").alias("_d2"),
+            )
+        )
+        upd = (
+            assign.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        )
+        new_c = upd.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_new")
+        )
+        if stats is not None:
+            inertia = assign.agg(F.sum("_d2")).first()[0]
+            inertia_hist.append(round(float(inertia), 6))
+        cent_df = (
+            cent_df.join(new_c, "cell", "left")
+            .select("cell", F.coalesce("_new", "_centroid").alias("_centroid"))
+            .localCheckpoint()
+        )
+    final = (
+        base.join(F.broadcast(cent_df))
+        .select(id_col, "cell", d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(F.min_by("cell", F.struct("_d2", "cell")).alias("cell"))
+    )
+    if stats is not None:
+        stats["inertia"] = inertia_hist
+        stats["centroids"] = [
+            [float(x) for x in r["_centroid"]]
+            for r in cent_df.orderBy("cell").collect()
+        ]
+    return final.select(id_col, "cell")
