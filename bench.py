@@ -215,6 +215,7 @@ HEADLINE = [
     "time_fill",
     "unpivot_metrics",
     "profile_approx",
+    "sketch_rollup",
     "bpe_pair_counts",
     "tokenizer_bpe_train",
     "ngram_diversity",
@@ -227,6 +228,7 @@ HEADLINE = [
     "group_normalize",
     "quantiles_approx",
     "triangle_count",
+    "label_propagation",
     "retention_cohorts",
     "bm25_topk",
     "graph_walks",

@@ -1141,3 +1141,45 @@ def association_rules(
             6,
         ).alias("lift"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007 — LPA): every
+    node starts as its own label; each round, a node adopts the most
+    frequent label among its neighbors (tie → the lexicographically
+    smallest label, making the whole run deterministic and
+    engine-mirrorable — the usual random tie-break is what makes vanilla
+    LPA non-reproducible). The near-linear community-detection pass run
+    on trade/interaction graphs before per-community analytics; on
+    bipartite graphs synchronous updates can oscillate between the two
+    sides — that is the documented textbook behavior of sync LPA, not an
+    implementation artifact, and a fixed `iters` keeps it deterministic.
+
+    Scale shape per round (the pagerank loop pattern): one equi-join of
+    the label vector onto the edge list (shuffle on node id), one
+    partial-aggregated (node, label) count, one min_by argmax per node —
+    no quadratic, no driver collect; the label table is
+    localCheckpointed per round so plan depth stays linear. Output:
+    (node, community) after `iters` rounds."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct().localCheckpoint()
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(int(iters)):
+        labels = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy(F.col("a"), F.col("lbl"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("a")
+            .agg(F.min_by("lbl", F.struct(-F.col("c"), F.col("lbl"))).alias("lbl"))
+            .select(F.col("a").alias("node"), "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

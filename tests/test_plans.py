@@ -229,7 +229,7 @@ def test_cartesian_allowlist_pinned(spark):
         "pmi_cooccur", "countmin_freq", "pca_topcomp", "lsh_blocking_eval",
         "token_divergence", "classifier_auc_eval", "hybrid_ndcg_eval",
         "embedding_isotropy", "cluster_keywords", "rule_mining",
-        "hard_negatives", "matryoshka_eval", "ccnet_buckets",
+        "hard_negatives", "matryoshka_eval", "ccnet_buckets", "sketch_rollup",
         # deterministic salt replication of the SMALL side
         "salted_join_fk",
         # declared exact O(n^2) oracle baseline (guarded by max_rows for

@@ -950,3 +950,32 @@ def test_association_rules_exact_counts(spark):
         ("x", "y"): (3, 0.75, round(6 * 3 / (4 * 4), 6)),
         ("y", "x"): (3, 0.75, round(6 * 3 / (4 * 4), 6)),
     }
+
+
+def test_label_propagation_two_cliques(spark):
+    """Planted structure: two triangles bridged by a single edge resolve
+    to exactly two communities (one per triangle) under 4 sync rounds
+    with the deterministic lowest-label tie-break; every node is
+    labeled; a rerun is identical."""
+    from team_126_spark.operators.relational import label_propagation
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    und = []
+    for u, v in tri1 + tri2 + bridge:
+        und += [(u, v), (v, u)]
+    edges = spark.createDataFrame(und, ["a", "b"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, "a", "b", iters=4).collect()
+    }
+    assert set(got) == {"a", "b", "c", "x", "y", "z"}
+    assert len({got["a"], got["b"], got["c"]}) == 1
+    assert len({got["x"], got["y"], got["z"]}) == 1
+    assert got["a"] != got["x"]
+    again = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, "a", "b", iters=4).collect()
+    }
+    assert again == got
