@@ -699,3 +699,77 @@ def test_dsir_score_additivity_and_totality(spark, xs):
     for i, x in rows:
         by_text.setdefault(" ".join((x or "").lower().split()), set()).add(out[i])
     assert all(len(v) == 1 for v in by_text.values())  # content-only
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_bpe_train_equals_sequential_reference(spark, xs):
+    """For ANY corpus: bpe_train's merge table equals a pure-Python run of
+    the sequential reference algorithm (Sennrich et al. 2016: occurrence-
+    weighted vocab, per-round argmax pair with count-desc/(lhs, rhs)-asc
+    tie-break, greedy left-to-right merge) — the winnowing-test pattern
+    applied to the tokenizer trainer."""
+    import re
+    from collections import Counter
+
+    from team_126_spark.operators.textops import bpe_train
+
+    # python reference
+    vocab = Counter()
+    for x in xs:
+        for w in " ".join((x or "").lower().split()).split(" "):
+            if re.fullmatch(r"[a-z0-9]+", w or ""):
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    want = []
+    for r in range(1, 5):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((r, a, b, c))
+        for w, syms in words.items():
+            out = [syms[0]]
+            for x2 in syms[1:]:
+                if out[-1] == a and x2 == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x2)
+            words[w] = out
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_train(df, "text", "doc_id", 4).collect()]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_duplicated_spans_invariants(spark, xs):
+    """For ANY corpus: spans lie within their doc's token range, start <=
+    end, span length >= k, consecutive spans of a doc are separated by
+    more than k positions (maximality — otherwise they'd have merged),
+    and every span's doc has at least one k-gram shared with ANOTHER
+    doc."""
+    from team_126_spark.functions.text import tokens as toks_fn
+    from team_126_spark.operators.dedup import duplicated_spans
+
+    k = 3
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], ["doc_id", "text"])
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", F.size(toks_fn(F.col("text"))).alias("n")).collect()
+    }
+    spans = duplicated_spans(df, "text", "doc_id", k=k, min_docs=2).collect()
+    by_doc = {}
+    for r in spans:
+        assert 1 <= r["span_start"] <= r["span_end"] <= n_toks[r["doc_id"]]
+        assert r["span_tokens"] >= k and r["n_dup_grams"] >= 1
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            # gram starts differ by > k, else one island
+            assert s2 - (e1 - k + 1) > k, (d, ss)
