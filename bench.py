@@ -230,6 +230,7 @@ HEADLINE = [
     "triangle_count",
     "label_propagation",
     "retention_cohorts",
+    "attribution",
     "bm25_topk",
     "graph_walks",
     "logreg_train",

@@ -4219,6 +4219,101 @@ def q_sketch_rollup(spark, sf_dir):
 
 
 @declared(
+    "attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id AS tid, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    j AS (
+      SELECT p.pid, p.value, t.channel, t.ts, t.tid
+      FROM p JOIN t ON t.user_id = p.user_id
+      WHERE t.ts < p.pts AND t.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    r AS (
+      SELECT pid, channel, value,
+             row_number() OVER (PARTITION BY pid ORDER BY ts, tid) AS rn_f,
+             row_number() OVER (PARTITION BY pid ORDER BY ts DESC, tid DESC)
+               AS rn_l,
+             count(*) OVER (PARTITION BY pid) AS n
+      FROM j
+    )
+    SELECT channel,
+           round(CAST(coalesce(sum(CASE WHEN rn_f = 1
+                 THEN CAST(round(value, 6) AS DECIMAL(18, 6)) END), 0)
+                 AS DOUBLE), 2) AS first_touch_rev,
+           round(CAST(coalesce(sum(CASE WHEN rn_l = 1
+                 THEN CAST(round(value, 6) AS DECIMAL(18, 6)) END), 0)
+                 AS DOUBLE), 2) AS last_touch_rev,
+           round(CAST(sum(CAST(round(value / n, 6) AS DECIMAL(18, 6)))
+                 AS DOUBLE), 2) AS linear_rev
+    FROM r GROUP BY channel
+    """,
+    doc="\u00a72.17 multi-touch attribution (the marketing-analytics staple): "
+    "each purchase's revenue credited to the user's view/click/signup "
+    "touches in the prior 7 days under first-touch, last-touch, and "
+    "linear models, reported per channel. Purchases equi-join touches on "
+    "user_id with the time-range predicate as a post-join filter "
+    "(per-user event counts are a data invariant); per-purchase "
+    "first/last/n via bounded windows; all revenue sums run in "
+    "DECIMAL(18,6) so addition is EXACT and order-independent across "
+    "engines (no float-summation-order risk by construction \u2014 the "
+    "cluster_keywords rule, decimal flavor)",
+)
+def q_attribution(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("pid").orderBy(F.asc("ts"), F.asc("tid"))
+    wl = Window.partitionBy("pid").orderBy(F.desc("ts"), F.desc("tid"))
+    wn = Window.partitionBy("pid")
+    r = j.select(
+        "pid",
+        "channel",
+        "value",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+        F.count("*").over(wn).alias("n"),
+    )
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    return r.groupBy("channel").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("rn_f") == 1, dec(F.col("value")))), F.lit(0)
+            ).cast("double"),
+            2,
+        ).alias("first_touch_rev"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("rn_l") == 1, dec(F.col("value")))), F.lit(0)
+            ).cast("double"),
+            2,
+        ).alias("last_touch_rev"),
+        F.round(
+            F.sum(dec(F.col("value") / F.col("n"))).cast("double"), 2
+        ).alias("linear_rev"),
+    )
+
+
+@declared(
     "doc_entropy",
     oracle=f"""
     WITH tok AS (
@@ -8562,7 +8657,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "hybrid_fusion_adaptive", "influence_select", "suffix_ngram_dedup",
     "rule_mining", "tokenizer_bpe_train", "hard_negatives", "code_detect",
     "ngram_index_probe", "ccnet_buckets", "fim_split", "matryoshka_eval",
-    "label_propagation", "sketch_rollup",
+    "label_propagation", "sketch_rollup", "attribution",
     # r5-evidence leftovers (oldest driver evidence in the registry)
     "contamination_spans", "redact_contamination", "temperature_mix",
     "time_fill", "funnel_counts", "cube_counts", "unpivot_metrics",
@@ -8575,7 +8670,6 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     # declaration above displaces one row from the END of this block)
     "filter_range", "filter_contains", "filter_ilike", "filter_ts_range",
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
-    "join_anti",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R9)

@@ -979,3 +979,40 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges, "a", "b", iters=4).collect()
     }
     assert again == got
+
+
+def test_attribution_models_hand_computed(spark):
+    """First/last/linear attribution on a hand-built journey: user 1 has
+    view(t1) -> click(t2) -> purchase(100) and a signup OUTSIDE the
+    7-day window; user 2 purchases with no prior touches (excluded
+    entirely). first=view, last=click, linear=50/50."""
+    import datetime as dt
+
+    from team_126_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = [
+        (1, ts(-10), 1, "signup", 0.0, None),   # outside the 7-day window
+        (2, ts(-3), 1, "view", 0.0, None),
+        (3, ts(-1), 1, "click", 0.0, None),
+        (4, ts(0), 1, "purchase", 100.0, None),
+        (5, ts(0), 2, "purchase", 50.0, None),  # no touches
+        (6, ts(1), 1, "view", 0.0, None),       # after purchase — ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="attr_fixture_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["channel"]: (r["first_touch_rev"], r["last_touch_rev"], r["linear_rev"])
+        for r in REGISTRY["attribution"].fn(spark, d).collect()
+    }
+    assert got == {"view": (100.0, 0.0, 50.0), "click": (0.0, 100.0, 50.0)}
