@@ -429,7 +429,15 @@ def with_ivf_cell_broadcast(
     per-row uid (monotonically_increasing_id), not on the value columns,
     so fully-duplicate input rows keep their multiplicity; null-vector
     rows bypass the join and come back with a null ivf_cell — exactly
-    what the literal path's null dot-product scores produce."""
+    what the literal path's null dot-product scores produce.
+
+    Precondition (ADVICE r9): `df` must have a DETERMINISTIC plan — the
+    tagged frame is scanned once per branch (non-null and null vectors),
+    and a non-deterministic upstream (sample/limit/shuffle without an
+    ordering) could produce different rows per re-scan, losing or
+    duplicating rows across the unioned branches. localCheckpoint such
+    inputs first (every in-repo caller either reads a stable source or
+    checkpoints); the uid itself only needs uniqueness WITHIN a branch."""
     from ..functions.vector import dot
 
     def unit(c: list[float]) -> list[float]:

@@ -599,7 +599,16 @@ def stream_dup_spans(
     Crash-replay exactness: batch-keyed overwrites + the probe excludes
     exactly the crashed attempt's b<batch_id>/ files via input_file_name
     (never an anti-join on content). Seed by writing the existing
-    corpus's distinct gram hashes to `index_dir/grams/seed/`."""
+    corpus's distinct gram hashes to `index_dir/grams/seed/`; an
+    UNSEEDED stream is also valid (ADVICE r9) — a missing/empty grams/
+    layout reads as an empty index instead of throwing on batch 0, so a
+    brand-new corpus can start from its own first micro-batch. Appends
+    are anti-joined against the probed index (ADVICE r9): only hashes
+    the index has never seen land in b<batch_id>/, so the index stays
+    near-distinct online (grows with NEW grams, not batch grams) and
+    replay-exact — the anti-join reads the same index state the crashed
+    attempt did (own-b-dir excluded). compact_index's grams-layout
+    distinct() heals the residue."""
     from ..operators.dedup import merge_flagged_spans, span_grams
 
     def probe_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -607,15 +616,21 @@ def stream_dup_spans(
         # checkpoint the batch's grams ONCE: the span probe and the index
         # append both read them (the seed-embed-once lesson)
         grams = span_grams(bdf, text_col, id_col, k).localCheckpoint()
-        corpus = spark.read.parquet(f"{index_dir}/grams/*").filter(
-            ~F.input_file_name().contains(f"/grams/b{batch_id}/")
-        )
-        flagged = grams.join(corpus.select("h"), "h", "left_semi")
+        jvm = spark._jvm
+        groot = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/grams")
+        fs = groot.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(groot) and list(fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/grams/*"))):
+            corpus = spark.read.parquet(f"{index_dir}/grams/*").filter(
+                ~F.input_file_name().contains(f"/grams/b{batch_id}/")
+            ).select("h")
+        else:
+            corpus = spark.createDataFrame([], "h bigint")
+        flagged = grams.join(corpus, "h", "left_semi")
         spans = merge_flagged_spans(flagged, id_col, k)
         spans.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        grams.select("h").distinct().repartition(1).write.mode("overwrite").parquet(
-            f"{index_dir}/grams/b{batch_id}"
-        )
+        grams.select("h").distinct().join(corpus, "h", "left_anti").repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{index_dir}/grams/b{batch_id}")
 
     q = (
         docs_stream.writeStream.foreachBatch(probe_batch)
@@ -624,6 +639,11 @@ def stream_dup_spans(
         .start()
     )
     q.awaitTermination()
+
+
+# layouts that are logically SETS (probed by left_semi): compaction dedups
+# them; per-doc signature layouts (sigs/bands/vecs) keep row multiplicity
+_DISTINCT_LAYOUTS = ("grams",)
 
 
 def _manifest_write(fs, jvm, path: str, names: list[str]) -> None:
@@ -787,6 +807,19 @@ def _compact_index(
                         fs.delete(hpath(f"{index_dir}/{layout}/{name}"), True)
                     fs.delete(hpath(manifest), False)
                 fs.delete(seed_old, True)
+        elif fs.exists(hpath(manifest)):
+            # lingering manifest with NO seed_old (ADVICE r9): the layout's
+            # FIRST compaction had no prior seed/ to rename aside, so a
+            # crash after rename(tmp, seed) but before cleanup leaves only
+            # seed/_FOLDED + the absorbed b-dirs — which the next union
+            # would double-count. seed already holds every manifested row:
+            # finish the manifested cleanup. (A completed compaction always
+            # deletes the manifest, so its presence here IS the crash
+            # marker; b-dirs written by a stream that resumed after the
+            # crash are not named in it and survive.)
+            for name in _manifest_read(fs, jvm, manifest):
+                fs.delete(hpath(f"{index_dir}/{layout}/{name}"), True)
+            fs.delete(hpath(manifest), False)
 
         batch_dirs = [
             st.getPath().getName()
@@ -801,6 +834,14 @@ def _compact_index(
         # compaction leaves seed's blocking key as a directory column,
         # which the glob read cannot mix with unpartitioned b-dirs
         union = read_index_layout(spark, index_dir, layout)
+        if layout in _DISTINCT_LAYOUTS:
+            # the grams layout is a SET probed by left_semi (ADVICE r9):
+            # per-batch appends are only batch-distinct, so hashes shared
+            # with the seed/earlier batches would otherwise accumulate —
+            # correct for the probe, superlinear for the index. Compaction
+            # is the dedup point (signature layouts stay multi-row:
+            # sigs/bands/vecs carry per-doc rows, not set members).
+            union = union.distinct()
         writer = union.write.mode("overwrite")
         pcol = (partition_cols or {}).get(layout)
         if pcol:

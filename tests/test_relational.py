@@ -1016,3 +1016,58 @@ def test_attribution_models_hand_computed(spark):
         for r in REGISTRY["attribution"].fn(spark, d).collect()
     }
     assert got == {"view": (100.0, 0.0, 50.0), "click": (0.0, 100.0, 50.0)}
+
+
+def test_ordered_ranks_matches_global_sort(spark):
+    """ordered_ranks assigns each distinct value its 0-based position in
+    the total order WITHOUT a single-task global sort — pinned against
+    the plain sorted() oracle on a shuffled multi-partition input with
+    duplicates, and independent of the partition count knob."""
+    from team_126_spark.operators.relational import ordered_ranks
+
+    vals = [f"n{i:03d}" for i in range(97)] * 2 + ["aa", "zz"]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(7)
+    want = {v: i for i, v in enumerate(sorted(set(vals)))}
+    for parts in (1, 4, 16):
+        got = {
+            r["v"]: r["rank"]
+            for r in ordered_ranks(df, "v", partitions=parts).collect()
+        }
+        assert got == want, parts
+
+
+def test_label_propagation_int_encoding_parity_and_directed_seed(spark):
+    """VERDICT r9 #3 + ADVICE r9: (a) the int-dictionary path
+    (encode_ids=True, default) produces IDENTICAL communities to the
+    string-native path on the two-cliques fixture; (b) on a
+    NON-symmetrized edge list, dst-only nodes are seeded too — every
+    endpoint of every edge gets a community (both paths)."""
+    from team_126_spark.operators.relational import label_propagation
+
+    und = []
+    for u, v in [("a", "b"), ("b", "c"), ("a", "c"),
+                 ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]:
+        und += [(u, v), (v, u)]
+    edges = spark.createDataFrame(und, ["a", "b"])
+    enc = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, "a", "b", iters=4).collect()
+    }
+    raw = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            edges, "a", "b", iters=4, encode_ids=False
+        ).collect()
+    }
+    assert enc == raw and set(enc) == {"a", "b", "c", "x", "y", "z"}
+
+    # directed: q is dst-only, p is src-only — both must be labeled
+    directed = spark.createDataFrame([("p", "q"), ("q2", "q")], ["a", "b"])
+    for flag in (True, False):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                directed, "a", "b", iters=2, encode_ids=flag
+            ).collect()
+        }
+        assert set(got) == {"p", "q", "q2"}, flag

@@ -1021,3 +1021,88 @@ def test_compact_index_partitioned_prunes_and_round_trips(spark, tmp_path):
     assert sorted(
         p for p in os.listdir(f"{index_dir}/vecs") if not p.startswith(".")
     ) == ["seed"]
+
+
+def test_compact_index_first_compaction_crash_window(spark, tmp_path):
+    """ADVICE r9: a layout whose FIRST compaction has no pre-existing
+    seed/ never creates seed_old — a crash after rename(tmp, seed) but
+    before the b-dir deletes leaves seed/_FOLDED plus the absorbed
+    b-dirs, which a naive next run would union and DOUBLE-COUNT. The
+    lingering-manifest recovery branch deletes exactly the manifested
+    b-dirs (a post-crash ingest dir not named in it survives to the next
+    fold)."""
+    import os
+    import shutil
+
+    from team_126_spark.streaming.pipeline import _manifest_write
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path("/").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    _, assigned, _ = _semdedup_stream_fixture(spark)
+    d = str(tmp_path / "first")
+    # b-dirs ONLY — no seed/ (a stream that started unseeded)
+    assigned.filter(F.col("doc") % 2 == 0).write.parquet(f"{d}/vecs/b0")
+    assigned.filter(F.col("doc") % 2 == 1).write.parquet(f"{d}/vecs/b1")
+    n_rows = spark.read.parquet(f"{d}/vecs/*").count()
+
+    # simulate: tmp written + manifest, renamed to seed, crash before deletes
+    spark.read.parquet(f"{d}/vecs/*").write.parquet(f"{d}/vecs__compact_tmp")
+    _manifest_write(fs, jvm, f"{d}/vecs__compact_tmp/_FOLDED", ["b0", "b1"])
+    shutil.move(f"{d}/vecs__compact_tmp", f"{d}/vecs/seed")
+    # a stream resumed after the crash wrote one more batch dir
+    assigned.filter(F.col("doc") % 7 == 3).write.parquet(f"{d}/vecs/b2")
+    n_b2 = spark.read.parquet(f"{d}/vecs/b2").count()
+
+    # next run recovers: manifested b0/b1 dropped (no duplication), the
+    # post-crash b2 folds as normal ingest
+    assert STR.compact_index(spark, d, subdirs=("vecs",)) == {"vecs": 1}
+    assert sorted(os.listdir(f"{d}/vecs")) == ["seed"]
+    assert spark.read.parquet(f"{d}/vecs/seed").count() == n_rows + n_b2
+    assert not os.path.exists(f"{d}/vecs/seed/_FOLDED")
+
+
+def test_stream_dup_spans_unseeded_and_index_stays_distinct(spark, tmp_path):
+    """ADVICE r9 twin pin: (a) an UNSEEDED stream_dup_spans run treats the
+    missing grams/ layout as an empty index instead of throwing on batch
+    0 — batch 0 flags nothing, batch 1 flags against batch 0's grams;
+    (b) per-batch appends are anti-joined against the probed index and
+    compaction dedups the grams layout, so the index row count equals
+    the DISTINCT gram count (no superlinear growth from re-appended
+    shared hashes)."""
+    from team_126_spark.operators.dedup import dup_spans_probe, span_grams
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "spans")
+    stream_src = str(tmp_path / "incoming")
+    b1.coalesce(1).write.mode("append").parquet(stream_src)
+    b2.coalesce(1).write.mode("append").parquet(stream_src)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    # no seed written: must not throw
+    STR.stream_dup_spans(src, index_dir, out_dir, str(tmp_path / "ckpt"), k=5)
+
+    cols = ["doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"]
+    got = canon(spark.read.parquet(f"{out_dir}/batch=*"), cols)
+    h1 = span_grams(b1, "text", "doc_id", 5).select("h").distinct()
+    h2 = span_grams(b2, "text", "doc_id", 5).select("h").distinct()
+    want_12 = canon(dup_spans_probe(b2, h1, "text", "doc_id", 5), cols)
+    want_21 = canon(dup_spans_probe(b1, h2, "text", "doc_id", 5), cols)
+    assert got in (want_12, want_21)
+
+    # index completeness + boundedness: every distinct gram present, and
+    # after compaction (grams layout dedups) rows == distinct hashes
+    n_all = h1.unionByName(h2).distinct().count()
+    idx = spark.read.parquet(f"{index_dir}/grams/*")
+    assert idx.select("h").distinct().count() == n_all
+    assert idx.count() == n_all  # anti-join append: no duplicate rows online
+    STR.compact_index(spark, index_dir, subdirs=("grams",))
+    assert spark.read.parquet(f"{index_dir}/grams/*").count() == n_all
