@@ -8672,4 +8672,39 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
 )
 
-_rotate_registry(DRIVER_SAMPLE_R9)
+# Round-10 rotation (the queue documented above DRIVER_SAMPLE_R9, executed
+# per VERDICT r9 "Next round #4"): round-10 declarations lead (appended to
+# the front of this tuple as each is declared — the tuple must stay valid
+# at every commit; each new declaration displaces one row from the END),
+# then ALL 42 remaining r6-evidence rows in registry order, then the
+# oldest r7-evidence rows as fill. With CORRECTNESS_r10 green, no registry
+# query's driver evidence is older than r7.
+#
+# R11 ROTATION QUEUE (build it as DRIVER_SAMPLE_R11): any never-sampled
+# r10/r11 declarations + the r7-evidence rows displaced from this tuple's
+# fill (regexp_extract_kw onward in registry order) + the remaining
+# r7-evidence rows; fill with the oldest r8-evidence rows.
+DRIVER_SAMPLE_R10: tuple[str, ...] = (
+    # round-10 declarations (never driver-sampled) — newest first
+    # r6-evidence rows, registry order (ALL 42)
+    "join_anti", "json_extract", "geo_radius_topk",
+    "geo_knn_join_adaptive", "geo_knn_join_nested", "km_to_miles",
+    "doc_token_count", "doc_profile", "doc_quality", "doc_repetition",
+    "hash_split", "multimodal_knn", "bpe_pair_counts", "ngram_diversity",
+    "cosine_calibration", "contrastive_pairs", "hierarchy_resolve",
+    "multimodal_pack", "pagerank_topk", "inverted_index", "skew_report",
+    "group_normalize", "quantiles_approx", "triangle_count",
+    "retention_cohorts", "bm25_topk", "graph_walks", "logreg_train",
+    "window_suite", "grouping_sets_counts", "pmi_cooccur",
+    "fuzzy_name_pairs", "shortest_paths", "name_canonicalize",
+    "group_distinct_approx", "array_ops_suite", "dim_profile",
+    "event_anomaly", "random_projection", "countmin_freq", "bootstrap_ci",
+    "pca_topcomp",
+    # oldest r7-evidence rows, registry order (fill to 50; each round-10
+    # declaration above displaces one row from the END of this block)
+    "struct_project", "threshold_flag", "status_breakdown",
+    "topk_per_group", "ordered_limit", "search_filter_limit",
+    "union_dedup", "regexp_extract_kw",
+)
+
+_rotate_registry(DRIVER_SAMPLE_R10)
