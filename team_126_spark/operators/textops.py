@@ -1685,3 +1685,50 @@ def code_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             & ((semi_share >= 0.2) | (indent_share >= 0.3) | (ident >= 3))
         ).alias("is_code"),
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    score_col: str,
+    lang_col: str,
+    id_col: str,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-LANGUAGE perplexity terciles (the CCNet head/middle/tail cut,
+    Wenzek et al. 2020) over an already-scored table — the bucketing stage
+    of q_ccnet_buckets, factored out so the cut strategy is a dial
+    (VERDICT r9 #1).
+
+    `exact=True`: ntile(3) over a per-language window ordered by
+    (score, id) — the oracle-mirrorable total order, but each language's
+    ENTIRE row set moves through ONE task (a window partition is a task),
+    so a dominant language at 100 TB funnels ~the whole corpus through a
+    single executor sort.
+
+    `exact=False`: the quality_gate precedent — per-language 1/3 and 2/3
+    cut values via percentile_approx (mergeable KLL-style sketch, fully
+    parallel partial aggregation; rank error ≤ lang_rows / accuracy),
+    BROADCAST back, bucket by comparison. No per-language sort exists
+    anywhere in the plan; the only shuffle is the partial-aggregated
+    groupBy on the language key. Buckets differ from exact only for rows
+    within the sketch's rank bound of a cut (ties at the cut value all
+    land in the lower bucket, where ntile splits them by id) — pinned on
+    the fixture in tests/test_dedup.py."""
+    s, lg = F.col(score_col), F.col(lang_col)
+    if exact:
+        nt = F.ntile(3).over(Window.partitionBy(lg).orderBy(s.asc(), F.col(id_col).asc()))
+        bucket = F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail")
+        return scored.select(*scored.columns, bucket.alias("ppl_bucket"))
+    cuts = scored.groupBy(lg.alias("_lang")).agg(
+        F.percentile_approx(s, F.lit([1.0 / 3.0, 2.0 / 3.0]), F.lit(int(accuracy))).alias("_cuts")
+    )
+    bucket = (
+        F.when(s <= F.col("_cuts")[0], "head")
+        .when(s <= F.col("_cuts")[1], "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), lg == F.col("_lang"))
+        .select(*scored.columns, bucket.alias("ppl_bucket"))
+    )

@@ -3909,24 +3909,18 @@ def q_doc_surprisal(spark, sf_dir):
     "LM-fluent third per language, so no language is penalized for "
     "being rare). Surprisal is the corpus-fit add-0.5 bigram LM of "
     "doc_surprisal (in CCNet the LM is a fixed reference corpus \u2014 the "
-    "bucketing machinery, per-lang ntile over a total order, is what "
-    "this op contributes); one window over the scored table, "
-    "deterministic via the (surprisal, doc_id) tie-break",
+    "bucketing machinery, per-lang terciles, is what this op "
+    "contributes); exact=True ntile path here (oracle-mirrorable total "
+    "order via the (surprisal, doc_id) tie-break); the 100 TB cut is "
+    "TO.ppl_buckets(exact=False) \u2014 per-lang percentile_approx cut "
+    "values broadcast back, no per-language single-task sort \u2014 pinned "
+    "against this path in pytest (VERDICT r9 #1)",
 )
 def q_ccnet_buckets(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sur = TO.bigram_surprisal(docs, "text", "doc_id")
     scored = docs.select("doc_id", "lang").join(sur, "doc_id")
-    w = Window.partitionBy("lang").orderBy(F.asc("surprisal"), F.asc("doc_id"))
-    nt = F.ntile(3).over(w)
-    return scored.select(
-        "doc_id",
-        "lang",
-        "surprisal",
-        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias(
-            "ppl_bucket"
-        ),
-    )
+    return TO.ppl_buckets(scored, "surprisal", "lang", "doc_id", exact=True)
 
 
 _FIM_PCT = 50
@@ -8179,6 +8173,87 @@ def q_hard_negatives(spark, sf_dir):
     return OV.hard_negatives(emb, anchors, "embedding", "vec_id", "label", k=3)
 
 
+def _hard_negatives_scoped_oracle_sql(
+    n_cells: int, nprobe: int, k: int, anchor_max: int
+) -> str:
+    """DuckDB twin of hard_negatives_scoped: the cluster_keywords IVF
+    assignment machinery (md5-sample centroids, unit-normalized argmax)
+    for BOTH the corpus cells and the anchors' top-nprobe probe cells,
+    then the same different-label window top-k as hard_negatives but
+    restricted to cell-equijoined pairs."""
+    md5key = X.md5_low32_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY {md5key}, vec_id) AS idx, embedding
+      FROM base ORDER BY {md5key}, vec_id LIMIT {n_cells}
+    ),
+    cent_unit AS MATERIALIZED (
+      SELECT idx, list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS u
+      FROM (SELECT idx, embedding, {V.norm_sql('embedding')} AS nrm FROM cent)
+    ),
+    cells AS (
+      SELECT vec_id, CAST(idx - 1 AS INT) AS cell FROM (
+        SELECT b.vec_id, c.idx,
+               row_number() OVER (PARTITION BY b.vec_id
+                    ORDER BY {V.dot_sql('b.embedding', 'c.u')} DESC, c.idx) AS rn
+        FROM base b, cent_unit c
+      ) WHERE rn = 1
+    ),
+    a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM base WHERE vec_id < {anchor_max}
+    ),
+    aprobe AS (
+      SELECT anchor_id, av, al, CAST(idx - 1 AS INT) AS cell FROM (
+        SELECT a.anchor_id, a.av, a.al, c.idx,
+               row_number() OVER (PARTITION BY a.anchor_id
+                    ORDER BY {V.dot_sql('a.av', 'c.u')} DESC, c.idx) AS pr
+        FROM a, cent_unit c
+      ) WHERE pr <= {nprobe}
+    ),
+    s AS (
+      SELECT p.anchor_id, b.vec_id AS negative_id, b.label AS negative_label,
+             round({V.cosine_similarity_sql('b.embedding', 'p.av')}, 6) AS cos_sim
+      FROM base b
+      JOIN cells cl ON b.vec_id = cl.vec_id
+      JOIN aprobe p ON cl.cell = p.cell AND b.label <> p.al
+    )
+    SELECT anchor_id, negative_id, negative_label, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rn
+      FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@declared(
+    "hard_negatives_scoped",
+    oracle=_hard_negatives_scoped_oracle_sql(n_cells=16, nprobe=2, k=3, anchor_max=32),
+    doc="§2.18 neighborhood-scoped hard-negative mining (VERDICT r9 #2 "
+    "— the 100 TB path the exact `hard_negatives` documents in prose): "
+    "each anchor mines its top-3 different-label negatives from its "
+    "nprobe=2 nearest IVF cells only, so pair count is |anchors| × "
+    "(nprobe/n_cells) × corpus and, with n_cells ∝ corpus, constant "
+    "per anchor. Hard negatives are near the anchor by definition, so "
+    "the probed cells are where they live — recall vs the exact pass "
+    "pinned in pytest. One map-only cell assign + broadcast centroid "
+    "probe + ONE equi-join on the cell id (hash join, no BNLJ in the "
+    "mining join); md5-sample centroids make every stage DuckDB-"
+    "twin-able (operators/vector.hard_negatives_scoped)",
+)
+def q_hard_negatives_scoped(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 32)
+    return OV.hard_negatives_scoped(
+        emb, anchors, "embedding", "vec_id", "label", k=3, n_cells=16, nprobe=2
+    )
+
+
 @declared(
     "code_detect",
     oracle=r"""
@@ -8686,6 +8761,7 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
+    "hard_negatives_scoped",
     # r6-evidence rows, registry order (ALL 42)
     "join_anti", "json_extract", "geo_radius_topk",
     "geo_knn_join_adaptive", "geo_knn_join_nested", "km_to_miles",
@@ -8704,7 +8780,7 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # declaration above displaces one row from the END of this block)
     "struct_project", "threshold_flag", "status_breakdown",
     "topk_per_group", "ordered_limit", "search_filter_limit",
-    "union_dedup", "regexp_extract_kw",
+    "union_dedup",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

@@ -230,6 +230,9 @@ def test_cartesian_allowlist_pinned(spark):
         "token_divergence", "classifier_auc_eval", "hybrid_ndcg_eval",
         "embedding_isotropy", "cluster_keywords", "rule_mining",
         "hard_negatives", "matryoshka_eval", "ccnet_buckets", "sketch_rollup",
+        # bounded n_cells-row centroid-probe broadcast (the mining join
+        # itself is a hash equi-join on the cell id)
+        "hard_negatives_scoped",
         # deterministic salt replication of the SMALL side
         "salted_join_fk",
         # declared exact O(n^2) oracle baseline (guarded by max_rows for
