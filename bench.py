@@ -257,6 +257,13 @@ HEADLINE = [
     "hybrid_ndcg_eval",
     "classifier_calibration",
     "embedding_isotropy",
+    # round-10 additions
+    "edit_distance_dedup",
+    "quality_ensemble",
+    "zipf_fit",
+    "doremi_weights",
+    "embedding_outliers",
+    "kcenter_select",
     # round-8 additions
     "dsir_weights",
     "dsir_resample",

@@ -1319,3 +1319,68 @@ def dup_spans_probe(
     grams = span_grams(new_docs, text_col, id_col, k)
     flagged = grams.join(corpus_hashes.select("h"), "h", "left_semi")
     return merge_flagged_spans(flagged, id_col, k)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str | None = None,
+    max_dist: int = 10,
+    len_bucket: int = 5,
+) -> DataFrame:
+    """Blocked TRUE-edit-distance near-dup pairs — the character-level
+    fuzzy dedup that catches what token fingerprints blur (one-char typo
+    storms, OCR noise, template fills): pairs within `max_dist`
+    Levenshtein edits of each other. Complements fuzzy_name_pairs
+    (entity names) with document-scale blocking semantics.
+
+    Scale shape: a Levenshtein all-pairs is corpus², so pairs are mined
+    per BLOCK — (lang, token_count // len_bucket) — and each row probes
+    its own and both ADJACENT length buckets, so a qualifying pair split
+    by a bucket boundary is still found (d edits change the token count
+    by at most d; keep len_bucket ≥ ~max_dist/2 for no-miss coverage of
+    near-equal-length dups). Fan-out is block-size² — a data invariant
+    like rule_mining's basket bound, never corpus². The probe explode is
+    3 slim rows per doc; the pair join is a hash equi-join on the block
+    key; Spark's bounded levenshtein(threshold) prunes the DP early for
+    far pairs. Each unordered pair is emitted ONCE (the smaller id is
+    always the probing side, so the (a<b, probe ∈ {k-1,k,k+1}) pair of
+    conditions matches exactly one orientation)."""
+    from ..functions.text import normalize_ws, token_count
+
+    lang = F.col(lang_col) if lang_col else F.lit("")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        lang.alias("_lang"),
+        normalize_ws(F.col(text_col)).alias("_nt"),
+        (token_count(F.col(text_col)) / len_bucket).cast("bigint").alias("_bkt"),
+    ).filter(F.col("_nt").isNotNull() & (F.col("_nt") != ""))
+    probes = base.select(
+        F.col("_id").alias("a_id"),
+        F.col("_lang").alias("_plang"),
+        F.col("_nt").alias("_ant"),
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_pbkt"),
+    )
+    rhs = base.select(
+        F.col("_id").alias("b_id"),
+        F.col("_lang").alias("_blang"),
+        F.col("_nt").alias("_bnt"),
+        F.col("_bkt").alias("_pbkt"),
+    )
+    lev = F.levenshtein(F.col("_ant"), F.col("_bnt"), max_dist)
+    return (
+        probes.join(rhs, ["_pbkt"])
+        .filter(
+            (F.col("_plang") == F.col("_blang")) & (F.col("a_id") < F.col("b_id"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.col("_plang").alias("lang"),
+            lev.alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

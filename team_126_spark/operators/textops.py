@@ -1732,3 +1732,194 @@ def ppl_buckets(
         scored.join(F.broadcast(cuts), lg == F.col("_lang"))
         .select(*scored.columns, bucket.alias("ppl_bucket"))
     )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Multi-signal quality RANK FUSION (the FineWeb/Dolma pattern:
+    several weak quality filters, each noisy alone, fused by rank so no
+    single signal's scale dominates): per group (language/source), each
+    doc is ranked under three independent signals — token count (longer
+    is richer), type-token ratio (distinct/total — repetition-resistant),
+    and mean token length (stub/fragment screen) — and the fused score is
+    the mean of its three ranks. Rank fusion beats z-score averaging on
+    heavy-tailed signals because ranks are scale-free and outlier-robust.
+
+    Plan shape: ONE tokenize pass computes all three signals (the
+    curate_corpus lesson); three row_number windows all PARTITIONED by
+    the group key (parallel across groups — never a global sort); ranks
+    are integers so the fused mean is exact before its one 6dp round.
+    Output: (id, group, n_tokens, ttr_r, mean_len_r, r_tokens, r_ttr,
+    r_len, fused_rank_r) — lower fused rank = higher ensemble quality."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    t = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        t.alias("_t"),
+    ).select(
+        F.col(id_col),
+        "grp",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.when(F.size("_t") > 0, F.size(F.array_distinct("_t")) / F.size("_t"))
+        .otherwise(F.lit(0.0))
+        .alias("_ttr"),
+        F.when(
+            F.size("_t") > 0,
+            F.aggregate(
+                F.col("_t"), F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+            )
+            / F.size("_t"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_mlen"),
+    )
+
+    def rank(col):
+        return F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.desc(col), F.asc(id_col))
+        )
+
+    return base.select(
+        F.col(id_col),
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.round("_ttr", 6).alias("ttr_r"),
+        F.round("_mlen", 6).alias("mean_len_r"),
+        rank("n_tokens").cast("bigint").alias("r_tokens"),
+        rank("_ttr").cast("bigint").alias("r_ttr"),
+        rank("_mlen").cast("bigint").alias("r_len"),
+    ).withColumn(
+        "fused_rank_r",
+        F.round((F.col("r_tokens") + F.col("r_ttr") + F.col("r_len")) / 3.0, 6),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf-law fit over the corpus token frequency spectrum: OLS of
+    ln(freq) on ln(rank) for the top_k terms — slope ≈ −1 is healthy
+    natural text; a flat slope flags template/boilerplate corpora and a
+    cliff flags tokenizer damage. The one-row corpus diagnostic every
+    curation dashboard wants next to doc_entropy's per-doc view.
+
+    Scale shape: the frequency table is one partial-aggregated groupBy;
+    ranking rides skew_report's UNCONDITIONALLY bounded top-k (per-
+    partition WindowGroupLimit prefilter — no single-task sort even over
+    a billion-term vocabulary); the regression folds over ONE
+    rank-sorted top_k-element array (bounded by the knob), left-to-right
+    — the deterministic-summation-order trick from the BPE/PCA oracles.
+    Output: (n_terms, slope_r, intercept_r, r2_r)."""
+    from .relational import skew_report
+    from ..functions.text import tokens
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    ranked = skew_report(tok, "t", top_k=top_k).select(
+        "rank", F.log("rank").alias("x"), F.log("cnt").alias("y")
+    )
+    arr = ranked.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "x", "y"))).alias("_a")
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxx"), F.lit(0.0).alias("syy"), F.lit(0.0).alias("sxy"),
+    )
+    sums = F.aggregate(
+        F.col("_a"),
+        zero,
+        lambda a, e: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["sx"] + e["x"]).alias("sx"),
+            (a["sy"] + e["y"]).alias("sy"),
+            (a["sxx"] + e["x"] * e["x"]).alias("sxx"),
+            (a["syy"] + e["y"] * e["y"]).alias("syy"),
+            (a["sxy"] + e["x"] * e["y"]).alias("sxy"),
+        ),
+    )
+    n, sx, sy = sums["n"], sums["sx"], sums["sy"]
+    sxx, syy, sxy = sums["sxx"], sums["syy"], sums["sxy"]
+    cov, varx = n * sxy - sx * sy, n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    # degenerate spectra (< 2 terms, or zero rank/count variance) fit
+    # nothing: NULL, not an ANSI divide-by-zero (empty-fixture sweep)
+    ok = (n >= 2) & (varx != 0)
+    slope = F.when(ok, cov / varx)
+    return arr.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope_r"),
+        F.round(F.when(ok, (sy - slope * sx) / n), 6).alias("intercept_r"),
+        F.round(
+            F.when(ok & (vary != 0), (cov * cov) / (varx * vary)), 6
+        ).alias("r2_r"),
+    )
+
+
+def doremi_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429, the proxy-loss form): domains whose texts the
+    corpus-fit LM finds HARDER than the corpus average get upweighted —
+    excess loss marks under-represented/under-learned domains, the
+    opposite dial from temperature_mix's pure count-based smoothing.
+    Loss proxy is the add-0.5 bigram surprisal (the doc_surprisal /
+    ccnet_buckets family); excess_s = max(0, avg_s − corpus_avg);
+    weight_s ∝ exp(eta · excess_s), softmax-normalized over domains.
+
+    Determinism: per-doc surprisals are 6dp-rounded, per-domain sums run
+    over DECIMAL(18,6) (exact, order-independent — the attribution
+    precedent), and only the final per-domain ratios round to 6dp; the
+    softmax denominator sums one value per DOMAIN (domain count is a
+    data invariant, broadcast back as a single-row aggregate).
+    Output: (domain, n_docs, avg_surprisal_r, excess_r, weight_r)."""
+    sur = bigram_surprisal(df, text_col, id_col)
+    per = (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+        .join(sur, id_col)
+        .select("domain", F.col("surprisal").cast("decimal(18,6)").alias("_s"))
+    )
+    dom = per.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_s").alias("_sum"),
+    )
+    tot = dom.agg(
+        F.sum("_sum").alias("_tsum"), F.sum("n_docs").alias("_tn")
+    )
+    scored = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        (F.col("_sum").cast("double") / F.col("n_docs")).alias("_avg"),
+        (F.col("_tsum").cast("double") / F.col("_tn")).alias("_base"),
+    ).select(
+        "domain",
+        "n_docs",
+        "_avg",
+        F.greatest(F.lit(0.0), F.col("_avg") - F.col("_base")).alias("_ex"),
+    )
+    denom = scored.agg(
+        F.sum(F.exp(F.lit(float(eta)) * F.col("_ex"))).alias("_z")
+    )
+    return scored.crossJoin(F.broadcast(denom)).select(
+        "domain",
+        "n_docs",
+        F.round("_avg", 6).alias("avg_surprisal_r"),
+        F.round("_ex", 6).alias("excess_r"),
+        F.round(F.exp(F.lit(float(eta)) * F.col("_ex")) / F.col("_z"), 6).alias(
+            "weight_r"
+        ),
+    )

@@ -1639,3 +1639,114 @@ def lsh_candidates_from_layout(
         .dropDuplicates([id_col])
         .drop("lsh_bucket")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Label-noise audit (the confident-learning / dataset-cartography
+    screen every labeled training set runs before fine-tuning): rows
+    whose embedding is ANTI-ALIGNED with their own label's centroid —
+    cosine(v, centroid_label) below `threshold` — are mislabel suspects:
+    a correctly-labeled row sits on its class centroid's side of the
+    sphere by construction (the centroid contains it).
+
+    Plan shape: per-label centroid via the embedding_centroids shape
+    (posexplode + partial-agg avg — shuffle carries label×dim scalar
+    sums, never vectors), rebuilt into arrays and BROADCAST back
+    (labels are a data invariant); one map-only cosine pass; the 6dp
+    round runs before the threshold compare so the cut is
+    engine-agnostic. Output: (id, label, cos_centroid_r) for flagged
+    rows — feed ids to a relabel/drop queue."""
+    cents = (
+        embedding_centroids(df, vec_col, label_col, id_col)
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("_cv")
+        )
+    )
+    scored = (
+        df.filter(F.col(vec_col).isNotNull())
+        .join(F.broadcast(cents), F.col(label_col) == F.col("grp"))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_cv")), 6).alias(
+                "cos_centroid_r"
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_centroid_r") < threshold)
+
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the geometric backbone of coreset data selection, e.g.
+    Sener & Savarese 2018 active learning): start from a deterministic
+    seed, then repeatedly add the point FARTHEST from the chosen set.
+    The k selected rows 2-approximate the optimal k-center cover, and
+    the per-round d_min trace IS the coverage-radius curve a curation
+    run reads to pick k. The diversity-first complement to semdedup's
+    redundancy removal.
+
+    Scale shape (the kmeans/BPE loop contract): the per-row min-distance
+    STATE is a slim (id, dmin) table updated by one map-only pass per
+    round (least(dmin, dist-to-new-center), broadcast single vector) and
+    localCheckpointed so plan depth stays linear; the argmax is a
+    rounded top-1 orderBy().limit(1) — TakeOrdered, a per-partition
+    max + k-way driver merge, never a global sort; driver state is ONE
+    row per round. Distances round to 6dp BEFORE both the least() fold
+    and the argmax so every engine cuts identically (round-before-sort).
+    Seed = lowest-(md5_low32(id), id) row — the ivf_centroids sample
+    family, so a SQL twin reproduces it. Output: (round, center_id,
+    d_min_r) with d_min_r the selection-time farthest distance (NULL
+    for the seed round)."""
+    from ..functions.text import md5_low32
+
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .localCheckpoint()
+    )
+    seed = (
+        base.orderBy(md5_low32(F.col("_id").cast("string")), F.col("_id"))
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        raise ValueError(
+            "kcenter_select: corpus has no non-null vectors — an empty "
+            "selection pool is a config error, not a result"
+        )
+    chosen = [(1, seed[0]["_id"], None)]
+    cvec = F.array(*[F.lit(float(x)) for x in seed[0]["_v"]])
+    state = base.select(
+        "_id", "_v", F.round(euclidean(F.col("_v"), cvec), 6).alias("_dmin")
+    ).localCheckpoint()
+    for r in range(2, int(k) + 1):
+        far = state.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        chosen.append((r, far["_id"], float(far["_dmin"])))
+        cvec = F.array(*[F.lit(float(x)) for x in far["_v"]])
+        state = state.select(
+            "_id",
+            "_v",
+            F.least(
+                F.col("_dmin"), F.round(euclidean(F.col("_v"), cvec), 6)
+            ).alias("_dmin"),
+        ).localCheckpoint()
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        chosen, f"round int, center_id {id_type}, d_min_r double"
+    )

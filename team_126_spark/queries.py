@@ -8747,6 +8747,303 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
 )
 
+@declared(
+    "edit_distance_dedup",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT doc_id, lang, {X.normalize_ws_sql('text')} AS nt,
+             {X.token_count_sql('text')} // 5 AS bkt
+      FROM documents
+      WHERE {X.normalize_ws_sql('text')} IS NOT NULL
+        AND {X.normalize_ws_sql('text')} <> ''
+    )
+    SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.lang AS lang,
+           levenshtein(x.nt, y.nt)::BIGINT AS dist
+    FROM b x JOIN b y
+      ON x.lang = y.lang AND abs(x.bkt - y.bkt) <= 1 AND x.doc_id < y.doc_id
+    WHERE levenshtein(x.nt, y.nt) <= 10
+    """,
+    doc="§2.18 blocked TRUE-edit-distance near-dup pairs (≤10 "
+    "Levenshtein edits): the character-level fuzzy dedup that catches "
+    "typo storms / OCR noise / template fills that token fingerprints "
+    "blur. Pairs mined per (lang, token-length-bucket) block with "
+    "adjacent-bucket probing — fan-out is block-size², a data "
+    "invariant, never corpus²; Spark's bounded levenshtein(threshold) "
+    "prunes the DP early (operators/dedup.edit_distance_pairs)",
+)
+def q_edit_distance_dedup(spark, sf_dir):
+    return D.edit_distance_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        lang_col="lang", max_dist=10, len_bucket=5,
+    )
+
+
+@declared(
+    "quality_ensemble",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, lang, {X.normalize_ws_sql('text')} AS nt FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, lang, len(t)::BIGINT AS n_tokens,
+             CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END AS ttr,
+             CASE WHEN len(t) > 0
+                  THEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                       / len(t)
+                  ELSE 0.0 END AS mlen
+      FROM tok
+    ),
+    rk AS (
+      SELECT doc_id, lang, n_tokens, ttr, mlen,
+             row_number() OVER (PARTITION BY lang
+                  ORDER BY n_tokens DESC, doc_id)::BIGINT AS r_tokens,
+             row_number() OVER (PARTITION BY lang
+                  ORDER BY ttr DESC, doc_id)::BIGINT AS r_ttr,
+             row_number() OVER (PARTITION BY lang
+                  ORDER BY mlen DESC, doc_id)::BIGINT AS r_len
+      FROM sig
+    )
+    SELECT doc_id, lang, n_tokens, round(ttr, 6) AS ttr_r,
+           round(mlen, 6) AS mean_len_r, r_tokens, r_ttr, r_len,
+           round((r_tokens + r_ttr + r_len) / 3.0, 6) AS fused_rank_r
+    FROM rk
+    """,
+    doc="§2.18 multi-signal quality rank fusion (the FineWeb/Dolma "
+    "ensemble pattern): per-language ranks under token count, "
+    "type-token ratio, and mean token length, fused as the mean rank — "
+    "scale-free and outlier-robust where z-score averages are not. ONE "
+    "tokenize pass for all three signals; all windows PARTITIONED by "
+    "lang (parallel, never a global sort); ranks are ints so the fused "
+    "mean is exact before its one 6dp round "
+    "(operators/textops.quality_ensemble)",
+)
+def q_quality_ensemble(spark, sf_dir):
+    return TO.quality_ensemble(load(spark, sf_dir, "documents"), "text", "doc_id", "lang")
+
+
+@declared(
+    "zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(str_split(nt, ' ')) AS t
+      FROM (SELECT {X.normalize_ws_sql('text')} AS nt FROM documents)
+      WHERE nt <> ''
+    ),
+    cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rank
+      FROM cnt QUALIFY rank <= 100
+    ),
+    xy AS (SELECT ln(rank) AS x, ln(c) AS y FROM rk),
+    s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy
+    )
+    SELECT n::BIGINT AS n_terms,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             AS slope_r,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                 THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 END, 6) AS intercept_r,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                       AND n * syy - sy * sy <> 0
+                 THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+             AS r2_r
+    FROM s
+    """,
+    doc="§2.18 Zipf-law fit of the corpus token frequency spectrum: OLS "
+    "of ln(freq) on ln(rank) over the top-100 terms — slope ≈ −1 is "
+    "healthy natural text, flat flags boilerplate, a cliff flags "
+    "tokenizer damage. Frequency table is one partial-agg groupBy; "
+    "ranking rides skew_report's UNCONDITIONALLY bounded top-k "
+    "(WindowGroupLimit prefilter, no single-task vocab sort); the "
+    "regression folds one rank-sorted bounded array left-to-right "
+    "(operators/textops.zipf_fit)",
+)
+def q_zipf_fit(spark, sf_dir):
+    return TO.zipf_fit(load(spark, sf_dir, "documents"), "text", "doc_id", top_k=100)
+
+
+_DOREMI_SURPRISAL_CTES = f"""
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN nt IS NULL OR nt = '' THEN []
+                  ELSE str_split(nt, ' ') END AS t
+      FROM (SELECT doc_id, {X.normalize_ws_sql('text')} AS nt FROM documents)
+    ),
+    big AS (
+      SELECT doc_id, s.prev, s.tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {{'prev': t[i], 'tok': t[i + 1]}})) AS s
+        FROM tok WHERE len(t) >= 2
+      )
+    ),
+    c2 AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS c2
+           FROM big GROUP BY prev, tok),
+    c1 AS (SELECT prev, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY prev),
+    v AS (
+      SELECT CAST(count(DISTINCT u.tk) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS tk FROM tok) u
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             round(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS surprisal
+      FROM big b JOIN c2 USING (prev, tok) JOIN c1 USING (prev), v
+      GROUP BY b.doc_id
+    )"""
+
+
+@declared(
+    "doremi_weights",
+    oracle=f"""
+    WITH {_DOREMI_SURPRISAL_CTES},
+    scored AS (
+      SELECT d.source AS domain,
+             CAST(COALESCE(p.surprisal, 0.0) AS DECIMAL(18,6)) AS s
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    dom AS (
+      SELECT domain, count(*)::BIGINT AS n_docs, sum(s) AS ssum
+      FROM scored GROUP BY domain
+    ),
+    tot AS (SELECT sum(ssum) AS tsum, sum(n_docs) AS tn FROM dom),
+    ex AS (
+      SELECT domain, n_docs,
+             CAST(ssum AS DOUBLE) / n_docs AS avg_s,
+             greatest(0.0, CAST(ssum AS DOUBLE) / n_docs
+                           - CAST(tsum AS DOUBLE) / tn) AS exs
+      FROM dom, tot
+    ),
+    z AS (SELECT sum(exp(1.0 * exs)) AS zz FROM ex)
+    SELECT domain, n_docs, round(avg_s, 6) AS avg_surprisal_r,
+           round(exs, 6) AS excess_r,
+           round(exp(1.0 * exs) / zz, 6) AS weight_r
+    FROM ex, z
+    """,
+    doc="§2.18 DoReMi-style domain reweighting (Xie et al. 2023, the "
+    "proxy-loss form): domains the corpus-fit bigram LM finds HARDER "
+    "than average get exp(η·excess-loss) softmax upweights — the "
+    "loss-driven mixing dial, vs temperature_mix's count-based one. "
+    "Per-domain sums run over DECIMAL(18,6) (exact, order-independent "
+    "— the attribution precedent); the softmax denominator sums one "
+    "value per domain (a data invariant) as a broadcast scalar "
+    "(operators/textops.doremi_weights)",
+)
+def q_doremi_weights(spark, sf_dir):
+    return TO.doremi_weights(
+        load(spark, sf_dir, "documents"), "text", "doc_id", "source", eta=1.0
+    )
+
+
+@declared(
+    "embedding_outliers",
+    oracle=f"""
+    WITH nz AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM nz
+    ),
+    cent AS (SELECT label, pos, round(avg(val), 6) AS c
+             FROM ex GROUP BY label, pos),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT n.vec_id, n.label,
+             round({V.cosine_similarity_sql('n.embedding', 'a.cv')}, 6)
+               AS cos_centroid_r
+      FROM nz n JOIN carr a USING (label)
+    )
+    SELECT vec_id, label, cos_centroid_r FROM scored WHERE cos_centroid_r < 0.0
+    """,
+    doc="§2.18 label-noise audit (confident-learning screen): rows whose "
+    "embedding is ANTI-ALIGNED with their own label's centroid "
+    "(cosine < 0) are mislabel suspects — a correct row sits on its "
+    "class centroid's side by construction. Centroids via the "
+    "embedding_centroids shape (posexplode partial-agg avg — shuffle "
+    "carries label×dim scalars, never vectors) broadcast back; one "
+    "map-only cosine pass; 6dp round BEFORE the threshold compare "
+    "(operators/vector.embedding_outliers)",
+)
+def q_embedding_outliers(spark, sf_dir):
+    return OV.embedding_outliers(
+        load(spark, sf_dir, "embeddings"), "embedding", "label", "vec_id",
+        threshold=0.0,
+    )
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """DuckDB twin of kcenter_select: unrolled farthest-point rounds —
+    c{{r}} = rounded-distance argmax over the running min-distance table
+    d{{r-1}}, d{{r}} = least-fold of the new center's distances (the
+    bpe_train unrolled-round pattern; seed = the ivf_centroids md5
+    sample's first row)."""
+    md5key = X.md5_low32_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""base AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c1 AS (SELECT vec_id, embedding FROM base ORDER BY {md5key}, vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT b.vec_id, b.embedding,
+             round({V.euclidean_sql('b.embedding', 'c.embedding')}, 6) AS dmin
+      FROM base b, c1 c
+    )"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""
+    c{r} AS (SELECT vec_id, embedding, dmin FROM d{r - 1}
+             ORDER BY dmin DESC, vec_id LIMIT 1)""")
+        if r < k:
+            parts.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding,
+             least(d.dmin, round({V.euclidean_sql('d.embedding', 'c.embedding')}, 6))
+               AS dmin
+      FROM d{r - 1} d, c{r} c
+    )""")
+    unions = "\n      UNION ALL\n".join(
+        ["      SELECT 1 AS round, vec_id AS center_id,"
+         " CAST(NULL AS DOUBLE) AS d_min_r FROM c1"]
+        + [
+            f"      SELECT {r}, vec_id, dmin FROM c{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    return "\n    WITH " + ",".join(parts) + "\n    SELECT * FROM (\n" + unions + "\n    )"
+
+
+@declared(
+    "kcenter_select",
+    oracle=_kcenter_oracle_sql(8),
+    doc="§2.18 greedy k-center coreset selection (Gonzalez 1985 "
+    "farthest-point traversal; Sener & Savarese 2018 coreset active "
+    "learning): seed at the md5-sample row, then 7 rounds of "
+    "add-the-farthest-point — a 2-approximation of the optimal "
+    "k-center cover, and the d_min trace is the coverage-radius curve "
+    "curation reads to pick k. Diversity-first complement to "
+    "semdedup's redundancy removal. Per round: one map-only "
+    "least(dmin, dist) pass over a slim checkpointed (id, dmin) table "
+    "+ a rounded top-1 TakeOrdered; ONE driver row per round (kmeans "
+    "precedent); distances round 6dp before every compare "
+    "(operators/vector.kcenter_select; oracle unrolls rounds like "
+    "tokenizer_bpe_train)",
+)
+def q_kcenter_select(spark, sf_dir):
+    return OV.kcenter_select(load(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=8)
+
+
 # Round-10 rotation (the queue documented above DRIVER_SAMPLE_R9, executed
 # per VERDICT r9 "Next round #4"): round-10 declarations lead (appended to
 # the front of this tuple as each is declared — the tuple must stay valid
@@ -8761,6 +9058,8 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
+    "edit_distance_dedup", "quality_ensemble", "zipf_fit",
+    "doremi_weights", "embedding_outliers", "kcenter_select",
     "hard_negatives_scoped",
     # r6-evidence rows, registry order (ALL 42)
     "join_anti", "json_extract", "geo_radius_topk",
@@ -8778,9 +9077,7 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "pca_topcomp",
     # oldest r7-evidence rows, registry order (fill to 50; each round-10
     # declaration above displaces one row from the END of this block)
-    "struct_project", "threshold_flag", "status_breakdown",
-    "topk_per_group", "ordered_limit", "search_filter_limit",
-    "union_dedup",
+    "struct_project",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

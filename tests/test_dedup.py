@@ -971,3 +971,36 @@ def test_duplicated_spans_recovers_full_run(spark):
         (2, 17, 23): 3,
         (3, 1, 7): 3,
     }
+
+
+def test_edit_distance_pairs_blocking_and_uniqueness(spark):
+    """Hand-built corpus: a one-word-substitution near-dup pair is found
+    (dist = edit distance of the substituted word), a pair straddling a
+    length-bucket boundary is still found via the adjacent-bucket probe,
+    a far pair is absent, every pair is emitted exactly ONCE, and
+    cross-language pairs never form."""
+    from team_126_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog today"),
+        (2, "en", "the quick brown fox jumps over the lazy cat today"),  # ~3 edits
+        # 14 tokens vs 11 -> bucket 2 vs 2? craft: 9 tokens vs 11 tokens
+        (3, "en", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (4, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa xx"),
+        (5, "en", "completely different text with nothing in common at all"),
+        (6, "fr", "the quick brown fox jumps over the lazy dog today"),  # wrong lang
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", lang_col="lang", max_dist=10, len_bucket=5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 3  # dog -> cat
+    # docs 3 (9 tokens, bucket 1) and 4 (11 tokens, bucket 2): adjacent
+    # buckets, 9 appended chars -> dist 9 <= 10
+    assert (3, 4) in got and got[(3, 4)] == 9
+    assert not any(5 in p for p in got)
+    assert not any(6 in p for p in got)  # language block
+    assert len(got) == len(set(got))  # emitted once each

@@ -1080,3 +1080,64 @@ def test_ppl_buckets_approx_dial_matches_exact(spark):
     # ("ntile(3)" not bare "ntile" — percentile_approx contains the substring)
     assert "Window" not in ap and "ntile(3)" not in ap
     assert "ntile(3)" in ep
+
+
+def test_quality_ensemble_hand_ranks(spark):
+    """Hand-built group: ranks per signal and the fused mean are exactly
+    the hand computation; ranks stay within-language."""
+    from team_126_spark.operators.textops import quality_ensemble
+
+    rows = [
+        (1, "en", "aa bb cc dd"),          # 4 toks, ttr 1.0, mlen 2.0
+        (2, "en", "aa aa aa"),             # 3 toks, ttr 1/3, mlen 2.0
+        (3, "en", "longword otherlongword"),  # 2 toks, ttr 1.0, mlen 10.5
+        (4, "fr", "un"),                   # own language: all ranks 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r["doc_id"]: (r["r_tokens"], r["r_ttr"], r["r_len"], r["fused_rank_r"])
+        for r in quality_ensemble(df, "text", "doc_id", "lang").collect()
+    }
+    assert got[1] == (1, 1, 2, round((1 + 1 + 2) / 3.0, 6))
+    assert got[2] == (2, 3, 3, round((2 + 3 + 3) / 3.0, 6))
+    assert got[3] == (3, 2, 1, 2.0)
+    assert got[4] == (1, 1, 1, 1.0)
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """Synthetic corpus with freq(rank) = round(1000 * rank^-1): the OLS
+    fit recovers slope ~ -1 with r2 ~ 1 (rounding noise only)."""
+    from team_126_spark.operators.textops import zipf_fit
+
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_fit(df, "text", "doc_id", top_k=100).collect()[0]
+    assert row["n_terms"] == 30
+    assert abs(row["slope_r"] + 1.0) < 0.02, row["slope_r"]
+    assert row["r2_r"] > 0.999
+
+
+def test_doremi_weights_upweights_hard_domain(spark):
+    """Two domains: one of repeated trivially-predictable text (low
+    surprisal), one of shuffled word-order text (high surprisal). The
+    hard domain gets excess > 0 and the larger weight; weights sum to 1;
+    the easy domain's excess clamps at 0."""
+    from team_126_spark.operators.textops import doremi_weights
+
+    easy = [(i, "easy", "aa bb aa bb aa bb aa bb") for i in range(10)]
+    hard_texts = [
+        "zz qq aa ww bb", "qq zz bb aa ww", "ww aa zz bb qq",
+        "bb ww qq zz aa", "aa qq ww bb zz", "zz bb ww qq aa",
+        "qq aa zz ww bb", "ww zz bb aa qq", "bb aa qq ww zz",
+        "aa ww bb zz qq",
+    ]
+    hard = [(100 + i, "hard", t) for i, t in enumerate(hard_texts)]
+    df = spark.createDataFrame(easy + hard, ["doc_id", "source", "text"])
+    got = {
+        r["domain"]: r for r in doremi_weights(df, "text", "doc_id", "source").collect()
+    }
+    assert got["hard"]["excess_r"] > 0 and got["easy"]["excess_r"] == 0.0
+    assert got["hard"]["weight_r"] > got["easy"]["weight_r"]
+    assert abs(got["hard"]["weight_r"] + got["easy"]["weight_r"] - 1.0) < 1e-5

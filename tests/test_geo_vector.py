@@ -847,3 +847,46 @@ def test_lsh_layout_partition_pruned_probe_matches_memory(spark, tmp_path):
         for r in spark.read.parquet(*probed_files).dropDuplicates(["vec_id"]).collect()
     }
     assert from_probed == got
+
+
+def test_embedding_outliers_flags_planted_flip(spark):
+    """Two tight clusters with labels 0/1 plus one vector whose label is
+    FLIPPED: only the flipped row is anti-aligned with its own label
+    centroid and flagged."""
+    from team_126_spark.operators.vector import embedding_outliers
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [-1.0, 0.0, 0.0, 0.0]
+    rows = (
+        [(i, 0, [x + 0.01 * i for x in a]) for i in range(1, 6)]
+        + [(10 + i, 1, [x + 0.01 * i for x in b]) for i in range(1, 6)]
+        + [(99, 0, b)]  # mislabeled: points at cluster 1, labeled 0
+    )
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+    got = embedding_outliers(df, "embedding", "label", "vec_id").collect()
+    assert [(r["vec_id"], r["label"]) for r in got] == [(99, 0)]
+    assert got[0]["cos_centroid_r"] < 0
+
+
+def test_kcenter_select_farthest_point_traversal(spark):
+    """Hand-built 1-D line {0, 1, 10} embedded in 4-D (plus duplicates
+    near 0): after the deterministic seed, every next pick is the
+    farthest remaining point from the chosen set and d_min decreases
+    monotonically."""
+    from team_126_spark.operators.vector import kcenter_select
+
+    def v(x):
+        return [float(x), 0.0, 0.0, 0.0]
+
+    rows = [(1, v(0.0)), (2, v(0.1)), (3, v(1.0)), (4, v(10.0)), (5, v(0.05))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = kcenter_select(df, "embedding", "vec_id", k=4).collect()
+    assert [r["round"] for r in got] == [1, 2, 3, 4]
+    assert got[0]["d_min_r"] is None
+    seed = got[0]["center_id"]
+    # whatever the md5 seed is, pick 2 must be the farthest point from it
+    xs = {1: 0.0, 2: 0.1, 3: 1.0, 4: 10.0, 5: 0.05}
+    far = max(xs, key=lambda i: (abs(xs[i] - xs[seed]), -i))
+    assert got[1]["center_id"] == far
+    d = [r["d_min_r"] for r in got[1:]]
+    assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
