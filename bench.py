@@ -34,6 +34,11 @@ from team_126_spark.queries import REGISTRY  # noqa: E402
 from team_126_spark.session import get_spark  # noqa: E402
 from team_126_spark.tables import table as _table  # noqa: E402
 
+# idle-gate knobs (VERDICT r9 #8): don't start the timed pass on a busy box
+_IDLE_LOAD_GATE = 8.0   # 1-min load average; box has 32 CPUs
+_IDLE_MAX_WAIT = 300    # seconds, bounded so an unattended driver never stalls
+
+
 
 def _simhash_xx(spark, sf_dir):
     return _D.simhash64(_table(spark, sf_dir, "documents"), "text", "doc_id")
@@ -313,26 +318,43 @@ def main() -> None:
         sorted(benched.items(), key=lambda kv: -prev.get(kv[0], float("inf")))
     )
 
+    # Idle-gate (VERDICT r9 #8): the committed r9 run started at load ~5
+    # and flagged two rows it then had to self-adjudicate. Wait (bounded)
+    # for the box to drain before the timed pass — measuring on a loaded
+    # box is strictly worse than starting late.
+    idle_waited = 0
+    try:
+        while os.getloadavg()[0] > _IDLE_LOAD_GATE and idle_waited < _IDLE_MAX_WAIT:
+            print(
+                f"idle-gate: load {os.getloadavg()[0]:.1f} > {_IDLE_LOAD_GATE}, "
+                f"waiting ({idle_waited}s/{_IDLE_MAX_WAIT}s)",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+            idle_waited += 30
+    except OSError:  # pragma: no cover
+        pass
+
     # Three timed runs per query, report the MEDIAN: the min rewards a lucky
     # run and the mean is dragged by one-off JIT/GC/OS stalls; the n=3
     # median damps the box's documented contention noise (SCALING.md) that
     # made r02's simhash/minhash rows look regressed.
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for name, fn in benched.items():
+    def measure(fn):
         runs = []
         for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         med = sorted(runs)[1]
-        timings[name] = round(med, 3)
         # per-row noise indicator: (max-min)/median. A row with spread > ~1
-        # was hit by contention mid-measurement — read its median with that
-        # in mind instead of adjudicating it as a regression (three straight
-        # verdict rounds did exactly that; see README "Benchmark
-        # methodology").
-        spread[name] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
+        # was hit by contention mid-measurement.
+        spr = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
+        return round(med, 3), spr, runs
+
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name, fn in benched.items():
+        timings[name], spread[name], runs = measure(fn)
         if spread[name] > 1.0:
             # self-adjudicating contention marker (VERDICT r8 #5): the
             # row's median was measured under shifting load — read it with
@@ -340,6 +362,28 @@ def main() -> None:
             print(
                 f"WARN contention: {name} spread={spread[name]} "
                 f"runs={[round(r, 2) for r in runs]} load={os.getloadavg()[0]:.1f}",
+                file=sys.stderr,
+            )
+
+    # Auto-rerun (VERDICT r9 #8): flagged rows get ONE fresh 3-run
+    # measurement at the end of the pass (the box has usually drained by
+    # then). The rerun REPLACES the flagged median only if its own spread
+    # is clean; both measurements are recorded in the detail file so no
+    # number silently disappears.
+    reruns: dict[str, dict] = {}
+    for name in [n for n, s in spread.items() if s > 1.0]:
+        med2, spr2, _ = measure(benched[name])
+        reruns[name] = {
+            "first_median": timings[name], "first_spread": spread[name],
+            "rerun_median": med2, "rerun_spread": spr2,
+            "applied": spr2 <= 1.0,
+        }
+        if spr2 <= 1.0:
+            timings[name], spread[name] = med2, spr2
+            print(
+                f"rerun applied: {name} {reruns[name]['first_median']}s "
+                f"(spread {reruns[name]['first_spread']}) -> {med2}s "
+                f"(spread {spr2})",
                 file=sys.stderr,
             )
 
@@ -359,7 +403,7 @@ def main() -> None:
     # per-query detail goes to a COMMITTED file the judge reads directly,
     # and the final stdout line is a compact summary asserted < 1,800 chars.
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    detail, final_line = build_outputs(timings, spread, [la1, la5, la15], sf)
+    detail, final_line = build_outputs(timings, spread, [la1, la5, la15], sf, reruns, idle_waited)
     with open(os.path.join(repo_root, detail["detail_file"]), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -399,7 +443,7 @@ def infer_round() -> int:
     return (max(seen) + 1) if seen else 1
 
 
-def build_outputs(timings, spread, load_avg, sf):
+def build_outputs(timings, spread, load_avg, sf, reruns=None, idle_waited=0):
     """Build (detail dict, compact final stdout line).
 
     The final line carries the headline total + the top-10 slowest rows and
@@ -430,6 +474,10 @@ def build_outputs(timings, spread, load_avg, sf):
         # under shifting load; self-adjudicating (VERDICT r8 #5)
         "contention_warned": sorted(n for n, s in spread.items() if s > 1.0),
         "load_avg": load_avg,
+        # contention-flagged rows re-measured once at pass end (VERDICT r9
+        # #8); "applied" reruns replaced the flagged median above
+        "reruns": reruns or {},
+        "idle_waited_sec": idle_waited,
         "detail_file": detail_name,
     }
     slowest = dict(

@@ -1343,10 +1343,21 @@ def edit_distance_pairs(
     near-equal-length dups). Fan-out is block-size² — a data invariant
     like rule_mining's basket bound, never corpus². The probe explode is
     3 slim rows per doc; the pair join is a hash equi-join on the block
-    key; Spark's bounded levenshtein(threshold) prunes the DP early for
-    far pairs. Each unordered pair is emitted ONCE (the smaller id is
-    always the probing side, so the (a<b, probe ∈ {k-1,k,k+1}) pair of
-    conditions matches exactly one orientation)."""
+    key; a char-length prefilter (|len_a − len_b| > max_dist ⇒ dist >
+    max_dist, a necessary condition — result-identical) skips the DP
+    entirely for length-mismatched pairs, and Spark's bounded
+    levenshtein(threshold) abandons the rest early. Each unordered pair
+    is emitted ONCE (the smaller id is always the probing side, so the
+    (a<b, probe ∈ {k-1,k,k+1}) pair of conditions matches exactly one
+    orientation).
+
+    Density caveat (the geo_knn_join scale-probe lesson): on a corpus
+    where near-dups are PLANTED densely (e.g. the 10× replication probe,
+    whose per-copy token suffixes keep short docs within edit range of
+    their siblings), the OUTPUT itself grows ~density² — the probe then
+    measures pair throughput, not scan scaling. Production corpora route
+    bulk dedup through MinHash first and run this pass as the fine
+    verifier on the candidate residue."""
     from ..functions.text import normalize_ws, token_count
 
     lang = F.col(lang_col) if lang_col else F.lit("")
@@ -1374,7 +1385,13 @@ def edit_distance_pairs(
     return (
         probes.join(rhs, ["_pbkt"])
         .filter(
-            (F.col("_plang") == F.col("_blang")) & (F.col("a_id") < F.col("b_id"))
+            (F.col("_plang") == F.col("_blang"))
+            & (F.col("a_id") < F.col("b_id"))
+            # necessary condition for dist <= max_dist: cheap length gate
+            # before the O(len·d) DP
+            & (
+                F.abs(F.length("_ant") - F.length("_bnt")) <= F.lit(int(max_dist))
+            )
         )
         .select(
             "a_id",
