@@ -1923,3 +1923,70 @@ def doremi_weights(
             "weight_r"
         ),
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Apply learned BPE merge rules to ENCODE the corpus — the other
+    half of the tokenizer loop (`bpe_train` induces the rules; every
+    training pipeline then encodes 100 TB with them). Sennrich-style
+    apply: each merge rule replays over the vocabulary in learned order
+    with the SAME greedy left-to-right fold training used, so
+    train→apply round-trips exactly.
+
+    Vocab-level like training (the 100 TB trick): rules apply to the
+    DISTINCT-word table (|vocab| rows, localCheckpointed per rule so
+    plan depth stays linear), and per-doc token counts come from one
+    equi-join of the doc→word explode onto the encoded vocab — the
+    corpus is scanned once, the fold never touches corpus-scale rows.
+    `merges=None` trains the rules in place via bpe_train (driver holds
+    n_merges pairs — bounded). All emitted sums are integers; the
+    chars-per-BPE-token compression ratio is one division rounded 6dp.
+    Output: (id, n_words, n_chars, n_bpe_tokens, compression_r) for
+    docs with ≥ 1 alnum word."""
+    if merges is None:
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_train(df, text_col, id_col, n_merges).collect()
+        ]
+    docw = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    vocab = (
+        docw.select("word").distinct()
+        .select("word", F.split("word", "").alias("syms"))
+        .localCheckpoint()
+    )
+    for a, b in merges:
+        # symbols are ^[a-z0-9]+$ by construction: literal inlining is safe
+        fold = (
+            f"aggregate(slice(syms, 2, greatest(size(syms)-1, 0)), "
+            f"slice(syms, 1, 1), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}' "
+            f"THEN concat(slice(acc, 1, size(acc)-1), array('{a}{b}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+        vocab = vocab.select("word", F.expr(fold).alias("syms")).localCheckpoint()
+    enc = vocab.select(
+        "word",
+        F.length("word").cast("bigint").alias("_nc"),
+        F.size("syms").cast("bigint").alias("_nb"),
+    )
+    return (
+        docw.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("_nc").cast("bigint").alias("n_chars"),
+            F.sum("_nb").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression_r",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
+        )
+    )

@@ -8747,6 +8747,71 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
 )
 
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of textops.bpe_apply: the _bpe_train_oracle_sql round
+    chain with `word` carried through every w{r} CTE (apply needs the
+    encoded symbol count PER WORD, not just the merge table), then one
+    doc→word join aggregating integer sums per doc."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""
+    p{r} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS c FROM (
+        SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+        FROM w{r - 1} WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT word, cnt,
+             str_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN regexp_extract(acc, '[^|]*$') = bb.a AND x = bb.b
+               THEN substr(acc, 1, len(acc) - len(bb.a)) || bb.a || bb.b
+               ELSE acc || '|' || x END), '|') AS syms
+      FROM w{r - 1} CROSS JOIN best{r} bb
+    )""")
+    return f"""
+    WITH docw AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(str_split({X.normalize_ws_sql('text')}, ' ')) AS word
+        FROM documents WHERE {X.normalize_ws_sql('text')} <> ''
+      ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS cnt, str_split(word, '') AS syms
+      FROM docw GROUP BY word
+    ),{",".join(rounds)},
+    enc AS (
+      SELECT word, len(word)::BIGINT AS nc, len(syms)::BIGINT AS nb
+      FROM w{n_merges}
+    )
+    SELECT d.doc_id, count(*)::BIGINT AS n_words,
+           sum(e.nc)::BIGINT AS n_chars,
+           sum(e.nb)::BIGINT AS n_bpe_tokens,
+           round(sum(e.nc) / CAST(sum(e.nb) AS DOUBLE), 6) AS compression_r
+    FROM docw d JOIN enc e USING (word)
+    GROUP BY d.doc_id
+    """
+
+
+@declared(
+    "tokenizer_bpe_apply",
+    oracle=_bpe_apply_oracle_sql(8),
+    doc="§2.18 BPE ENCODE — the other half of the tokenizer loop "
+    "(tokenizer_bpe_train induces the 8 merge rules; this applies them "
+    "to the corpus): each rule replays over the DISTINCT-word table in "
+    "learned order with the SAME greedy left-to-right fold training "
+    "used (train→apply round-trips exactly), then ONE doc→word "
+    "equi-join aggregates per-doc integer token sums — the corpus is "
+    "scanned once, the fold never touches corpus-scale rows. "
+    "compression_r = chars per BPE token, the number a tokenizer "
+    "budget meeting actually reads. Oracle carries `word` through the "
+    "unrolled round CTEs (operators/textops.bpe_apply)",
+)
+def q_tokenizer_bpe_apply(spark, sf_dir):
+    return TO.bpe_apply(load(spark, sf_dir, "documents"), "text", "doc_id", n_merges=8)
+
+
 @declared(
     "edit_distance_dedup",
     oracle=f"""
@@ -9058,6 +9123,7 @@ def q_kcenter_select(spark, sf_dir):
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
+    "tokenizer_bpe_apply",
     "edit_distance_dedup", "quality_ensemble", "zipf_fit",
     "doremi_weights", "embedding_outliers", "kcenter_select",
     "hard_negatives_scoped",
@@ -9075,9 +9141,6 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "group_distinct_approx", "array_ops_suite", "dim_profile",
     "event_anomaly", "random_projection", "countmin_freq", "bootstrap_ci",
     "pca_topcomp",
-    # oldest r7-evidence rows, registry order (fill to 50; each round-10
-    # declaration above displaces one row from the END of this block)
-    "struct_project",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

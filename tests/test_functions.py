@@ -1141,3 +1141,27 @@ def test_doremi_weights_upweights_hard_domain(spark):
     assert got["hard"]["excess_r"] > 0 and got["easy"]["excess_r"] == 0.0
     assert got["hard"]["weight_r"] > got["easy"]["weight_r"]
     assert abs(got["hard"]["weight_r"] + got["easy"]["weight_r"] - 1.0) < 1e-5
+
+
+def test_bpe_apply_round_trips_training_merges(spark):
+    """Train→apply round-trip on a hand corpus: with one learned merge
+    (a,a)→'aa', the word 'aa' encodes to ONE symbol; integer sums and
+    the compression ratio match the hand computation; every doc's BPE
+    token count is bounded by its char count (merges only shrink)."""
+    from team_126_spark.operators.textops import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aa aa b"), (2, "aa ccc")], ["doc_id", "text"]
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_train(df, "text", "doc_id", 1).collect()]
+    assert merges == [("a", "a")]
+    got = {r["doc_id"]: r for r in bpe_apply(df, "text", "doc_id", n_merges=1).collect()}
+    # doc 1: words aa aa b -> chars 5, bpe tokens 1+1+1=3
+    assert (got[1]["n_words"], got[1]["n_chars"], got[1]["n_bpe_tokens"]) == (3, 5, 3)
+    assert got[1]["compression_r"] == round(5 / 3, 6)
+    # doc 2: aa(1 sym) ccc(3 syms: merge doesn't apply) -> 5 chars, 4 tokens
+    assert (got[2]["n_words"], got[2]["n_chars"], got[2]["n_bpe_tokens"]) == (2, 5, 4)
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = bpe_apply(fixture, "text", "doc_id", n_merges=8).collect()
+    assert enc and all(r["n_bpe_tokens"] <= r["n_chars"] for r in enc)
+    assert all(r["compression_r"] >= 1.0 for r in enc)
