@@ -263,6 +263,7 @@ HEADLINE = [
     "classifier_calibration",
     "embedding_isotropy",
     # round-10 additions
+    "lsh_index_probe",
     "tokenizer_bpe_apply",
     "edit_distance_dedup",
     "quality_ensemble",

@@ -8747,6 +8747,66 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
     "null_filter", "agg_pricing_summary", "join_multi", "join_semi",
 )
 
+@declared(
+    "lsh_index_probe",
+    oracle=f"""
+    WITH {_lsh_cand_ctes(dim=64, n_planes=8, n_tables=4, n_probe_bits=4)}
+    SELECT e.vec_id,
+           round({V.cosine_similarity_sql('e.embedding', 'probe')}, 6) AS cos_r
+    FROM embeddings e JOIN cands USING (vec_id), {_PROBE_VEC_SQL}
+    """,
+    doc="§2.18 partition-prunable LSH layout as a maintained INDEX (the "
+    "14th streaming surface's batch replay, VERDICT r9 #6): the corpus "
+    "lands as three real parquet layout dirs (seed + two ingest "
+    "batches) of EXPLODED (row, lsh_bucket) rows — bucket ids are pure "
+    "row-local integer-plane arithmetic, so batches need no corpus "
+    "state — and the probe reads the stitched layout "
+    "(read_index_layout), filters to its multi-probed buckets (a "
+    "PartitionFilter once compact_index_partitioned rewrites seed/ "
+    "partitionBy lsh_bucket), and dedups per id. Candidate set is "
+    "pinned identical to the in-memory lsh_candidates and the DuckDB "
+    "integer-plane twin (streaming/pipeline.stream_lsh_layout)",
+)
+def q_lsh_index_probe(spark, sf_dir):
+    from .streaming.pipeline import read_index_layout
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = _pid_index_dir("lshlayout", sf_dir)
+
+    def exploded(df):
+        return (
+            OV.with_lsh_buckets(
+                df.filter(F.col("embedding").isNotNull()), "embedding", 64, 8, 4
+            )
+            .withColumn("lsh_bucket", F.explode("lsh_buckets"))
+            .drop("lsh_buckets")
+        )
+
+    exploded(emb.filter(F.col("vec_id") >= 100)).write.mode("overwrite").parquet(
+        f"{idx}/lsh/seed"
+    )
+    # batch subdirs single-file like the streaming ingest: repartition(1)
+    exploded(emb.filter(F.col("vec_id") < 50)).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/lsh/b0")
+    exploded(
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    ).repartition(1).write.mode("overwrite").parquet(f"{idx}/lsh/b1")
+
+    probe = _probe_embedding(spark, sf_dir, 1)
+    targets = OV.probe_buckets(probe, 64, 8, 4, 4)
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        read_index_layout(spark, idx, "lsh")
+        .filter(F.col("lsh_bucket").isin(targets))
+        .dropDuplicates(["vec_id"])
+        .select(
+            "vec_id",
+            F.round(V.cosine_similarity(F.col("embedding"), pv), 6).alias("cos_r"),
+        )
+    )
+
+
 def _bpe_apply_oracle_sql(n_merges: int) -> str:
     """DuckDB twin of textops.bpe_apply: the _bpe_train_oracle_sql round
     chain with `word` carried through every w{r} CTE (apply needs the
@@ -9123,7 +9183,7 @@ def q_kcenter_select(spark, sf_dir):
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
-    "tokenizer_bpe_apply",
+    "lsh_index_probe", "tokenizer_bpe_apply",
     "edit_distance_dedup", "quality_ensemble", "zipf_fit",
     "doremi_weights", "embedding_outliers", "kcenter_select",
     "hard_negatives_scoped",
@@ -9140,7 +9200,6 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "fuzzy_name_pairs", "shortest_paths", "name_canonicalize",
     "group_distinct_approx", "array_ops_suite", "dim_profile",
     "event_anomaly", "random_projection", "countmin_freq", "bootstrap_ci",
-    "pca_topcomp",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

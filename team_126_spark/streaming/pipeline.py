@@ -1055,3 +1055,56 @@ def user_running_state_tws(df: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_lsh_layout(
+    vec_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "vec",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> None:
+    """Ingest-time maintenance of the partition-prunable LSH table layout
+    — the 14th streaming surface (VERDICT r9 #6 carried into the
+    streaming contract): each micro-batch computes its rows' bucket ids
+    (pure row-local integer-plane arithmetic — no corpus state, so
+    batches never read each other or any index) and overwrites the
+    EXPLODED (row, lsh_bucket) rows to `{index_dir}/lsh/b<batch_id>`.
+    Batch dirs store lsh_bucket as a DATA column (micro-batch-sized —
+    probes scan them whole, the bands/cells convention);
+    `compact_index_partitioned(..., subdirs=("lsh",),
+    partition_cols={"lsh": "lsh_bucket"})` folds them into a seed/
+    PARTITIONED by the bucket, so the corpus-scale side of every probe
+    partition-prunes to its multi-probed buckets' directories while
+    only the slim fresh batch dirs are scanned whole. Probe via
+    `read_index_layout(spark, index_dir, "lsh")` + an isin(bucket)
+    filter + per-id dropDuplicates — pinned identical to the in-memory
+    `lsh_candidates` in tests/test_streaming.py.
+
+    Crash-replay exactness is trivial here: the write is a batch-keyed
+    overwrite of a PURE function of the batch (no read-your-own-index
+    hazard, unlike the gram/minhash gates)."""
+    from ..operators.vector import with_lsh_buckets
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        exploded = (
+            with_lsh_buckets(
+                bdf.filter(F.col(vec_col).isNotNull()), vec_col, dim,
+                n_planes, n_tables,
+            )
+            .withColumn("lsh_bucket", F.explode("lsh_buckets"))
+            .drop("lsh_buckets")
+        )
+        exploded.repartition(1).write.mode("overwrite").parquet(
+            f"{index_dir}/lsh/b{batch_id}"
+        )
+
+    q = (
+        vec_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

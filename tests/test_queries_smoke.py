@@ -237,7 +237,7 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory):
         # centroid samples are a config error on an empty corpus,
         # exactly like the ANN index builds above (ivf_centroids raises)
         "semdedup_select", "cluster_keywords", "semdedup_index_probe",
-        "hard_negatives_scoped", "kcenter_select",
+        "hard_negatives_scoped", "kcenter_select", "lsh_index_probe",
     }
     bad = {}
     for name, q in REGISTRY.items():

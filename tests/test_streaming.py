@@ -1106,3 +1106,102 @@ def test_stream_dup_spans_unseeded_and_index_stays_distinct(spark, tmp_path):
     assert idx.count() == n_all  # anti-join append: no duplicate rows online
     STR.compact_index(spark, index_dir, subdirs=("grams",))
     assert spark.read.parquet(f"{index_dir}/grams/*").count() == n_all
+
+
+def test_stream_lsh_layout_matches_memory_and_compacts_partitioned(spark, tmp_path):
+    """14th streaming surface (VERDICT r9 #6 in the streaming contract):
+    stream_lsh_layout writes batch-keyed exploded (row, lsh_bucket)
+    dirs; a probe over the stitched layout (seed + batch dirs) returns
+    the IDENTICAL candidate set to the in-memory lsh_candidates on the
+    full corpus; compact_index_partitioned(partition_cols lsh_bucket)
+    folds the batch dirs into a bucket-partitioned seed with the probe
+    unchanged, a PartitionFilter in the plan, and a strict file subset
+    for one bucket; a stream restart (same source, fresh checkpoint)
+    rewrites identical batch dirs (replay exactness)."""
+    import glob as pyglob
+    import os
+
+    from team_126_spark.operators.vector import (
+        lsh_candidates,
+        probe_buckets,
+        with_lsh_buckets,
+    )
+    from team_126_spark.queries import _probe_embedding
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    probe = _probe_embedding(spark, sf, vec_id=1)
+    targets = probe_buckets(probe, 64, 8, 4, 4)
+    index_dir = str(tmp_path / "index")
+
+    # seed: the pre-existing corpus half, written like an initial load
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    (
+        with_lsh_buckets(seed.filter(F.col("embedding").isNotNull()), "embedding", 64, 8, 4)
+        .withColumn("lsh_bucket", F.explode("lsh_buckets"))
+        .drop("lsh_buckets")
+        .write.parquet(f"{index_dir}/lsh/seed")
+    )
+    # stream the other half in two micro-batches
+    stream_src = str(tmp_path / "incoming")
+    b1 = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 250))
+    b2 = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= 250))
+    b1.coalesce(1).write.mode("append").parquet(stream_src)
+    b2.coalesce(1).write.mode("append").parquet(stream_src)
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    STR.stream_lsh_layout(
+        src, index_dir, str(tmp_path / "ckpt"), vec_col="embedding", dim=64
+    )
+
+    def layout_cands():
+        return {
+            r["vec_id"]
+            for r in STR.read_index_layout(spark, index_dir, "lsh")
+            .filter(F.col("lsh_bucket").isin(targets))
+            .dropDuplicates(["vec_id"])
+            .collect()
+        }
+
+    want = {
+        r["vec_id"]
+        for r in lsh_candidates(emb, "embedding", probe, 64, 8, 4, 4).collect()
+    }
+    got = layout_cands()
+    assert got == want and got
+
+    # replay exactness: fresh checkpoint over the same source rewrites
+    # the same batch dirs — probe unchanged
+    src2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    STR.stream_lsh_layout(
+        src2, index_dir, str(tmp_path / "ckpt2"), vec_col="embedding", dim=64
+    )
+    assert layout_cands() == want
+
+    # partitioned compaction: probe unchanged, seed hive-partitioned,
+    # bucket filter prunes to a strict file subset
+    folded = STR.compact_index_partitioned(
+        spark, index_dir, subdirs=("lsh",), partition_cols={"lsh": "lsh_bucket"}
+    )
+    assert folded == {"lsh": 2}
+    assert sorted(os.listdir(f"{index_dir}/lsh")) == ["seed"]
+    assert layout_cands() == want
+    seed_df = spark.read.parquet(f"{index_dir}/lsh/seed")
+    plan = (
+        seed_df.filter(F.col("lsh_bucket").isin(targets))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+    all_files = pyglob.glob(f"{index_dir}/lsh/seed/lsh_bucket=*/*.parquet")
+    in_target = [
+        p for p in all_files
+        if int(p.split("lsh_bucket=")[1].split("/")[0]) in set(targets)
+    ]
+    assert 0 < len(in_target) < len(all_files)
