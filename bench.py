@@ -263,6 +263,8 @@ HEADLINE = [
     "classifier_calibration",
     "embedding_isotropy",
     # round-10 additions
+    "sequence_mining",
+    "sliding_distinct",
     "lsh_index_probe",
     "tokenizer_bpe_apply",
     "edit_distance_dedup",

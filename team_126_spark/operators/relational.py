@@ -1295,3 +1295,105 @@ def label_propagation(
             .select(F.col("_ns").alias("node"), F.col("_cs").alias("community"))
         )
     return out
+
+
+def sequence_mining(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    min_support: float = 0.05,
+) -> DataFrame:
+    """Frequent consecutive event-pair mining (PrefixSpan depth-2, Pei et
+    al. 2001 — the TIME-axis sibling of rule_mining's basket pairs):
+    which step follows which, mined from the data instead of asserted
+    like funnel_counts' fixed funnel. Per user, order events by
+    (ts, tiebreak) and pair each with its successor via lag-free
+    lead(); count each directed (a → b) pair's occurrences and
+    supporting users, keep pairs whose user-support clears min_support.
+
+    Scale shape: the ONLY window is partitioned by user (parallel; a
+    user's event count is a data invariant), pair counting is one
+    partial-aggregated groupBy on the (a, b) pair, and the support
+    denominator (users with ≥ 2 events) is a broadcast single-row
+    aggregate. Integer counts; support is one division rounded 6dp.
+    Output: (a, b, n_pairs, n_users, support_r), support-filtered."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("a"),
+            F.lead(type_col).over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    counted = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_distinct("_u").cast("bigint").alias("n_users"),
+    )
+    denom = pairs.agg(
+        F.count_distinct("_u").cast("double").alias("_n_seq_users")
+    )
+    return (
+        counted.crossJoin(F.broadcast(denom))
+        .withColumn("support_r", F.round(F.col("n_users") / F.col("_n_seq_users"), 6))
+        .filter(F.col("support_r") >= min_support)
+        .drop("_n_seq_users")
+    )
+
+
+def sliding_distinct(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct-key counts — the incremental-dashboard
+    staple (7-day active users) in its MERGEABLE form: per-day HLL
+    sketches union into each day's trailing window, so at 100 TB
+    yesterday's sketches are reused verbatim and a new day costs one
+    day's scan plus O(window) sketch merges — never a re-scan of the
+    trailing window's raw rows (the sketch_rollup argument, on the time
+    axis). The exact rolling count rides the standard cover-explode:
+    each event contributes its key to the `window_days` day-slots it
+    covers (one bounded explode + per-day distinct partial agg).
+
+    Driver-checkable per the profile_approx precedent: the emitted row
+    carries the EXACT trailing distinct count plus a deterministic
+    within-bounds verdict comparing the sketch estimate to it (HLL
+    rsd-derived bound, floor 3) — TRUE on both engines unless the
+    sketch path is actually broken, so the approximate machinery is
+    exercised end-to-end under an exact DuckDB twin. Output:
+    (day, exact_nd, sketch_ok) for every day with ≥ 1 covering event."""
+    day = F.to_date(F.col(ts_col))
+    covered = events.select(
+        F.explode(
+            F.sequence(day, F.date_add(day, window_days - 1))
+        ).alias("day"),
+        F.col(key_col).alias("_k"),
+    )
+    exact = covered.groupBy("day").agg(
+        F.count_distinct("_k").cast("bigint").alias("exact_nd")
+    )
+    daily = events.select(day.alias("_d"), F.col(key_col).alias("_k")).groupBy(
+        "_d"
+    ).agg(F.hll_sketch_agg("_k").alias("_sk"))
+    # each day's sketch covers the same window_days trailing slots as the
+    # exact side — an EQUI join on the day, never a range BNLJ
+    sk_cov = daily.select(
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("day"),
+        "_sk",
+    )
+    merged = (
+        exact.join(sk_cov, "day")
+        .groupBy("day", "exact_nd")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"))
+    )
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_nd"))
+        <= F.greatest(F.lit(3.0), F.lit(0.15) * F.col("exact_nd"))
+    )
+    return merged.select("day", "exact_nd", ok.alias("sketch_ok"))

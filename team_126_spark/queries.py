@@ -8748,6 +8748,63 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
 )
 
 @declared(
+    "sequence_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id AS u, event_type AS a,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    pairs AS (SELECT u, a, b FROM seq WHERE b IS NOT NULL),
+    denom AS (SELECT count(DISTINCT u)::DOUBLE AS nu FROM pairs)
+    SELECT a, b, count(*)::BIGINT AS n_pairs,
+           count(DISTINCT u)::BIGINT AS n_users,
+           round(count(DISTINCT u) / nu, 6) AS support_r
+    FROM pairs, denom GROUP BY a, b, nu
+    HAVING round(count(DISTINCT u) / nu, 6) >= 0.05
+    """,
+    doc="§2.18 frequent consecutive event-pair mining (PrefixSpan "
+    "depth-2, Pei et al. 2001) — the TIME-axis sibling of rule_mining: "
+    "which step actually follows which, mined from the event log "
+    "instead of asserted like funnel_counts' fixed funnel. Per-user "
+    "lead() window (partitioned — parallel), one partial-agg pair "
+    "count, broadcast scalar support denominator; integer counts, one "
+    "6dp division (operators/relational.sequence_mining)",
+)
+def q_sequence_mining(spark, sf_dir):
+    return R.sequence_mining(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id", min_support=0.05,
+    )
+
+
+@declared(
+    "sliding_distinct",
+    oracle="""
+    SELECT e.d + CAST(r.i AS INT) AS day, count(DISTINCT e.k)::BIGINT AS exact_nd,
+           TRUE AS sketch_ok
+    FROM (SELECT CAST(ts AS DATE) AS d, user_id AS k FROM events) e,
+         range(0, 7) r(i)
+    GROUP BY 1
+    """,
+    doc="§2.18 rolling 7-day distinct users per day in MERGEABLE form "
+    "(the sketch_rollup argument on the time axis): per-day HLL "
+    "sketches union into each trailing window via a cover-explode EQUI "
+    "join — at 100 TB a new day costs one day's scan plus O(window) "
+    "sketch merges, never a rescan of trailing raw rows; the exact "
+    "rolling count rides the same cover-explode + per-day distinct "
+    "partial agg. Driver-checkable per the profile_approx precedent: "
+    "emits the exact count + a within-bounds sketch verdict "
+    "(operators/relational.sliding_distinct)",
+)
+def q_sliding_distinct(spark, sf_dir):
+    return R.sliding_distinct(
+        load(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+@declared(
     "lsh_index_probe",
     oracle=f"""
     WITH {_lsh_cand_ctes(dim=64, n_planes=8, n_tables=4, n_probe_bits=4)}
@@ -9183,6 +9240,7 @@ def q_kcenter_select(spark, sf_dir):
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
+    "sequence_mining", "sliding_distinct",
     "lsh_index_probe", "tokenizer_bpe_apply",
     "edit_distance_dedup", "quality_ensemble", "zipf_fit",
     "doremi_weights", "embedding_outliers", "kcenter_select",
@@ -9199,7 +9257,7 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "window_suite", "grouping_sets_counts", "pmi_cooccur",
     "fuzzy_name_pairs", "shortest_paths", "name_canonicalize",
     "group_distinct_approx", "array_ops_suite", "dim_profile",
-    "event_anomaly", "random_projection", "countmin_freq", "bootstrap_ci",
+    "event_anomaly", "random_projection",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

@@ -234,7 +234,7 @@ def test_cartesian_allowlist_pinned(spark):
         # itself is a hash equi-join on the cell id)
         "hard_negatives_scoped",
         # single-row / domain-count scalar broadcasts (round-10)
-        "zipf_fit", "doremi_weights",
+        "zipf_fit", "doremi_weights", "sequence_mining",
         # deterministic salt replication of the SMALL side
         "salted_join_fk",
         # declared exact O(n^2) oracle baseline (guarded by max_rows for

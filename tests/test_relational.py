@@ -1100,3 +1100,71 @@ def test_skew_report_prune_bounds_window_input(spark):
     # window's input is provably ≤ partitions × top_k
     assert plan.count("row_number()") >= 2 and "WindowGroupLimit" in plan
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_sequence_mining_hand_pairs(spark):
+    """Hand-built event log: consecutive pairs per user match the hand
+    enumeration, support counts users not occurrences, and the
+    min_support filter drops the singleton pair."""
+    import datetime as dt
+
+    from team_126_spark.operators.relational import sequence_mining
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view -> click -> buy
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "buy"),
+        # user 2: view -> click
+        (4, t0, 2, "view"), (5, t0 + dt.timedelta(minutes=1), 2, "click"),
+        # user 3: click -> view (reverse order pair)
+        (6, t0, 3, "click"), (7, t0 + dt.timedelta(minutes=1), 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_pairs"], r["n_users"], r["support_r"])
+        for r in sequence_mining(
+            df, "user_id", "ts", "event_type", "event_id", min_support=0.5
+        ).collect()
+    }
+    # 3 users have >= 2 events; (view, click) supported by users 1 and 2
+    assert got == {("view", "click"): (2, 2, round(2 / 3, 6))}
+    loose = {
+        (r["a"], r["b"])
+        for r in sequence_mining(
+            df, "user_id", "ts", "event_type", "event_id", min_support=0.0
+        ).collect()
+    }
+    assert loose == {("view", "click"), ("click", "buy"), ("click", "view")}
+
+
+def test_sliding_distinct_exact_and_sketch(spark):
+    """Hand-built 3-day log: each day's trailing-7-day exact distinct
+    matches the hand count and every sketch verdict is TRUE (HLL is
+    exact at these cardinalities)."""
+    import datetime as dt
+
+    from team_126_spark.operators.relational import sliding_distinct
+
+    def ts(day, user):
+        return (day, dt.datetime(2024, 1, day, 8, 0, 0), user)
+
+    rows = [ts(1, 10), ts(1, 11), ts(2, 10), ts(3, 12)]
+    df = spark.createDataFrame(
+        [(i, t, u) for i, (_, t, u) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = {
+        str(r["day"]): (r["exact_nd"], r["sketch_ok"])
+        for r in sliding_distinct(df, "ts", "user_id", window_days=7).collect()
+    }
+    # day 1 covers events of day 1; day 3 covers days 1-3 (within 7)
+    assert got["2024-01-01"] == (2, True)
+    assert got["2024-01-02"] == (2, True)
+    assert got["2024-01-03"] == (3, True)
+    # day 9 still covered by day-3 event only... day 7 covers days 1-7
+    assert got["2024-01-07"] == (3, True)
+    assert got["2024-01-09"] == (1, True)  # only day-3 event still in range
+    assert all(ok for _, ok in got.values())
