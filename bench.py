@@ -263,6 +263,7 @@ HEADLINE = [
     "classifier_calibration",
     "embedding_isotropy",
     # round-10 additions
+    "dedup_consolidate",
     "sequence_mining",
     "sliding_distinct",
     "lsh_index_probe",

@@ -1401,3 +1401,40 @@ def edit_distance_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def dedup_consolidate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    meta_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Record CONSOLIDATION over exact-dup clusters — dedup drops copies,
+    but provenance must survive the drop (dataset cards, licensing
+    audits, per-source accounting all need to know every place a kept
+    document came from): group by the content fingerprint, keep the
+    lowest-id representative, and AGGREGATE the copies' metadata — the
+    sorted distinct values of each meta column, '|'-joined, plus the
+    copy count. The consolidation step warehouses run next to
+    exact_dedup's plain drop (and dedup_select's quality-based pick).
+
+    Scale shape: ONE partial-aggregated groupBy on the md5 fingerprint
+    (uniform key — no skew by construction); per-cluster metadata lists
+    are bounded by the cluster's copy count (a data invariant);
+    everything emitted is a string/int, so the oracle comparison is
+    canonical. Output: (keep_id, n_copies, <meta>_cat per meta col)."""
+    from ..functions.text import fingerprint
+
+    base = df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        *[F.col(c) for c in meta_cols],
+    )
+    aggs = [
+        F.min(id_col).alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    ] + [
+        F.concat_ws("|", F.array_sort(F.collect_set(c))).alias(f"{c}_cat")
+        for c in meta_cols
+    ]
+    return base.groupBy("_fp").agg(*aggs).drop("_fp")

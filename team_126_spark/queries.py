@@ -8748,6 +8748,36 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
 )
 
 @declared(
+    "dedup_consolidate",
+    oracle=f"""
+    SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+           array_to_string(list_sort(list_distinct(list(source))), '|')
+             AS source_cat,
+           array_to_string(list_sort(list_distinct(list(lang))), '|')
+             AS lang_cat
+    FROM (
+      SELECT doc_id, source, lang,
+             md5({X.normalize_ws_sql('text')}) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    """,
+    doc="§2.18 record consolidation over exact-dup clusters: dedup drops "
+    "copies but provenance must survive the drop (dataset cards, "
+    "licensing audits, per-source accounting) — per content "
+    "fingerprint, keep the lowest-id representative and aggregate the "
+    "copies' sorted distinct source/lang values plus the copy count. "
+    "ONE partial-agg groupBy on the uniform md5 key (no skew by "
+    "construction); per-cluster lists bounded by copy count "
+    "(operators/dedup.dedup_consolidate)",
+)
+def q_dedup_consolidate(spark, sf_dir):
+    return D.dedup_consolidate(
+        load(spark, sf_dir, "documents"), "text", "doc_id", ("source", "lang")
+    )
+
+
+@declared(
     "sequence_mining",
     oracle="""
     WITH seq AS (
@@ -9240,7 +9270,7 @@ def q_kcenter_select(spark, sf_dir):
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
-    "sequence_mining", "sliding_distinct",
+    "dedup_consolidate", "sequence_mining", "sliding_distinct",
     "lsh_index_probe", "tokenizer_bpe_apply",
     "edit_distance_dedup", "quality_ensemble", "zipf_fit",
     "doremi_weights", "embedding_outliers", "kcenter_select",
@@ -9257,7 +9287,7 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "window_suite", "grouping_sets_counts", "pmi_cooccur",
     "fuzzy_name_pairs", "shortest_paths", "name_canonicalize",
     "group_distinct_approx", "array_ops_suite", "dim_profile",
-    "event_anomaly", "random_projection",
+    "event_anomaly",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

@@ -1004,3 +1004,28 @@ def test_edit_distance_pairs_blocking_and_uniqueness(spark):
     assert not any(5 in p for p in got)
     assert not any(6 in p for p in got)  # language block
     assert len(got) == len(set(got))  # emitted once each
+
+
+def test_dedup_consolidate_merges_provenance(spark):
+    """Hand-built corpus with one exact-dup cluster across two sources:
+    the kept row is the lowest id, n_copies counts the cluster, and the
+    provenance concat is the sorted distinct union; whitespace/case
+    variants of the same content consolidate (fingerprint = normalized
+    md5); singletons pass through."""
+    from team_126_spark.operators.dedup import dedup_consolidate
+
+    rows = [
+        (3, "srcB", "en", "Hello   WORLD"),
+        (1, "srcA", "en", "hello world"),
+        (2, "srcA", "fr", "hello world"),
+        (9, "srcC", "en", "something else"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+    got = {
+        r["keep_id"]: (r["n_copies"], r["source_cat"], r["lang_cat"])
+        for r in dedup_consolidate(df, "text", "doc_id", ("source", "lang")).collect()
+    }
+    assert got == {
+        1: (3, "srcA|srcB", "en|fr"),
+        9: (1, "srcC", "en"),
+    }
