@@ -1207,7 +1207,7 @@ def label_propagation(
     src_col: str,
     dst_col: str,
     iters: int = 4,
-    encode_ids: bool = True,
+    encode_ids: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007 — LPA): every
     node starts as its own label; each round, a node adopts the most
@@ -1227,14 +1227,18 @@ def label_propagation(
     symmetrized edge list (as q_label_propagation does) when undirected
     semantics are wanted.
 
-    Scale refinement (VERDICT r9 #3): node ids are rank-encoded to ints
-    ONCE up front (order-preserving via the range-partitioned two-level
-    rank in `ordered_ranks`, so the lexicographic tie-break is
-    unchanged), the iteration shuffles two ints per edge instead of two
-    strings, and the string ids join back once at the end — pinned
-    identical communities vs the string-native path (`encode_ids=False`)
-    on the fixture graph; tools/job_metrics.py receipts the per-round
-    shuffle drop in SCALING.md.
+    Scale dial (VERDICT r9 #3, the quality_gate exact=False convention —
+    cheap path default, scale path opt-in): `encode_ids=True` rank-
+    encodes node ids to ints ONCE up front (order-preserving via the
+    range-partitioned two-level rank in `ordered_ranks`, so the
+    lexicographic tie-break is unchanged), the iteration shuffles two
+    ints per edge instead of two strings, and the string ids join back
+    once at the end — pinned identical communities vs the string-native
+    default on the fixture graph; tools/job_metrics.py receipts the
+    per-round shuffle drop (19.75 → 12.29 MiB at sf0.1) in SCALING.md.
+    Default False: below the multi-round billion-edge regime the one-off
+    encode + decode joins cost more wall time than the slimmer rounds
+    save (measured 2× on the fixture graph).
 
     Scale shape per round (the pagerank loop pattern): one equi-join of
     the label vector onto the edge list (shuffle on node id), one

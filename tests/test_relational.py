@@ -1037,9 +1037,9 @@ def test_ordered_ranks_matches_global_sort(spark):
 
 
 def test_label_propagation_int_encoding_parity_and_directed_seed(spark):
-    """VERDICT r9 #3 + ADVICE r9: (a) the int-dictionary path
-    (encode_ids=True, default) produces IDENTICAL communities to the
-    string-native path on the two-cliques fixture; (b) on a
+    """VERDICT r9 #3 + ADVICE r9: (a) the int-dictionary scale dial
+    (encode_ids=True) produces IDENTICAL communities to the
+    string-native default on the two-cliques fixture; (b) on a
     NON-symmetrized edge list, dst-only nodes are seeded too — every
     endpoint of every edge gets a community (both paths)."""
     from team_126_spark.operators.relational import label_propagation
@@ -1051,7 +1051,7 @@ def test_label_propagation_int_encoding_parity_and_directed_seed(spark):
     edges = spark.createDataFrame(und, ["a", "b"])
     enc = {
         r["node"]: r["community"]
-        for r in label_propagation(edges, "a", "b", iters=4).collect()
+        for r in label_propagation(edges, "a", "b", iters=4, encode_ids=True).collect()
     }
     raw = {
         r["node"]: r["community"]
