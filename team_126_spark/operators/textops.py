@@ -1893,10 +1893,13 @@ def doremi_weights(
         .join(sur, id_col)
         .select("domain", F.col("surprisal").cast("decimal(18,6)").alias("_s"))
     )
+    # one row per DOMAIN: checkpoint so the three downstream consumers
+    # (total, excess, softmax denominator) reuse it instead of re-running
+    # the surprisal model fit per branch (plan audit: 124 → ~30 exchanges)
     dom = per.groupBy("domain").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("_s").alias("_sum"),
-    )
+    ).localCheckpoint()
     tot = dom.agg(
         F.sum("_sum").alias("_tsum"), F.sum("n_docs").alias("_tn")
     )
