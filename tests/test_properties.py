@@ -773,3 +773,95 @@ def test_duplicated_spans_invariants(spark, xs):
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             # gram starts differ by > k, else one island
             assert s2 - (e1 - k + 1) > k, (d, ss)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abcdefXYZ09_")), min_size=1, max_size=12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ordered_ranks_is_sorted_position(spark, vals):
+    """Property (round-10 primitive): ordered_ranks assigns every distinct
+    value exactly its index in the Python-sorted distinct list, for any
+    input multiset and any partition count."""
+    from team_126_spark.operators.relational import ordered_ranks
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(5)
+    want = {v: i for i, v in enumerate(sorted(set(vals)))}
+    got = {
+        r["v"]: r["rank"] for r in ordered_ranks(df, "v", partitions=3).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_bpe_apply_conservation(spark, xs):
+    """Property: BPE encode never increases symbol count beyond chars,
+    never drops below 1 symbol per word, and the per-doc sums are
+    consistent (n_bpe_tokens in [n_words, n_chars])."""
+    from team_126_spark.operators.textops import bpe_apply
+
+    df = _df(spark, xs).withColumnRenamed("t", "text").withColumnRenamed("i", "doc_id")
+    rows = bpe_apply(df, "text", "doc_id", n_merges=3).collect()
+    for r in rows:
+        assert r["n_words"] >= 1
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
+        assert r["compression_r"] == round(r["n_chars"] / r["n_bpe_tokens"], 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=50),  # minute offset
+            st.sampled_from(["a", "b", "c"]),        # event type
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_sequence_mining_matches_python_model(spark, evs):
+    """Property: pair counts and user supports match a per-user Python
+    replay of the same (ts, id)-ordered successor pairing."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from team_126_spark.operators.relational import sequence_mining
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, e) for i, (u, m, e) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    per_user = defaultdict(list)
+    for i, (u, m, e) in enumerate(evs):
+        per_user[u].append((m, i, e))
+    pair_n = defaultdict(int)
+    pair_users = defaultdict(set)
+    seq_users = set()
+    for u, lst in per_user.items():
+        lst.sort()
+        if len(lst) >= 2:
+            seq_users.add(u)
+        for (_, _, a), (_, _, b) in zip(lst, lst[1:]):
+            pair_n[(a, b)] += 1
+            pair_users[(a, b)].add(u)
+    got = {
+        (r["a"], r["b"]): (r["n_pairs"], r["n_users"], r["support_r"])
+        for r in sequence_mining(
+            df, "user_id", "ts", "event_type", "event_id", min_support=0.0
+        ).collect()
+    }
+    want = {
+        p: (pair_n[p], len(us), round(len(us) / len(seq_users), 6))
+        for p, us in pair_users.items()
+    }
+    assert got == want
