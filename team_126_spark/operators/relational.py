@@ -1401,3 +1401,55 @@ def sliding_distinct(
         <= F.greatest(F.lit(3.0), F.lit(0.15) * F.col("exact_nd"))
     )
     return merged.select("day", "exact_nd", ok.alias("sketch_ok"))
+
+
+def grouped_ranks(
+    df: DataFrame,
+    group_col: str,
+    order: Sequence[Column],
+    out: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP dense row ranks under a total order WITHOUT a
+    per-group single-task window — the grouped generalization of
+    `ordered_ranks` (VERDICT r9 #1's ccnet finding, solved EXACTLY
+    instead of approximately: ranks, unlike tercile cuts, cannot be
+    sketched): range-partition on (group, *order) so each group's rows
+    are contiguous across ordered partitions, row_number WITHIN
+    (partition, group) — a window whose partitions are task-sized by
+    construction, never group-sized — and add back per-(partition,
+    group) offsets via one slim equi-join. The offsets table has one
+    row per (partition, group-in-partition); its cumulative window is
+    PARTITIONED by group over ≤ #partitions rows. The result equals
+    row_number() OVER (PARTITION BY group ORDER BY order) for any
+    partitioning (boundary placement cancels out), pinned in pytest.
+
+    `order` must end in a unique tiebreak. The bucketed frame is
+    localCheckpointed (spark_partition_id stability — the ordered_ranks
+    rule). Output: the input rows plus `out`."""
+    n = int(partitions or df.sparkSession.sparkContext.defaultParallelism)
+    parts = (
+        df.repartitionByRange(n, F.col(group_col), *order)
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_p", group_col).orderBy(*order)
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy("_p", group_col)
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+        .select("_p", group_col, "_off")
+    )
+    return (
+        parts.withColumn("_lr", local)
+        .join(offsets, ["_p", group_col])
+        .withColumn(out, (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_p", "_lr", "_off")
+    )

@@ -1739,6 +1739,7 @@ def quality_ensemble(
     text_col: str,
     id_col: str,
     group_col: str,
+    scalable: bool = False,
 ) -> DataFrame:
     """Multi-signal quality RANK FUSION (the FineWeb/Dolma pattern:
     several weak quality filters, each noisy alone, fused by rank so no
@@ -1751,10 +1752,18 @@ def quality_ensemble(
 
     Plan shape: ONE tokenize pass computes all three signals (the
     curate_corpus lesson); three row_number windows all PARTITIONED by
-    the group key (parallel across groups — never a global sort); ranks
-    are integers so the fused mean is exact before its one 6dp round.
-    Output: (id, group, n_tokens, ttr_r, mean_len_r, r_tokens, r_ttr,
-    r_len, fused_rank_r) — lower fused rank = higher ensemble quality."""
+    the group key (parallel across groups); ranks are integers so the
+    fused mean is exact before its one 6dp round. A group-partitioned
+    window still moves each GROUP through one task — at 100 TB a
+    dominant language funnels its whole row set through one executor
+    sort (the ccnet_buckets finding) — so `scalable=True` swaps every
+    window for `relational.grouped_ranks` (range-partitioned two-level
+    per-group rank: window partitions are task-sized by construction),
+    which is EXACT, not approximate — pinned identical output in
+    pytest; the window path stays default below that regime (the
+    label_propagation dial convention). Output: (id, group, n_tokens,
+    ttr_r, mean_len_r, r_tokens, r_ttr, r_len, fused_rank_r) — lower
+    fused rank = higher ensemble quality."""
     from pyspark.sql import Window
 
     from ..functions.text import tokens
@@ -1781,6 +1790,35 @@ def quality_ensemble(
         .otherwise(F.lit(0.0))
         .alias("_mlen"),
     )
+
+    if scalable:
+        from .relational import grouped_ranks
+
+        base = base.localCheckpoint()
+        ranked = base
+        for col, out in (
+            ("n_tokens", "r_tokens"), ("_ttr", "r_ttr"), ("_mlen", "r_len")
+        ):
+            rk = grouped_ranks(
+                base.select(id_col, "grp", col),
+                "grp",
+                [F.desc(col), F.asc(id_col)],
+                out=out,
+            ).select(id_col, out)
+            ranked = ranked.join(rk, id_col)
+        return ranked.select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.round("_ttr", 6).alias("ttr_r"),
+            F.round("_mlen", 6).alias("mean_len_r"),
+            "r_tokens",
+            "r_ttr",
+            "r_len",
+        ).withColumn(
+            "fused_rank_r",
+            F.round((F.col("r_tokens") + F.col("r_ttr") + F.col("r_len")) / 3.0, 6),
+        )
 
     def rank(col):
         return F.row_number().over(

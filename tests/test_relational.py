@@ -1168,3 +1168,52 @@ def test_sliding_distinct_exact_and_sketch(spark):
     assert got["2024-01-07"] == (3, True)
     assert got["2024-01-09"] == (1, True)  # only day-3 event still in range
     assert all(ok for _, ok in got.values())
+
+
+def test_grouped_ranks_matches_window_rank(spark):
+    """grouped_ranks equals row_number() OVER (PARTITION BY group ORDER
+    BY order) exactly, on a skewed multi-group input, at several
+    partition counts — the scalable per-group rank is EXACT by
+    construction (boundary placement cancels out)."""
+    from pyspark.sql import Window
+
+    from team_126_spark.operators.relational import grouped_ranks
+
+    rows = [(f"g{i % 3}", (i * 7) % 50, i) for i in range(200)]
+    rows += [("g0", 7, 1000 + i) for i in range(30)]  # heavy skewed group + ties
+    df = spark.createDataFrame(rows, ["grp", "v", "uid"]).repartition(6)
+    order = [F.desc("v"), F.asc("uid")]
+    want = {
+        r["uid"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+        ).collect()
+    }
+    for parts in (1, 3, 11):
+        got = {
+            r["uid"]: r["rank"]
+            for r in grouped_ranks(df, "grp", order, partitions=parts).collect()
+        }
+        assert got == want, parts
+
+
+def test_quality_ensemble_scalable_dial_identical(spark):
+    """The scalable=True grouped-rank path produces the IDENTICAL result
+    to the window path on the fixture corpus — exact, not approximate
+    (ranks cannot be sketched; the scalable form just computes them
+    without a group-sized window partition)."""
+    from team_126_spark.operators.textops import quality_ensemble
+    from team_126_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    a = sorted(map(key, quality_ensemble(docs, "text", "doc_id", "lang").collect()))
+    b = sorted(
+        map(
+            key,
+            quality_ensemble(
+                docs, "text", "doc_id", "lang", scalable=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 500
