@@ -1165,3 +1165,31 @@ def test_bpe_apply_round_trips_training_merges(spark):
     enc = bpe_apply(fixture, "text", "doc_id", n_merges=8).collect()
     assert enc and all(r["n_bpe_tokens"] <= r["n_chars"] for r in enc)
     assert all(r["compression_r"] >= 1.0 for r in enc)
+
+
+def test_ppl_buckets_scalable_exact_identical_to_ntile(spark):
+    """The exact+scalable path (grouped_ranks + closed-form ntile) is
+    BUCKET-IDENTICAL to the window ntile on the fixture — same answer,
+    no per-language single-task window, no approximation (the strongest
+    form of the ccnet scale fix)."""
+    from team_126_spark.operators.textops import bigram_surprisal, ppl_buckets
+    from team_126_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(bigram_surprisal(docs, "text", "doc_id"), "doc_id")
+        .localCheckpoint()
+    )
+    win = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_buckets(scored, "surprisal", "lang", "doc_id", exact=True).collect()
+    }
+    sca = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_buckets(
+            scored, "surprisal", "lang", "doc_id", exact=True, scalable=True
+        ).collect()
+    }
+    assert win == sca and len(win) == 500
