@@ -1498,6 +1498,7 @@ def hard_negatives_scoped(
     n_cells: int = 16,
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
+    assign: str = "literal",
 ) -> DataFrame:
     """The 100 TB path for `hard_negatives` (VERDICT r9 #2): mine each
     anchor's top-k different-label negatives from its IVF NEIGHBORHOOD
@@ -1511,12 +1512,15 @@ def hard_negatives_scoped(
     the ones probed — recall@k vs the exact pass is pinned ≥ 8/10 in
     pytest (the ann_quantized precedent).
 
-    Plan shape: one map-only cell assign over the corpus (literal argmax,
-    `with_ivf_cell` — or the broadcast-table assign when n_cells is
-    large), anchor→cell probe via a broadcast join on the (n_cells)-row
-    centroid table + per-anchor top-nprobe, then ONE equi-join on the
-    cell id (hash join, no BNLJ) with the different-label residual, and
-    the same per-anchor window top-k as the exact pass. At ingest scale
+    Plan shape: one map-only cell assign over the corpus — `assign=
+    "literal"` (with_ivf_cell, codegen argmax; right for small n_cells)
+    or `assign="broadcast"` (with_ivf_cell_broadcast — the semdedup
+    recipe's dial for n_cells ∝ corpus, where literal argmax is
+    codegen-compile-bound; pinned result-identical in pytest) — then an
+    anchor→cell probe via a broadcast join on the (n_cells)-row
+    centroid table + per-anchor top-nprobe, ONE equi-join on the cell
+    id (hash join, no BNLJ) with the different-label residual, and the
+    same per-anchor window top-k as the exact pass. At ingest scale
     the corpus side rides a `partitionBy("ivf_cell")` layout so each
     anchor's probe reads only its cells' files. Centroids are the
     deterministic md5-sample of `ivf_centroids` — the same family the
@@ -1541,7 +1545,10 @@ def hard_negatives_scoped(
         [(i, unit([float(x) for x in c])) for i, c in enumerate(cents)],
         "_cell int, _u array<double>",
     )
-    tagged = with_ivf_cell(
+    if assign not in ("literal", "broadcast"):
+        raise ValueError(f"hard_negatives_scoped: unknown assign={assign!r}")
+    assigner = with_ivf_cell if assign == "literal" else with_ivf_cell_broadcast
+    tagged = assigner(
         corpus.filter(F.col(vec_col).isNotNull()), vec_col, cents
     ).select(
         F.col(id_col).alias("negative_id"),

@@ -890,3 +890,27 @@ def test_kcenter_select_farthest_point_traversal(spark):
     assert got[1]["center_id"] == far
     d = [r["d_min_r"] for r in got[1:]]
     assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
+
+
+def test_hard_negatives_scoped_broadcast_assign_identical(spark):
+    """assign="broadcast" (the semdedup large-n_cells recipe) returns the
+    IDENTICAL mined set to the literal-argmax assign — the cell
+    assignment is pinned bit-identical upstream, so the whole scoped
+    pass must agree row-for-row."""
+    from team_126_spark.operators.vector import hard_negatives_scoped
+    from team_126_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 32)
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    lit = sorted(
+        map(key, hard_negatives_scoped(
+            emb, anchors, "embedding", "vec_id", "label", k=3, assign="literal"
+        ).collect())
+    )
+    bk = sorted(
+        map(key, hard_negatives_scoped(
+            emb, anchors, "embedding", "vec_id", "label", k=3, assign="broadcast"
+        ).collect())
+    )
+    assert lit == bk and len(lit) == 96
