@@ -263,6 +263,7 @@ HEADLINE = [
     "classifier_calibration",
     "embedding_isotropy",
     # round-10 additions
+    "sft_spans",
     "dedup_consolidate",
     "sequence_mining",
     "sliding_distinct",

@@ -2055,3 +2055,85 @@ def bpe_apply(
             F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
         )
     )
+
+
+def sft_spans(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    assistant_types: tuple[str, ...] = ("purchase", "signup"),
+    sep: str = "\n",
+) -> DataFrame:
+    """Loss-mask SPAN computation for SFT chat assembly — the masking
+    prep every supervised-fine-tuning pipeline runs: turns assemble into
+    one training document per conversation, but the loss applies ONLY to
+    assistant turns, so the packer must emit each assistant turn's exact
+    [start, end) character offsets in the ASSEMBLED text. Done wrong
+    (re-tokenize and search) it's quadratic and fragile; done here the
+    offsets fall out of one cumulative length sum.
+
+    Relational shape: per conversation, order turns by (ts, tiebreak);
+    each turn's segment is 'role: type'; start = the window cumsum of
+    prior segment lengths (+1 per separator), end = start + len(seg) —
+    ONE window partitioned by the conversation key (turn count per
+    conversation is a data invariant), zero folds, zero UDFs, and the
+    span math is integer-exact on both engines. Output per conversation:
+    (key, n_turns, n_assistant, text_len, spans_cat 'start:end|…' in
+    turn order). The role mapping is a config dial; the offset machinery
+    is the product."""
+    from pyspark.sql import Window
+
+    role = F.when(
+        F.col(type_col).isin(*assistant_types), F.lit("assistant")
+    ).otherwise(F.lit("user"))
+    seg_len = F.length(F.concat(role, F.lit(": "), F.col(type_col)))
+    w = Window.partitionBy("_k").orderBy(F.asc("_ts"), F.asc("_tb"))
+    cum = Window.partitionBy("_k").orderBy(F.asc("_ts"), F.asc("_tb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    turns = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        role.alias("_role"),
+        seg_len.cast("bigint").alias("_len"),
+    ).select(
+        "_k", "_ts", "_tb", "_role", "_len",
+        (
+            F.coalesce(F.sum(F.col("_len") + len(sep)).over(cum), F.lit(0))
+        ).alias("_start"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    spans = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_role") == "assistant",
+                        F.struct(
+                            F.col("_rn"),
+                            F.concat_ws(
+                                ":",
+                                F.col("_start"),
+                                F.col("_start") + F.col("_len"),
+                            ).alias("s"),
+                        ),
+                    )
+                )
+            ),
+            lambda e: e["s"],
+        ),
+        "|",
+    )
+    return turns.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum(F.when(F.col("_role") == "assistant", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_assistant"),
+        (F.sum("_len") + (F.count("*") - 1) * len(sep))
+        .cast("bigint")
+        .alias("text_len"),
+        spans.alias("spans_cat"),
+    )

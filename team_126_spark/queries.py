@@ -8748,6 +8748,49 @@ DRIVER_SAMPLE_R9: tuple[str, ...] = (
 )
 
 @declared(
+    "sft_spans",
+    oracle="""
+    WITH t AS (
+      SELECT user_id AS k, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 'assistant' ELSE 'user' END AS role,
+             (CASE WHEN event_type IN ('purchase', 'signup')
+                   THEN 9 ELSE 4 END + 2 + len(event_type))::BIGINT AS seg_len
+      FROM events
+    ),
+    o AS (
+      SELECT k, role, seg_len,
+             COALESCE(sum(seg_len + 1) OVER (
+               PARTITION BY k ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             row_number() OVER (PARTITION BY k ORDER BY ts, event_id) AS rn
+      FROM t
+    )
+    SELECT k AS user_id, count(*)::BIGINT AS n_turns,
+           count(*) FILTER (role = 'assistant')::BIGINT AS n_assistant,
+           (sum(seg_len) + count(*) - 1)::BIGINT AS text_len,
+           COALESCE(string_agg(CASE WHEN role = 'assistant'
+               THEN s || ':' || (s + seg_len) END, '|' ORDER BY rn), '')
+             AS spans_cat
+    FROM o GROUP BY k
+    """,
+    doc="§2.18 SFT loss-mask spans: chat turns assemble into one "
+    "training document per conversation, but the loss applies ONLY to "
+    "assistant turns — this emits each assistant turn's exact "
+    "[start, end) character offsets in the assembled text (the masking "
+    "prep every supervised-fine-tuning packer needs; done wrong it's a "
+    "re-tokenize-and-search). Offsets fall out of ONE per-conversation "
+    "cumulative length window (turn count per conversation is a data "
+    "invariant) — integer-exact, zero UDFs "
+    "(operators/textops.sft_spans)",
+)
+def q_sft_spans(spark, sf_dir):
+    return TO.sft_spans(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@declared(
     "dedup_consolidate",
     oracle=f"""
     SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
@@ -9270,6 +9313,7 @@ def q_kcenter_select(spark, sf_dir):
 # r7-evidence rows; fill with the oldest r8-evidence rows.
 DRIVER_SAMPLE_R10: tuple[str, ...] = (
     # round-10 declarations (never driver-sampled) — newest first
+    "sft_spans",
     "dedup_consolidate", "sequence_mining", "sliding_distinct",
     "lsh_index_probe", "tokenizer_bpe_apply",
     "edit_distance_dedup", "quality_ensemble", "zipf_fit",
@@ -9287,7 +9331,6 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "window_suite", "grouping_sets_counts", "pmi_cooccur",
     "fuzzy_name_pairs", "shortest_paths", "name_canonicalize",
     "group_distinct_approx", "array_ops_suite", "dim_profile",
-    "event_anomaly",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R10)

@@ -1193,3 +1193,37 @@ def test_ppl_buckets_scalable_exact_identical_to_ntile(spark):
         ).collect()
     }
     assert win == sca and len(win) == 500
+
+
+def test_sft_spans_hand_offsets(spark):
+    """Hand-built conversation: the assembled text is
+    'user: view\nassistant: purchase\nuser: click' — the single
+    assistant span's offsets are exactly where 'assistant: purchase'
+    sits in that string; totals match; a no-assistant user gets an
+    empty span list."""
+    import datetime as dt
+
+    from team_126_spark.operators.textops import sft_spans
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "purchase"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "click"),
+        (4, t0, 8, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: r
+        for r in sft_spans(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    text = "user: view\nassistant: purchase\nuser: click"
+    start = text.index("assistant: purchase")
+    end = start + len("assistant: purchase")
+    assert got[7]["n_turns"] == 3 and got[7]["n_assistant"] == 1
+    assert got[7]["text_len"] == len(text)
+    assert got[7]["spans_cat"] == f"{start}:{end}"
+    assert text[start:end] == "assistant: purchase"
+    assert got[8]["spans_cat"] == "" and got[8]["n_assistant"] == 0
