@@ -1426,7 +1426,11 @@ def grouped_ranks(
 
     `order` must end in a unique tiebreak. The bucketed frame is
     localCheckpointed (spark_partition_id stability — the ordered_ranks
-    rule). Output: the input rows plus `out`."""
+    rule). NULL group keys form their own rank group, exactly as a
+    window's PARTITION BY treats them: the offsets join is null-SAFE
+    (eqNullSafe — a plain equi-join would silently drop every
+    null-group row, the ADVICE r10 finding). Output: the input rows
+    plus `out`."""
     n = int(partitions or df.sparkSession.sparkContext.defaultParallelism)
     parts = (
         df.repartitionByRange(n, F.col(group_col), *order)
@@ -1445,11 +1449,19 @@ def grouped_ranks(
         parts.groupBy("_p", group_col)
         .agg(F.count("*").alias("_c"))
         .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
-        .select("_p", group_col, "_off")
+        .select(
+            F.col("_p").alias("_p_off"),
+            F.col(group_col).alias("_g_off"),
+            "_off",
+        )
     )
     return (
         parts.withColumn("_lr", local)
-        .join(offsets, ["_p", group_col])
+        .join(
+            offsets,
+            (F.col("_p") == F.col("_p_off"))
+            & F.col(group_col).eqNullSafe(F.col("_g_off")),
+        )
         .withColumn(out, (F.col("_off") + F.col("_lr")).cast("bigint"))
-        .drop("_p", "_lr", "_off")
+        .drop("_p", "_p_off", "_g_off", "_lr", "_off")
     )

@@ -285,3 +285,21 @@ def test_isotropy_norm_fold_not_duplicated(spark):
     plan = plan_of(spark, "embedding_isotropy")
     assert "posexplode" in plan
     assert plan.count("aggregate(") <= 10
+
+
+def test_ccnet_and_quality_declared_plans_have_no_group_sized_window(spark):
+    """VERDICT r10 #1 done-criterion: neither declared plan contains a
+    window partitioned by the raw group (language) column over the raw
+    row set. Every windowspecdefinition in both plans must carry the
+    task-partition column `_p` (grouped_ranks' two-level rank: either
+    partitioned by (_p, group) over task-sized slices, or the offsets
+    cumulative window over <= #partitions rows per group ordered by _p),
+    and the ntile window is gone entirely ("ntile(3)", never bare
+    "ntile" — it is a substring of percentile)."""
+    for name in ("ccnet_buckets", "quality_ensemble"):
+        plan = plan_of(spark, name)
+        assert "ntile(3)" not in plan, name
+        specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+        assert specs, name  # the scalable path still ranks via windows
+        for ln in specs:
+            assert "_p#" in ln, (name, ln.strip()[:200])

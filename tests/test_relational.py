@@ -1217,3 +1217,90 @@ def test_quality_ensemble_scalable_dial_identical(spark):
         )
     )
     assert a == b and len(a) == 500
+
+
+def test_grouped_ranks_null_group_kept_and_matches_window(spark):
+    """ADVICE r10: NULL group keys must rank within their own group,
+    exactly as PARTITION BY treats them — the offsets join is null-safe
+    (a plain equi-join dropped every null-group row silently)."""
+    from pyspark.sql import Window
+
+    from team_126_spark.operators.relational import grouped_ranks
+
+    rows = [("g0", 5, 1), (None, 9, 2), ("g0", 1, 3), (None, 2, 4), (None, 7, 5)]
+    df = spark.createDataFrame(rows, ["grp", "v", "uid"]).repartition(3)
+    order = [F.desc("v"), F.asc("uid")]
+    want = {
+        r["uid"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+        ).collect()
+    }
+    got = {
+        r["uid"]: r["rank"]
+        for r in grouped_ranks(df, "grp", order, partitions=2).collect()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_ppl_buckets_scalable_keeps_null_language_rows(spark):
+    """ADVICE r10 consumer check: a NULL-language row survives the
+    scalable path (null-safe joins to counts) and lands in the same
+    bucket as the window path gives it."""
+    from team_126_spark.operators.textops import ppl_buckets
+
+    rows = [(i, None if i % 4 == 0 else f"l{i % 2}", float(i)) for i in range(24)]
+    scored = spark.createDataFrame(rows, ["doc_id", "lang", "surprisal"])
+    win = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_buckets(scored, "surprisal", "lang", "doc_id", exact=True).collect()
+    }
+    for kwargs in ({"scalable": True}, {"exact": False}):
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in ppl_buckets(
+                scored, "surprisal", "lang", "doc_id", **({"exact": True} | kwargs)
+            ).collect()
+        }
+        assert set(got) == set(win), kwargs  # null-lang rows retained
+        if kwargs.get("scalable"):
+            assert got == win
+
+
+def test_auto_dial_picks_path_by_observed_group_size(spark):
+    """scalable='auto' (VERDICT r10 #1): below auto_rows the window path
+    runs (plan has a group-partitioned window, no _p column); above it
+    every windowspecdefinition carries grouped_ranks' task-partition
+    column. Both branches are exact so results never differ."""
+    import contextlib
+    import io
+
+    from team_126_spark.operators.textops import ppl_buckets, quality_ensemble
+    from team_126_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.length("text").cast("double").alias("surprisal")
+    )
+
+    def specs(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return [ln for ln in buf.getvalue().splitlines() if "windowspecdefinition" in ln]
+
+    small = ppl_buckets(scored, "surprisal", "lang", "doc_id", scalable="auto",
+                        auto_rows=10**9)
+    assert any("_p#" not in ln for ln in specs(small))  # window path
+    big = ppl_buckets(scored, "surprisal", "lang", "doc_id", scalable="auto",
+                      auto_rows=10)
+    assert all("_p#" in ln for ln in specs(big))  # grouped_ranks path
+    key = lambda r: (r["doc_id"], r["ppl_bucket"])  # noqa: E731
+    assert sorted(map(key, small.collect())) == sorted(map(key, big.collect()))
+
+    qe_big = quality_ensemble(docs, "text", "doc_id", "lang", scalable="auto",
+                              auto_rows=10)
+    assert all("_p#" in ln for ln in specs(qe_big))
+    qe_small = quality_ensemble(docs, "text", "doc_id", "lang", scalable="auto",
+                                auto_rows=10**9)
+    assert any("_p#" not in ln for ln in specs(qe_small))
