@@ -1328,6 +1328,7 @@ def edit_distance_pairs(
     lang_col: str | None = None,
     max_dist: int = 10,
     len_bucket: int = 5,
+    max_block_rows: int | None = 20_000,
 ) -> DataFrame:
     """Blocked TRUE-edit-distance near-dup pairs — the character-level
     fuzzy dedup that catches what token fingerprints blur (one-char typo
@@ -1337,27 +1338,32 @@ def edit_distance_pairs(
 
     Scale shape: a Levenshtein all-pairs is corpus², so pairs are mined
     per BLOCK — (lang, token_count // len_bucket) — and each row probes
-    its own and both ADJACENT length buckets, so a qualifying pair split
-    by a bucket boundary is still found (d edits change the token count
-    by at most d; keep len_bucket ≥ ~max_dist/2 for no-miss coverage of
-    near-equal-length dups). Fan-out is block-size² — a data invariant
-    like rule_mining's basket bound, never corpus². The probe explode is
-    3 slim rows per doc; the pair join is a hash equi-join on the block
-    key; a char-length prefilter (|len_a − len_b| > max_dist ⇒ dist >
-    max_dist, a necessary condition — result-identical) skips the DP
-    entirely for length-mismatched pairs, and Spark's bounded
-    levenshtein(threshold) abandons the rest early. Each unordered pair
-    is emitted ONCE (the smaller id is always the probing side, so the
-    (a<b, probe ∈ {k-1,k,k+1}) pair of conditions matches exactly one
-    orientation).
+    its own and the ±w SURROUNDING length buckets where
+    w = ceil(max_dist / len_bucket). That width is the no-miss bound
+    (ADVICE r10): d char edits change the whitespace token count by at
+    most d (every space insert/delete moves it by 1), and
+    ⌊b/L⌋ − ⌊a/L⌋ ≤ ⌈(b−a)/L⌉, so any pair within max_dist edits lands
+    within w buckets — the previous ±1 probe silently missed pairs
+    whose token counts differ by more than len_bucket. Fan-out is
+    block-size² — a data invariant like rule_mining's basket bound,
+    never corpus². The probe explode is 2w+1 slim rows per doc; the
+    pair join is a hash equi-join on the block key; a char-length
+    prefilter (|len_a − len_b| > max_dist ⇒ dist > max_dist, a
+    necessary condition — result-identical) skips the DP entirely for
+    length-mismatched pairs, and Spark's bounded levenshtein(threshold)
+    abandons the rest early. Each unordered pair is emitted ONCE (the
+    smaller id is always the probing side, so the (a<b, probe ∈
+    [k−w, k+w]) pair of conditions matches exactly one orientation).
 
-    Density caveat (the geo_knn_join scale-probe lesson): on a corpus
-    where near-dups are PLANTED densely (e.g. the 10× replication probe,
-    whose per-copy token suffixes keep short docs within edit range of
-    their siblings), the OUTPUT itself grows ~density² — the probe then
-    measures pair throughput, not scan scaling. Production corpora route
-    bulk dedup through MinHash first and run this pass as the fine
-    verifier on the candidate residue."""
+    Density GUARD (VERDICT r10 #3 — the caveat is now executable, not
+    prose): pair fan-out grows with the square of a block's row count,
+    so on a near-dup-dense corpus (the 10× replication probe planted
+    exactly this) one (lang, bucket) block can silently melt a task.
+    One slim partial-agg count finds the largest block before any pair
+    is formed and REFUSES above `max_block_rows` (the _guard_quadratic
+    contract: route bulk dedup through minhash_lsh_pairs first and run
+    this pass as the fine verifier on the residue; pass None to opt
+    out explicitly)."""
     from ..functions.text import normalize_ws, token_count
 
     lang = F.col(lang_col) if lang_col else F.lit("")
@@ -1367,12 +1373,27 @@ def edit_distance_pairs(
         normalize_ws(F.col(text_col)).alias("_nt"),
         (token_count(F.col(text_col)) / len_bucket).cast("bigint").alias("_bkt"),
     ).filter(F.col("_nt").isNotNull() & (F.col("_nt") != ""))
+    if max_block_rows is not None:
+        biggest = (
+            base.groupBy("_lang", "_bkt").count().agg(F.max("count")).first()[0]
+        )
+        if biggest and biggest > max_block_rows:
+            raise RuntimeError(
+                f"edit_distance_pairs: largest (lang, length-bucket) block "
+                f"has {biggest} rows > max_block_rows={max_block_rows} — "
+                f"pair fan-out is block², so this block alone yields "
+                f"~{biggest * (biggest - 1) // 2} candidate pairs; run "
+                f"minhash_lsh_pairs first and use this pass as the fine "
+                f"verifier on the residue, or pass a higher max_block_rows "
+                f"(or None) if you really mean it"
+            )
+    w = -(-max_dist // len_bucket)  # ceil: the no-miss probe width
     probes = base.select(
         F.col("_id").alias("a_id"),
         F.col("_lang").alias("_plang"),
         F.col("_nt").alias("_ant"),
         F.explode(
-            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+            F.array(*[F.col("_bkt") + F.lit(i) for i in range(-w, w + 1)])
         ).alias("_pbkt"),
     )
     rhs = base.select(

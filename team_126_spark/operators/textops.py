@@ -7,6 +7,8 @@ codegen; nothing here shuffles except the explicit groupBys.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2051,6 +2053,24 @@ def bpe_apply(
             (r["lhs"], r["rhs"])
             for r in bpe_train(df, text_col, id_col, n_merges).collect()
         ]
+    else:
+        # merge symbols are inlined into an F.expr fold below; bpe_train
+        # guarantees ^[a-z0-9]+$ but a CALLER-supplied list must be
+        # validated before literal interpolation (ADVICE r10 — a quote
+        # or SQL metacharacter would break or inject the expression; the
+        # hard_negatives_scoped assign-dial validation precedent)
+        bad = [
+            p
+            for p in merges
+            for s in p
+            if not isinstance(s, str) or not re.fullmatch(r"[a-z0-9]+", s)
+        ]
+        if bad:
+            raise ValueError(
+                f"bpe_apply: merge symbols must match ^[a-z0-9]+$ "
+                f"(got {sorted(set(bad))[:3]}) — rules from bpe_train "
+                f"satisfy this by construction"
+            )
     docw = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))

@@ -9020,16 +9020,20 @@ def q_tokenizer_bpe_apply(spark, sf_dir):
     SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.lang AS lang,
            levenshtein(x.nt, y.nt)::BIGINT AS dist
     FROM b x JOIN b y
-      ON x.lang = y.lang AND abs(x.bkt - y.bkt) <= 1 AND x.doc_id < y.doc_id
+      ON x.lang = y.lang AND abs(x.bkt - y.bkt) <= 2 AND x.doc_id < y.doc_id
     WHERE levenshtein(x.nt, y.nt) <= 10
     """,
     doc="§2.18 blocked TRUE-edit-distance near-dup pairs (≤10 "
     "Levenshtein edits): the character-level fuzzy dedup that catches "
     "typo storms / OCR noise / template fills that token fingerprints "
-    "blur. Pairs mined per (lang, token-length-bucket) block with "
-    "adjacent-bucket probing — fan-out is block-size², a data "
-    "invariant, never corpus²; Spark's bounded levenshtein(threshold) "
-    "prunes the DP early (operators/dedup.edit_distance_pairs)",
+    "blur. Pairs mined per (lang, token-length-bucket) block probing "
+    "±ceil(max_dist/len_bucket)=±2 buckets — the no-miss width "
+    "(ADVICE r10: d edits move the token count by ≤ d), fan-out "
+    "block-size², a data invariant, never corpus²; an executable "
+    "per-block density guard refuses above max_block_rows before any "
+    "pair forms (VERDICT r10 #3); Spark's bounded "
+    "levenshtein(threshold) prunes the DP early "
+    "(operators/dedup.edit_distance_pairs)",
 )
 def q_edit_distance_dedup(spark, sf_dir):
     return D.edit_distance_pairs(

@@ -1029,3 +1029,41 @@ def test_dedup_consolidate_merges_provenance(spark):
         1: (3, "srcA|srcB", "en|fr"),
         9: (1, "srcC", "en"),
     }
+
+
+def test_edit_distance_pairs_two_bucket_gap_found_and_guard(spark):
+    """ADVICE r10: the ±1 probe missed pairs whose token counts differ by
+    more than len_bucket. With len_bucket=2, max_dist=3: 'ab cd ef'
+    (3 tokens, bucket 1) vs 'a b c d e f' (6 tokens, bucket 3) are 3
+    space-inserts apart — two buckets apart, found only by the widened
+    ±ceil(max_dist/len_bucket)=±2 probe. VERDICT r10 #3: the per-block
+    density guard refuses a planted dense block BEFORE any pair forms,
+    and max_block_rows=None opts out."""
+    import pytest as _pytest
+
+    from team_126_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "en", "ab cd ef"), (2, "en", "a b c d e f")],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", lang_col="lang", max_dist=3, len_bucket=2
+        ).collect()
+    }
+    assert got == {(1, 2): 3}
+
+    dense = spark.createDataFrame(
+        [(i, "en", f"xx yy zz w{i % 7}") for i in range(30)],
+        ["doc_id", "lang", "text"],
+    )
+    with _pytest.raises(RuntimeError, match="max_block_rows"):
+        edit_distance_pairs(
+            dense, "text", "doc_id", lang_col="lang", max_block_rows=10
+        )
+    ok = edit_distance_pairs(
+        dense, "text", "doc_id", lang_col="lang", max_block_rows=None
+    )
+    assert ok.count() > 0  # opt-out runs the dense block

@@ -1227,3 +1227,19 @@ def test_sft_spans_hand_offsets(spark):
     assert got[7]["spans_cat"] == f"{start}:{end}"
     assert text[start:end] == "assistant: purchase"
     assert got[8]["spans_cat"] == "" and got[8]["n_assistant"] == 0
+
+
+def test_bpe_apply_rejects_unsafe_merge_symbols(spark):
+    """ADVICE r10: caller-supplied merges inline into an F.expr fold —
+    anything outside ^[a-z0-9]+$ must raise BEFORE interpolation, and a
+    valid explicit list still round-trips."""
+    import pytest as _pytest
+
+    from team_126_spark.operators.textops import bpe_apply
+
+    df = spark.createDataFrame([(1, "aa aa b")], ["doc_id", "text"])
+    for bad in [("a'", "a"), ("a", "b)"), ("A", "a"), ("", "a")]:
+        with _pytest.raises(ValueError, match="merge symbols"):
+            bpe_apply(df, "text", "doc_id", merges=[bad])
+    got = bpe_apply(df, "text", "doc_id", merges=[("a", "a")]).collect()
+    assert got[0]["n_bpe_tokens"] == 3  # aa aa b -> 1+1+1
