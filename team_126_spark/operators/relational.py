@@ -1352,6 +1352,8 @@ def sliding_distinct(
     ts_col: str,
     key_col: str,
     window_days: int = 7,
+    exact: bool = True,
+    max_exact_span: int = 60,
 ) -> DataFrame:
     """Rolling N-day distinct-key counts — the incremental-dashboard
     staple (7-day active users) in its MERGEABLE form: per-day HLL
@@ -1369,8 +1371,45 @@ def sliding_distinct(
     rsd-derived bound, floor 3) — TRUE on both engines unless the
     sketch path is actually broken, so the approximate machinery is
     exercised end-to-end under an exact DuckDB twin. Output:
-    (day, exact_nd, sketch_ok) for every day with ≥ 1 covering event."""
+    (day, exact_nd, sketch_ok) for every day with ≥ 1 covering event.
+
+    SPAN BOUND (VERDICT r10 #6, executable): the exact arm's
+    cover-explode multiplies RAW rows by window_days — at a 90-day
+    window that is a 90× explode of the corpus, so exact=True REFUSES
+    above `max_exact_span` days (raise it or opt down explicitly).
+    `exact=False` is the sketch-only plan: per-day HLL sketches (one
+    partial-agg pass over raw rows), after which only the DAILY sketch
+    table — days × window rows, a calendar invariant — explodes into
+    trailing windows. Output there is (day, sketch_nd); pinned within
+    the HLL bound of the exact count in pytest."""
+    if exact and window_days > max_exact_span:
+        raise RuntimeError(
+            f"sliding_distinct: window_days={window_days} > "
+            f"max_exact_span={max_exact_span} — the exact arm cover-"
+            f"explodes every raw row {window_days}x; use exact=False "
+            f"(per-day HLL sketches: only the daily sketch table "
+            f"explodes, days x window rows) or raise max_exact_span "
+            f"if you really mean it"
+        )
     day = F.to_date(F.col(ts_col))
+    daily = events.select(day.alias("_d"), F.col(key_col).alias("_k")).groupBy(
+        "_d"
+    ).agg(F.hll_sketch_agg("_k").alias("_sk"))
+    if not exact:
+        return (
+            daily.select(
+                F.explode(
+                    F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+                ).alias("day"),
+                "_sk",
+            )
+            .groupBy("day")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+                .cast("bigint")
+                .alias("sketch_nd")
+            )
+        )
     covered = events.select(
         F.explode(
             F.sequence(day, F.date_add(day, window_days - 1))
@@ -1380,9 +1419,6 @@ def sliding_distinct(
     exact = covered.groupBy("day").agg(
         F.count_distinct("_k").cast("bigint").alias("exact_nd")
     )
-    daily = events.select(day.alias("_d"), F.col(key_col).alias("_k")).groupBy(
-        "_d"
-    ).agg(F.hll_sketch_agg("_k").alias("_sk"))
     # each day's sketch covers the same window_days trailing slots as the
     # exact side — an EQUI join on the day, never a range BNLJ
     sk_cov = daily.select(
