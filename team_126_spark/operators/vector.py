@@ -118,6 +118,7 @@ def hybrid_search_adaptive(
     n_tables: int = 8,
     n_probe_bits: int = 6,
     score_round: int | None = None,
+    layout_dir: str | None = None,
 ) -> DataFrame:
     """Density-adaptive hybrid retrieval (VERDICT r8 #2: the static
     candidate_factor=3 over-fetch is a measured recall cliff — NDCG 0.971/
@@ -145,7 +146,13 @@ def hybrid_search_adaptive(
     + `lsh_candidates_from_layout` (bucket ids become PartitionFilters;
     candidate set pinned identical to the in-memory prong, files-read
     pinned a strict subset, tests/test_geo_vector.py) — and the count
-    is a metadata-cheap aggregate. Deterministic: both prongs and the
+    is a metadata-cheap aggregate. `layout_dir` wires that path in as
+    ONE call (VERDICT r10 #5): pass the `write_lsh_layout` directory
+    (built from the same corpus with the same dim/n_planes/n_tables)
+    and the similarity prong becomes a partition-pruned read of the
+    probed buckets' ids semi-joined onto the in-radius rows — pinned
+    result-identical to the in-memory prong, with the files-read
+    assertion running through THIS entry point in pytest. Deterministic: both prongs and the
     dedup are value-defined (same row for an id either way), so the
     result is oracle-checkable — queries.q_hybrid_fusion_adaptive
     mirrors the branch AND the LSH integer plane family in DuckDB.
@@ -159,9 +166,27 @@ def hybrid_search_adaptive(
         near = cands.orderBy(F.col("distance_km").asc(), F.col(id_col).asc()).limit(
             k * candidate_factor
         )
-        sem = lsh_candidates(
-            cands, vec_col, probe_vec, len(probe_vec), n_planes, n_tables, n_probe_bits
-        ).drop("lsh_buckets")
+        if layout_dir is not None:
+            # partition-pruned prong: ids from the probed buckets'
+            # directories only, semi-joined back onto the in-radius rows
+            # — same set as lsh_candidates(cands, ...) because the layout
+            # holds every corpus row under each of its bucket ids
+            hit_ids = lsh_candidates_from_layout(
+                df.sparkSession,
+                layout_dir,
+                probe_vec,
+                len(probe_vec),
+                id_col,
+                n_planes,
+                n_tables,
+                n_probe_bits,
+            ).select(id_col)
+            sem = cands.join(hit_ids, id_col, "left_semi")
+        else:
+            sem = lsh_candidates(
+                cands, vec_col, probe_vec, len(probe_vec), n_planes, n_tables,
+                n_probe_bits,
+            ).drop("lsh_buckets")
         cands = near.unionByName(sem).dropDuplicates([id_col])
     pv = F.array(*[F.lit(float(x)) for x in probe_vec])
     sim = F.when(F.col(vec_col).isNull(), F.lit(0.0)).otherwise(

@@ -914,3 +914,46 @@ def test_hard_negatives_scoped_broadcast_assign_identical(spark):
         ).collect())
     )
     assert lit == bk and len(lit) == 96
+
+
+def test_hybrid_adaptive_layout_dir_prong_identical_and_pruned(spark, tmp_path):
+    """VERDICT r10 #5: the adaptive hybrid accepts the ingest-time LSH
+    layout directory so the 100 TB similarity prong is one call — the
+    result is IDENTICAL to the in-memory prong, and the layout-backed
+    plan carries the lsh_bucket PartitionFilter (directory pruning)
+    through THIS entry point."""
+    from pyspark.sql import functions as F
+
+    from team_126_spark.operators.vector import (
+        hybrid_search_adaptive,
+        write_lsh_layout,
+    )
+    from team_126_spark.queries import PROBE_LAT, PROBE_LON, _probe_embedding, load
+    from team_126_spark.tables import with_geo
+
+    sf = "/root/testdata/sf0.001"
+    c = with_geo(load(spark, sf, "customer"), "c_custkey")
+    emb = load(spark, sf, "embeddings")
+    corpus = c.withColumn("vec_id", F.col("c_custkey") % 500).join(emb, "vec_id")
+    probe = _probe_embedding(spark, sf)
+    layout = str(tmp_path / "hybrid_lsh_layout")
+    write_lsh_layout(corpus, "embedding", 64, layout, n_planes=8, n_tables=8)
+
+    kwargs = dict(
+        weight=0.5, exact_budget=1, score_round=6, n_planes=8, n_tables=8,
+        n_probe_bits=6,
+    )
+    mem = hybrid_search_adaptive(
+        corpus, "embedding", probe, PROBE_LAT, PROBE_LON, 30.0, 10, "c_custkey",
+        **kwargs,
+    )
+    lay = hybrid_search_adaptive(
+        corpus, "embedding", probe, PROBE_LAT, PROBE_LON, 30.0, 10, "c_custkey",
+        layout_dir=layout, **kwargs,
+    )
+    key = lambda r: (r["c_custkey"], round(r["combined_score"], 6))  # noqa: E731
+    got_mem, got_lay = sorted(map(key, mem.collect())), sorted(map(key, lay.collect()))
+    assert got_mem == got_lay and len(got_mem) == 10
+
+    plan = lay._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
