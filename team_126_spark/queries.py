@@ -9348,4 +9348,44 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "group_distinct_approx", "array_ops_suite", "dim_profile",
 )
 
-_rotate_registry(DRIVER_SAMPLE_R10)
+# Round-11 rotation (VERDICT r10 #2 + #7 — the standing rule, so the
+# evidence-debt item never recurs: OLDEST DRIVER EVIDENCE FIRST, always).
+# Build each round's tuple as: (a) every registry row whose newest green
+# CORRECTNESS_r* evidence is the oldest surviving round — here the 5
+# r6-era rows (pca_topcomp and random_projection were REWRITTEN in r7,
+# so their only driver evidence predates the shipping code); then (b)
+# new round-11 declarations inserted after that block as each is
+# declared (the tuple must stay valid at every commit; each insert
+# displaces one row from the END); then (c) the next-oldest evidence
+# rows (r7) in declaration order as fill.
+#
+# R12 ROTATION QUEUE (build it as DRIVER_SAMPLE_R12): any never-sampled
+# r11/r12 declarations + the r7-evidence rows displaced from this
+# tuple's tail (tumbling_window, sessionize, event_trends,
+# dashboard_counts, dataset_search_union, then any others this round's
+# declarations push out) + the oldest r8-evidence rows as fill.
+DRIVER_SAMPLE_R11: tuple[str, ...] = (
+    # r6-evidence rows — the oldest driver evidence in the registry
+    "event_anomaly", "random_projection", "countmin_freq",
+    "bootstrap_ci", "pca_topcomp",
+    # round-11 declarations (never driver-sampled) — newest first
+    # r7-evidence rows, declaration order (fill to 50)
+    "struct_project",
+    "threshold_flag", "status_breakdown", "topk_per_group",
+    "ordered_limit", "search_filter_limit", "union_dedup",
+    "regexp_extract_kw", "schedule_expand", "vec_knn_scoped",
+    "vec_threshold", "vec_euclidean_match", "vec_knn_batch",
+    "salted_join_fk", "rollup_counts", "rolling_features",
+    "asof_join", "corpus_curate", "doc_len_quantiles",
+    "vec_centroids", "build_vocab", "pack_sequences",
+    "doc_rarity", "ngram_counts", "decontaminate",
+    "doc_chunk", "stratified_sample", "pii_scrub",
+    "doc_exact_dedup", "doc_fingerprint", "doc_jaccard_pairs",
+    "embedding_neardup", "minhash_lsh_pairs", "dedup_components",
+    "dedup_select", "cluster_split", "interval_join_counts",
+    "scd2_history", "cap_per_source", "quality_gate",
+    "corpus_mix", "simhash", "embedding_neardup_lsh",
+    "ann_lsh", "doc_rolling_fingerprint",
+)
+
+_rotate_registry(DRIVER_SAMPLE_R11)
