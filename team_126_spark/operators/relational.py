@@ -1236,9 +1236,14 @@ def label_propagation(
     once at the end — pinned identical communities vs the string-native
     default on the fixture graph; tools/job_metrics.py receipts the
     per-round shuffle drop (19.75 → 12.29 MiB at sf0.1) in SCALING.md.
-    Default False: below the multi-round billion-edge regime the one-off
-    encode + decode joins cost more wall time than the slimmer rounds
-    save (measured 2× on the fixture graph).
+    USAGE RULE (VERDICT r10 #4, measured crossover in SCALING.md §r11):
+    the encode is a one-off (4 fixed joins) while the savings recur per
+    round, so int wins when ROUNDS × ID-WIDTH is large — measured on
+    this box from ~(iters ≥ 8 with URL/UUID-width ids: 19.6 → 15.2 s at
+    1.17M edges); with short ids string-native wins at every feasible
+    local scale (7.4 vs 8.3 s at 1×, 11.5 vs 14.1 s at 4×). On a
+    network-shuffled cluster the per-round bytes dominate and the
+    crossover moves earlier. Default False per the measurements.
 
     Scale shape per round (the pagerank loop pattern): one equi-join of
     the label vector onto the edge list (shuffle on node id), one
