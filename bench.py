@@ -275,6 +275,8 @@ HEADLINE = [
     "doremi_weights",
     "embedding_outliers",
     "kcenter_select",
+    # round-11 additions
+    "soft_dedup_weights",
     # round-8 additions
     "dsir_weights",
     "dsir_resample",

@@ -1459,3 +1459,41 @@ def dedup_consolidate(
         for c in meta_cols
     ]
     return base.groupBy("_fp").agg(*aggs).drop("_fp")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft deduplication TRAINING WEIGHTS (the SoftDeDup idea — down-
+    weight duplicated content instead of dropping it: hard dedup throws
+    away the signal that popular content carries, soft dedup keeps every
+    row but scales its loss contribution so a 1000-copy boilerplate
+    cluster contributes ~1 document's worth of gradient): per exact-dup
+    cluster of size n, every member gets weight n^(-alpha) — alpha=1 is
+    "each cluster counts once", alpha in (0,1) interpolates toward
+    keep-everything (the word2vec subsampling convention).
+
+    Scale shape: one partial-aggregated groupBy on the md5 content
+    fingerprint (uniform key — no skew by construction) produces the
+    slim (fp, n) cluster-size table, joined back in ONE hash equi-join
+    on the same uniform key; weights are a map-side power, rounded 6dp
+    before emit. Compare dedup_consolidate (keeps one row + provenance)
+    and dedup_select (keeps the best row): this keeps ALL rows and
+    reweights — the choice FineWeb-class pipelines sweep. Output:
+    (id, n_copies, weight_r)."""
+    from ..functions.text import fingerprint
+
+    base = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    sizes = base.groupBy("_fp").agg(F.count("*").cast("bigint").alias("n_copies"))
+    return (
+        base.join(sizes, "_fp")
+        .select(
+            id_col,
+            "n_copies",
+            F.round(F.pow(F.col("n_copies").cast("double"), F.lit(-float(alpha))), 6)
+            .alias("weight_r"),
+        )
+    )

@@ -9348,6 +9348,30 @@ DRIVER_SAMPLE_R10: tuple[str, ...] = (
     "group_distinct_approx", "array_ops_suite", "dim_profile",
 )
 
+@declared(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents
+    ),
+    s AS (SELECT fp, count(*)::BIGINT AS n_copies FROM c GROUP BY fp)
+    SELECT c.doc_id, s.n_copies,
+           round(power(s.n_copies, -1.0), 6) AS weight_r
+    FROM c JOIN s USING (fp)
+    """,
+    doc="§2.19 soft deduplication weights (SoftDeDup: down-weight "
+    "duplicated content instead of dropping it — hard dedup discards "
+    "the popularity signal; weighting by cluster-size^(-alpha) keeps "
+    "every row while a 1000-copy boilerplate cluster contributes ~one "
+    "document of gradient). ONE partial-agg groupBy on the uniform md5 "
+    "fingerprint + ONE hash equi-join back on the same key; the weight "
+    "is a map-side power, 6dp-rounded before emit "
+    "(operators/dedup.soft_dedup_weights)",
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    return D.soft_dedup_weights(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 # Round-11 rotation (VERDICT r10 #2 + #7 — the standing rule, so the
 # evidence-debt item never recurs: OLDEST DRIVER EVIDENCE FIRST, always).
 # Build each round's tuple as: (a) every registry row whose newest green
@@ -9369,6 +9393,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "event_anomaly", "random_projection", "countmin_freq",
     "bootstrap_ci", "pca_topcomp",
     # round-11 declarations (never driver-sampled) — newest first
+    "soft_dedup_weights",
     # r7-evidence rows, declaration order (fill to 50)
     "struct_project",
     "threshold_flag", "status_breakdown", "topk_per_group",
@@ -9385,7 +9410,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "dedup_select", "cluster_split", "interval_join_counts",
     "scd2_history", "cap_per_source", "quality_gate",
     "corpus_mix", "simhash", "embedding_neardup_lsh",
-    "ann_lsh", "doc_rolling_fingerprint",
+    "ann_lsh",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R11)

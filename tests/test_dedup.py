@@ -1067,3 +1067,29 @@ def test_edit_distance_pairs_two_bucket_gap_found_and_guard(spark):
         dense, "text", "doc_id", lang_col="lang", max_block_rows=None
     )
     assert ok.count() > 0  # opt-out runs the dense block
+
+
+def test_soft_dedup_weights_cluster_sizes(spark):
+    """Hand-built corpus: a 3-copy cluster (case/whitespace variants of
+    one content) gets weight 1/3 on every member, singletons get 1.0,
+    and alpha=0.5 gives n^(-1/2)."""
+    from team_126_spark.operators.dedup import soft_dedup_weights
+
+    rows = [
+        (1, "hello world"),
+        (2, "Hello   WORLD"),
+        (3, "hello world"),
+        (4, "something else"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in soft_dedup_weights(df, "text", "doc_id").collect()}
+    assert {d: got[d]["n_copies"] for d in got} == {1: 3, 2: 3, 3: 3, 4: 1}
+    assert got[1]["weight_r"] == round(1 / 3, 6) and got[4]["weight_r"] == 1.0
+    half = {
+        r["doc_id"]: r["weight_r"]
+        for r in soft_dedup_weights(df, "text", "doc_id", alpha=0.5).collect()
+    }
+    assert half[1] == round(3 ** -0.5, 6) and half[4] == 1.0
+    # the reweighted corpus sums clusters to ~cluster_count at alpha=1
+    # (up to the per-row 6dp round: 3 * 0.333333 + 1)
+    assert abs(sum(r["weight_r"] for r in got.values()) - 2.0) < 1e-5
