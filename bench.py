@@ -277,6 +277,7 @@ HEADLINE = [
     "kcenter_select",
     # round-11 additions
     "soft_dedup_weights",
+    "tokenizer_fertility",
     # round-8 additions
     "dsir_weights",
     "dsir_resample",

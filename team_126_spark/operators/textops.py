@@ -2189,3 +2189,47 @@ def sft_spans(
         .alias("text_len"),
         spans.alias("spans_cat"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility report — the eval every
+    multilingual tokenizer ships with (fertility = BPE tokens per word;
+    a tokenizer trained on a corpus-dominant language fragments the
+    others, silently taxing their context budget and training FLOPs):
+    train `n_merges` BPE rules on the corpus (bpe_train), encode it
+    (bpe_apply's vocab-level replay — the corpus is scanned once, the
+    fold runs on the DISTINCT-word table), then aggregate per language:
+    doc count, word/char/token sums, fertility, and chars-per-token
+    compression.
+
+    Scale shape: everything corpus-scale is bpe_apply's one doc→word
+    equi-join + per-doc integer sums; this adds ONE slim join of those
+    per-doc rows onto (id, lang) and ONE partial-aggregated groupBy on
+    the language key (languages are a data invariant). Sums are
+    integers — exact in any order; the two ratios divide once per
+    GROUP and round 6dp (never summed post-division, the isotropy
+    rule). Output: (lang, n_docs, n_words, n_bpe_tokens, fertility_r,
+    compression_r) — fertility_r is the headline number, lower is
+    better, 1.0 = every word survives as one token."""
+    enc = bpe_apply(df, text_col, id_col, n_merges=n_merges)
+    return (
+        enc.join(df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility_r"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_bpe_tokens").cast("double"), 6
+            ).alias("compression_r"),
+        )
+    )

@@ -9372,6 +9372,35 @@ def q_soft_dedup_weights(spark, sf_dir):
     return D.soft_dedup_weights(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@declared(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT d.lang, count(*)::BIGINT AS n_docs,
+           sum(b.n_words)::BIGINT AS n_words,
+           sum(b.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+           round(sum(b.n_bpe_tokens) / CAST(sum(b.n_words) AS DOUBLE), 6)
+             AS fertility_r,
+           round(sum(b.n_chars) / CAST(sum(b.n_bpe_tokens) AS DOUBLE), 6)
+             AS compression_r
+    FROM ({_bpe_apply_oracle_sql(8)}) b
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    doc="§2.19 per-language tokenizer FERTILITY (BPE tokens per word — "
+    "the multilingual-tokenizer eval: a corpus-dominant language's "
+    "merges fragment the others, taxing their context budget): train "
+    "8 merges, encode via bpe_apply's vocab-level replay (corpus "
+    "scanned once), then ONE slim join onto (id, lang) + ONE "
+    "partial-agg groupBy on the language key; integer sums, two "
+    "per-group divisions rounded 6dp "
+    "(operators/textops.tokenizer_fertility)",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    return TO.tokenizer_fertility(
+        load(spark, sf_dir, "documents"), "text", "doc_id", "lang", n_merges=8
+    )
+
+
 # Round-11 rotation (VERDICT r10 #2 + #7 — the standing rule, so the
 # evidence-debt item never recurs: OLDEST DRIVER EVIDENCE FIRST, always).
 # Build each round's tuple as: (a) every registry row whose newest green
@@ -9393,7 +9422,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "event_anomaly", "random_projection", "countmin_freq",
     "bootstrap_ci", "pca_topcomp",
     # round-11 declarations (never driver-sampled) — newest first
-    "soft_dedup_weights",
+    "tokenizer_fertility", "soft_dedup_weights",
     # r7-evidence rows, declaration order (fill to 50)
     "struct_project",
     "threshold_flag", "status_breakdown", "topk_per_group",
@@ -9410,7 +9439,6 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "dedup_select", "cluster_split", "interval_join_counts",
     "scd2_history", "cap_per_source", "quality_gate",
     "corpus_mix", "simhash", "embedding_neardup_lsh",
-    "ann_lsh",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R11)

@@ -1243,3 +1243,26 @@ def test_bpe_apply_rejects_unsafe_merge_symbols(spark):
             bpe_apply(df, "text", "doc_id", merges=[bad])
     got = bpe_apply(df, "text", "doc_id", merges=[("a", "a")]).collect()
     assert got[0]["n_bpe_tokens"] == 3  # aa aa b -> 1+1+1
+
+
+def test_tokenizer_fertility_hand_corpus(spark):
+    """Two languages, one merge budget: with merges=[(a,a)] learned on
+    the corpus, the 'aa'-heavy language encodes tighter — hand-computed
+    fertility and compression on both groups."""
+    from team_126_spark.operators.textops import tokenizer_fertility
+
+    rows = [
+        (1, "xx", "aa aa aa"),   # 3 words, 6 chars; merge (a,a) -> 3 tokens
+        (2, "xx", "aa aa"),      # 2 words, 4 chars -> 2 tokens
+        (3, "yy", "bc bc bc"),   # merge doesn't apply: 3 words -> 6 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r["lang"]: r
+        for r in tokenizer_fertility(df, "text", "doc_id", "lang", n_merges=1).collect()
+    }
+    xx, yy = got["xx"], got["yy"]
+    assert (xx["n_docs"], xx["n_words"], xx["n_bpe_tokens"]) == (2, 5, 5)
+    assert xx["fertility_r"] == 1.0 and xx["compression_r"] == 2.0
+    assert (yy["n_docs"], yy["n_words"], yy["n_bpe_tokens"]) == (1, 3, 6)
+    assert yy["fertility_r"] == 2.0 and yy["compression_r"] == 1.0
