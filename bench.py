@@ -278,6 +278,7 @@ HEADLINE = [
     # round-11 additions
     "soft_dedup_weights",
     "tokenizer_fertility",
+    "curriculum_order",
     # round-8 additions
     "dsir_weights",
     "dsir_resample",

@@ -2233,3 +2233,55 @@ def tokenizer_fertility(
             ).alias("compression_r"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Curriculum SHARD assignment (Bengio et al. 2009 curriculum
+    learning, as data prep: train on easy documents first, ramp to hard
+    — the practical knob is pre-sharding the corpus so the loader walks
+    shard 1..k in order): difficulty here is token count (length
+    curriculum — the standard text proxy: short docs are easier and
+    cheaper), ranked WITHIN each source so every shard preserves the
+    corpus' source mix instead of front-loading whichever source skews
+    short.
+
+    Scale shape: this is a per-group ntile over the raw corpus — the
+    exact shape the ccnet_buckets verdict flagged — so it is built
+    scalable-ONLY: `relational.grouped_ranks` (range-partitioned
+    two-level rank, task-sized window partitions by construction) plus
+    the closed-form ntile shard = ((rank−1)·k)//n + 1 (reproduces SQL
+    ntile's ceil-sized leading buckets exactly — the pinned ppl_buckets
+    identity). One slim broadcast of per-group counts; no group-sized
+    window exists at any size. Output: (id, group, n_tokens, shard),
+    shard ∈ [1, n_shards], walk shards in order to ramp difficulty."""
+    from ..functions.text import token_count
+
+    from .relational import grouped_ranks
+
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_g"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).localCheckpoint()
+    ranked = grouped_ranks(
+        base, "_g", [F.asc("n_tokens"), F.asc(id_col)], out="_rk"
+    )
+    counts = base.groupBy(F.col("_g").alias("_gc")).agg(F.count("*").alias("_n"))
+    shard = (
+        ((F.col("_rk") - 1) * n_shards / F.col("_n")).cast("int") + 1
+    ).cast("bigint")
+    return (
+        ranked.join(F.broadcast(counts), F.col("_g").eqNullSafe(F.col("_gc")))
+        .select(
+            F.col(id_col),
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            shard.alias("shard"),
+        )
+    )

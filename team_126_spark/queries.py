@@ -9401,6 +9401,32 @@ def q_tokenizer_fertility(spark, sf_dir):
     )
 
 
+@declared(
+    "curriculum_order",
+    oracle=f"""
+    SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens,
+           ntile(4) OVER (
+             PARTITION BY source
+             ORDER BY {X.token_count_sql('text')}, doc_id
+           )::BIGINT AS shard
+    FROM documents
+    """,
+    doc="§2.19 curriculum shard assignment (length curriculum, "
+    "per-source stratified so every shard keeps the corpus' source "
+    "mix): rank docs by token count within source, shard = ntile(4). "
+    "Built SCALABLE-ONLY — grouped_ranks (task-sized window "
+    "partitions) + the closed-form ntile ((rank-1)*4)//n + 1, the "
+    "pinned ppl_buckets identity — because a per-group ntile over the "
+    "raw corpus is exactly the ccnet_buckets funnel shape; no "
+    "group-sized window exists at any size "
+    "(operators/textops.curriculum_order)",
+)
+def q_curriculum_order(spark, sf_dir):
+    return TO.curriculum_order(
+        load(spark, sf_dir, "documents"), "text", "doc_id", "source", n_shards=4
+    )
+
+
 # Round-11 rotation (VERDICT r10 #2 + #7 — the standing rule, so the
 # evidence-debt item never recurs: OLDEST DRIVER EVIDENCE FIRST, always).
 # Build each round's tuple as: (a) every registry row whose newest green
@@ -9422,7 +9448,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "event_anomaly", "random_projection", "countmin_freq",
     "bootstrap_ci", "pca_topcomp",
     # round-11 declarations (never driver-sampled) — newest first
-    "tokenizer_fertility", "soft_dedup_weights",
+    "curriculum_order", "tokenizer_fertility", "soft_dedup_weights",
     # r7-evidence rows, declaration order (fill to 50)
     "struct_project",
     "threshold_flag", "status_breakdown", "topk_per_group",
@@ -9438,7 +9464,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "embedding_neardup", "minhash_lsh_pairs", "dedup_components",
     "dedup_select", "cluster_split", "interval_join_counts",
     "scd2_history", "cap_per_source", "quality_gate",
-    "corpus_mix", "simhash", "embedding_neardup_lsh",
+    "corpus_mix", "simhash",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R11)

@@ -1266,3 +1266,29 @@ def test_tokenizer_fertility_hand_corpus(spark):
     assert xx["fertility_r"] == 1.0 and xx["compression_r"] == 2.0
     assert (yy["n_docs"], yy["n_words"], yy["n_bpe_tokens"]) == (1, 3, 6)
     assert yy["fertility_r"] == 2.0 and yy["compression_r"] == 1.0
+
+
+def test_curriculum_order_shards_ramp_and_stratify(spark):
+    """Hand corpus: within each source, shards ramp monotonically with
+    token count (ntile semantics incl. the ceil-sized leading bucket),
+    every source appears in every shard it has rows for, and the plan
+    never partitions a window by the raw group alone (scalable-only)."""
+    import contextlib
+    import io
+
+    from team_126_spark.operators.textops import curriculum_order
+
+    rows = [(i, f"s{i % 2}", "w " * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = curriculum_order(df, "text", "doc_id", "source", n_shards=2)
+    got = sorted((r["source"], r["n_tokens"], r["shard"]) for r in out.collect())
+    # per source: 5 docs -> ntile(2) = sizes 3, 2 ordered by n_tokens
+    for s in ("s0", "s1"):
+        ts = [(t, sh) for (src, t, sh) in got if src == s]
+        assert [sh for _, sh in ts] == [1, 1, 1, 2, 2]
+        assert [t for t, _ in ts] == sorted(t for t, _ in ts)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    specs = [ln for ln in buf.getvalue().splitlines() if "windowspecdefinition" in ln]
+    assert specs and all("_p#" in ln for ln in specs)
