@@ -279,6 +279,7 @@ HEADLINE = [
     "soft_dedup_weights",
     "tokenizer_fertility",
     "curriculum_order",
+    "mmr_select",
     # round-8 additions
     "dsir_weights",
     "dsir_resample",

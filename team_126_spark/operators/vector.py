@@ -1782,3 +1782,94 @@ def kcenter_select(
     return spark.createDataFrame(
         chosen, f"round int, center_id {id_type}, d_min_r double"
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe: list[float],
+    k: int = 8,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998
+    — the relevance-vs-redundancy dial every RAG retriever and
+    few-shot-exemplar picker ships): greedily select k rows maximizing
+    lam·sim(probe, d) − (1−lam)·max_{s∈chosen} sim(d, s). Pure top-k
+    returns k near-duplicates of the best hit; lam trades that
+    relevance against coverage of distinct regions — kcenter_select is
+    the lam→0 limit (pure diversity), knn the lam→1 limit.
+
+    Scale shape (the kcenter/kmeans loop contract): relevance is
+    computed ONCE per row map-only; the per-row redundancy STATE is a
+    slim (id, rel, maxsim) table updated by one map-only
+    greatest(maxsim, sim-to-new-pick) pass per round against a
+    broadcast single vector, localCheckpointed so plan depth stays
+    linear; each pick is a rounded top-1 orderBy().limit(1) —
+    TakeOrdered (per-partition max + driver merge, never a global
+    sort); driver state is ONE row per round. Similarities and the
+    fused score round 6dp BEFORE every compare (round-before-sort).
+    Output: (round, sel_id, relevance_r, mmr_r) — mmr_r is NULL for
+    the seed pick (pure-relevance argmax)."""
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine_similarity(F.col(vec_col), pv), 6).alias("_rel"),
+        )
+        .localCheckpoint()
+    )
+    first = base.orderBy(F.desc("_rel"), F.asc("_id")).limit(1).collect()
+    if not first:
+        raise ValueError(
+            "mmr_select: corpus has no non-null vectors — an empty "
+            "selection pool is a config error, not a result"
+        )
+    chosen = [(1, first[0]["_id"], float(first[0]["_rel"]), None)]
+    cvec = F.array(*[F.lit(float(x)) for x in first[0]["_v"]])
+    state = (
+        base.filter(F.col("_id") != F.lit(first[0]["_id"]))
+        .select(
+            "_id",
+            "_v",
+            "_rel",
+            F.round(cosine_similarity(F.col("_v"), cvec), 6).alias("_ms"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, int(k) + 1):
+        mmr = F.round(
+            F.lit(float(lam)) * F.col("_rel")
+            - F.lit(1.0 - float(lam)) * F.col("_ms"),
+            6,
+        )
+        best = (
+            state.withColumn("_mmr", mmr)
+            .orderBy(F.desc("_mmr"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        chosen.append((r, b["_id"], float(b["_rel"]), float(b["_mmr"])))
+        cvec = F.array(*[F.lit(float(x)) for x in b["_v"]])
+        state = (
+            state.filter(F.col("_id") != F.lit(b["_id"]))
+            .select(
+                "_id",
+                "_v",
+                "_rel",
+                F.greatest(
+                    F.col("_ms"), F.round(cosine_similarity(F.col("_v"), cvec), 6)
+                ).alias("_ms"),
+            )
+            .localCheckpoint()
+        )
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        chosen, f"round int, sel_id {id_type}, relevance_r double, mmr_r double"
+    )

@@ -9427,6 +9427,69 @@ def q_curriculum_order(spark, sf_dir):
     )
 
 
+def _mmr_oracle_sql(k: int, lam: float) -> str:
+    """DuckDB twin of vector.mmr_select: unrolled greedy rounds (the
+    kcenter_select pattern) — c{r} = rounded-MMR argmax over the running
+    (rel, maxsim) state d{r-1}, d{r} = greatest-fold of the new pick's
+    similarities, picks excluded by id filter exactly as the Spark loop
+    filters its state table."""
+    cos = V.cosine_similarity_sql
+    parts = [
+        f"""pv AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = 1),
+    base AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             round({cos('embedding', 'probe')}, 6) AS rel
+      FROM embeddings, pv WHERE embedding IS NOT NULL
+    ),
+    c1 AS (SELECT vec_id, embedding, rel FROM base ORDER BY rel DESC, vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT b.vec_id, b.embedding, b.rel,
+             round({cos('b.embedding', 'c.embedding')}, 6) AS ms
+      FROM base b, c1 c WHERE b.vec_id <> c.vec_id
+    )"""
+    ]
+    mmr = f"round({lam} * rel - {round(1.0 - lam, 6)} * ms, 6)"
+    for r in range(2, k + 1):
+        parts.append(f"""
+    c{r} AS (SELECT vec_id, embedding, rel, {mmr} AS mmr FROM d{r - 1}
+             ORDER BY mmr DESC, vec_id LIMIT 1)""")
+        if r < k:
+            parts.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding, d.rel,
+             greatest(d.ms, round({cos('d.embedding', 'c.embedding')}, 6)) AS ms
+      FROM d{r - 1} d, c{r} c WHERE d.vec_id <> c.vec_id
+    )""")
+    unions = "\n      UNION ALL\n".join(
+        ["      SELECT 1 AS round, vec_id AS sel_id, rel AS relevance_r,"
+         " CAST(NULL AS DOUBLE) AS mmr_r FROM c1"]
+        + [f"      SELECT {r}, vec_id, rel, mmr FROM c{r}" for r in range(2, k + 1)]
+    )
+    return "\n    WITH " + ",".join(parts) + "\n    SELECT * FROM (\n" + unions + "\n    )"
+
+
+@declared(
+    "mmr_select",
+    oracle=_mmr_oracle_sql(8, 0.7),
+    doc="§2.19 Maximal Marginal Relevance selection (Carbonell & "
+    "Goldstein 1998 — the relevance-vs-redundancy dial of every RAG "
+    "retriever and few-shot exemplar picker): greedily pick 8 rows "
+    "maximizing 0.7·sim(probe,d) − 0.3·max_sim(d, chosen); pure top-k "
+    "returns near-duplicates of the best hit, MMR covers distinct "
+    "regions (kcenter is the lam→0 limit, knn the lam→1). Per round: "
+    "one map-only greatest(maxsim, sim) pass over a slim checkpointed "
+    "state table + a rounded top-1 TakeOrdered; ONE driver row per "
+    "round; 6dp round before every compare "
+    "(operators/vector.mmr_select; oracle unrolls rounds like "
+    "kcenter_select)",
+)
+def q_mmr_select(spark, sf_dir):
+    return OV.mmr_select(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        _probe_embedding(spark, sf_dir), k=8, lam=0.7,
+    )
+
+
 # Round-11 rotation (VERDICT r10 #2 + #7 — the standing rule, so the
 # evidence-debt item never recurs: OLDEST DRIVER EVIDENCE FIRST, always).
 # Build each round's tuple as: (a) every registry row whose newest green
@@ -9448,7 +9511,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "event_anomaly", "random_projection", "countmin_freq",
     "bootstrap_ci", "pca_topcomp",
     # round-11 declarations (never driver-sampled) — newest first
-    "curriculum_order", "tokenizer_fertility", "soft_dedup_weights",
+    "mmr_select", "curriculum_order", "tokenizer_fertility", "soft_dedup_weights",
     # r7-evidence rows, declaration order (fill to 50)
     "struct_project",
     "threshold_flag", "status_breakdown", "topk_per_group",
@@ -9464,7 +9527,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "embedding_neardup", "minhash_lsh_pairs", "dedup_components",
     "dedup_select", "cluster_split", "interval_join_counts",
     "scd2_history", "cap_per_source", "quality_gate",
-    "corpus_mix", "simhash",
+    "corpus_mix",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R11)

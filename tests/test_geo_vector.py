@@ -957,3 +957,31 @@ def test_hybrid_adaptive_layout_dir_prong_identical_and_pruned(spark, tmp_path):
 
     plan = lay._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lsh_bucket" in plan
+
+
+def test_mmr_select_trades_relevance_for_diversity(spark):
+    """Hand-built 4D corpus: three near-identical highly-relevant
+    vectors and one orthogonal moderately-relevant one. Pure top-2 would
+    take two of the near-identical cluster; MMR's second pick is the
+    orthogonal vector (redundancy-penalized), and lam=1.0 degenerates
+    back to pure relevance order."""
+    from team_126_spark.operators.vector import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.998, 0.002, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to the cluster
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = [0.9, 0.3, 0.0, 0.0]  # cluster ~more aligned than vec 4
+    sel = [r["sel_id"] for r in mmr_select(
+        df, "embedding", "vec_id", probe, k=3, lam=0.5
+    ).collect()]
+    assert sel[0] in (1, 2, 3)      # seed = pure-relevance argmax
+    assert sel[1] == 4              # diversity beats the redundant cluster
+    rel_only = [r["sel_id"] for r in mmr_select(
+        df, "embedding", "vec_id", probe, k=3, lam=1.0
+    ).collect()]
+    assert 4 not in rel_only        # lam=1: the cluster wins on relevance
+    assert len(set(sel)) == 3       # picks never repeat

@@ -238,6 +238,7 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory):
         # exactly like the ANN index builds above (ivf_centroids raises)
         "semdedup_select", "cluster_keywords", "semdedup_index_probe",
         "hard_negatives_scoped", "kcenter_select", "lsh_index_probe",
+        "mmr_select",
     }
     bad = {}
     for name, q in REGISTRY.items():
