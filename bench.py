@@ -280,6 +280,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "curriculum_order",
     "mmr_select",
+    "domain_mix_plan",
     # round-8 additions
     "dsir_weights",
     "dsir_resample",

@@ -2285,3 +2285,61 @@ def curriculum_order(
             shard.alias("shard"),
         )
     )
+
+
+def domain_mix_plan(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    budget_factor: float = 2.0,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Per-domain data-mixing EPOCH PLAN (the budgeting step between
+    doremi_weights/temperature weights and an actual training run —
+    Muennighoff et al. 2023 showed repeating data up to ~4 epochs is
+    near-free, so the planner's job is: given a token budget and target
+    weights, how many EPOCHS of each domain does the mix imply, and
+    which domains run out): per domain s with available tokens A_s,
+    temperature weight w_s = A_s^tau / Σ A_s^tau (tau=1 proportional,
+    tau→0 uniform — the mT5 convention), target tokens T_s = w_s · B
+    with B = budget_factor · Σ A_s, and epochs_r = T_s / A_s — the
+    repetition factor the loader applies (> ~4 = the diminishing-return
+    red zone to rebalance away).
+
+    Scale shape: ONE partial-aggregated groupBy on the domain key
+    (domains are a data invariant) then scalar broadcast arithmetic —
+    the whole plan after the token count is domain-cardinality-sized.
+    Integer token sums (exact in any order); weights/epochs round 6dp.
+    Output: (group, avail_tokens, weight_r, target_tokens, epochs_r),
+    one row per domain."""
+    from ..functions.text import token_count
+
+    avail = (
+        df.select(F.col(group_col).alias("grp"), token_count(F.col(text_col)).alias("_nt"))
+        .groupBy("grp")
+        .agg(F.sum("_nt").cast("bigint").alias("avail_tokens"))
+    )
+    tot = avail.agg(
+        F.sum(F.pow(F.col("avail_tokens").cast("double"), F.lit(float(tau)))).alias("_wsum"),
+        F.sum("avail_tokens").cast("double").alias("_tsum"),
+    )
+    # ANSI guards: a domain of empty-text docs has 0 tokens (0/0 throws)
+    w = F.when(
+        F.col("_wsum") > 0,
+        F.pow(F.col("avail_tokens").cast("double"), F.lit(float(tau)))
+        / F.col("_wsum"),
+    )
+    target = w * F.lit(float(budget_factor)) * F.col("_tsum")
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "avail_tokens",
+            F.round(w, 6).alias("weight_r"),
+            F.floor(target).cast("bigint").alias("target_tokens"),
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.round(target / F.col("avail_tokens"), 6),
+            ).alias("epochs_r"),
+        )
+    )

@@ -9427,6 +9427,44 @@ def q_curriculum_order(spark, sf_dir):
     )
 
 
+@declared(
+    "domain_mix_plan",
+    oracle=f"""
+    WITH a AS (
+      SELECT source, sum({X.token_count_sql('text')})::BIGINT AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(power(avail_tokens, 0.5)) AS wsum,
+                 CAST(sum(avail_tokens) AS DOUBLE) AS tsum
+          FROM a)
+    SELECT source, avail_tokens,
+           round(CASE WHEN wsum > 0
+                 THEN power(avail_tokens, 0.5) / wsum END, 6) AS weight_r,
+           CAST(floor((power(avail_tokens, 0.5) / wsum) * 2.0 * tsum)
+                AS BIGINT) AS target_tokens,
+           CASE WHEN avail_tokens > 0 THEN
+             round((power(avail_tokens, 0.5) / wsum) * 2.0 * tsum
+                   / avail_tokens, 6) END AS epochs_r
+    FROM a, t
+    """,
+    doc="\u00a72.19 per-domain data-mixing EPOCH PLAN (the budgeting step "
+    "between doremi/temperature weights and a training run \u2014 "
+    "Muennighoff et al. 2023: ~4 epochs of repetition is near-free, so "
+    "the planner reports how many epochs the mix implies per domain): "
+    "temperature weights w = A^tau / sum(A^tau) (tau=0.5, the mT5 "
+    "convention), target tokens = w \u00b7 budget, epochs = target/avail. "
+    "ONE partial-agg groupBy on the domain key, then scalar broadcast "
+    "arithmetic \u2014 domain-cardinality-sized after the token count; "
+    "integer sums, 6dp rounds, ANSI-guarded zero-token domains "
+    "(operators/textops.domain_mix_plan)",
+)
+def q_domain_mix_plan(spark, sf_dir):
+    return TO.domain_mix_plan(
+        load(spark, sf_dir, "documents"), "text", "source",
+        budget_factor=2.0, tau=0.5,
+    )
+
+
 def _mmr_oracle_sql(k: int, lam: float) -> str:
     """DuckDB twin of vector.mmr_select: unrolled greedy rounds (the
     kcenter_select pattern) — c{r} = rounded-MMR argmax over the running
@@ -9511,7 +9549,7 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "event_anomaly", "random_projection", "countmin_freq",
     "bootstrap_ci", "pca_topcomp",
     # round-11 declarations (never driver-sampled) — newest first
-    "mmr_select", "curriculum_order", "tokenizer_fertility", "soft_dedup_weights",
+    "domain_mix_plan", "mmr_select", "curriculum_order", "tokenizer_fertility", "soft_dedup_weights",
     # r7-evidence rows, declaration order (fill to 50)
     "struct_project",
     "threshold_flag", "status_breakdown", "topk_per_group",
@@ -9527,7 +9565,6 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "embedding_neardup", "minhash_lsh_pairs", "dedup_components",
     "dedup_select", "cluster_split", "interval_join_counts",
     "scd2_history", "cap_per_source", "quality_gate",
-    "corpus_mix",
 )
 
 _rotate_registry(DRIVER_SAMPLE_R11)

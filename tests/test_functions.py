@@ -1292,3 +1292,30 @@ def test_curriculum_order_shards_ramp_and_stratify(spark):
         out.explain("formatted")
     specs = [ln for ln in buf.getvalue().splitlines() if "windowspecdefinition" in ln]
     assert specs and all("_p#" in ln for ln in specs)
+
+
+def test_domain_mix_plan_hand_math(spark):
+    """Two domains, 100 and 400 tokens, tau=0.5, budget_factor=1.0:
+    weights 1/3 and 2/3 (sqrt temperature flattens 1:4 to 1:2), targets
+    166/333, epochs 5/3 and 500/600 — the small domain repeats, the big
+    one is subsampled; a zero-token domain gets NULL weight/epochs
+    instead of an ANSI divide crash."""
+    from team_126_spark.operators.textops import domain_mix_plan
+
+    rows = (
+        [(f"a{i}", "small", "w " * 10) for i in range(10)]
+        + [(f"b{i}", "big", "w " * 40) for i in range(10)]
+        + [("z", "empty", "")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["source"]: r
+        for r in domain_mix_plan(df, "text", "source", budget_factor=1.0).collect()
+    }
+    assert got["small"]["avail_tokens"] == 100 and got["big"]["avail_tokens"] == 400
+    assert got["small"]["weight_r"] == round(10 / 30, 6)
+    assert got["big"]["weight_r"] == round(20 / 30, 6)
+    assert got["small"]["target_tokens"] == int((10 / 30) * 500)
+    assert abs(got["small"]["epochs_r"] - (10 / 30) * 500 / 100) < 1e-5
+    assert abs(got["big"]["epochs_r"] - (20 / 30) * 500 / 400) < 1e-5
+    assert got["empty"]["epochs_r"] is None and got["empty"]["avail_tokens"] == 0

@@ -229,12 +229,14 @@ def test_cartesian_allowlist_pinned(spark):
         "pmi_cooccur", "countmin_freq", "pca_topcomp", "lsh_blocking_eval",
         "token_divergence", "classifier_auc_eval", "hybrid_ndcg_eval",
         "embedding_isotropy", "cluster_keywords", "rule_mining",
-        "hard_negatives", "matryoshka_eval", "ccnet_buckets", "sketch_rollup",
+        "hard_negatives", "matryoshka_eval", "sketch_rollup",
+        # (ccnet_buckets left this list in r11: the scalable grouped_ranks
+        # plan joins counts with a hash equi-join, no BNLJ remains)
         # bounded n_cells-row centroid-probe broadcast (the mining join
         # itself is a hash equi-join on the cell id)
         "hard_negatives_scoped",
-        # single-row / domain-count scalar broadcasts (round-10)
-        "zipf_fit", "doremi_weights", "sequence_mining",
+        # single-row / domain-count scalar broadcasts (round-10/11)
+        "zipf_fit", "doremi_weights", "sequence_mining", "domain_mix_plan",
         # deterministic salt replication of the SMALL side
         "salted_join_fk",
         # declared exact O(n^2) oracle baseline (guarded by max_rows for
