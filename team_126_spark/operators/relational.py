@@ -954,13 +954,24 @@ def poisson_bootstrap_means(
     whose total weight is 0 (only possible on tiny inputs).
     """
     from ..functions.text import md5_low60
+    from ..tables import spread
 
     reps = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
-    ex = df.select(
-        F.col(value_col).cast("double").alias("_x"),
-        F.col(key_col).cast("string").alias("_k"),
-        reps,
-    )
+    # spread BEFORE the ×replicas explode (guide §2.5 input skew): the
+    # driver's single-row-group parquet scans yield ONE partition, so
+    # without the repartition every hash call (rows × replicas of them —
+    # the dominant cost, VERDICT r5 #6) runs on one core. Shuffling the
+    # slim (value, key) projection first costs rows × ~20 bytes once and
+    # parallelizes the hash across the session's cores; on a real cluster
+    # the scan is already split and the exchange is a cheap no-op-sized
+    # rebalance. Measured at sf0.1: 14.3 s → ~1 s (md5 family).
+    ex = spread(
+        df.select(
+            F.col(value_col).cast("double").alias("_x"),
+            F.col(key_col).cast("string").alias("_k"),
+        ),
+        "_k",
+    ).select("_x", "_k", reps)
     seed = F.concat(
         F.lit("bs"), F.col("r").cast("string"), F.lit(":"), F.col("_k")
     )
