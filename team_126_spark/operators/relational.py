@@ -682,6 +682,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     stats: dict | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over an edge list — the second iterative-workload family
     (with hierarchy_resolve) the reference's Postgres could only express as
@@ -713,13 +714,19 @@ def pagerank(
         # phantom NULL node (mirrors triangle_count, where the u != v
         # null-comparison drops them)
         .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
-        .distinct()
-        # checkpoint the deduped edge list ONCE: nodes, degrees, and the
-        # degree-annotated join below all derive from it, and without the
-        # cut each checkpoint would re-run the caller's upstream plan
-        # (measured 2x the whole setup cost on the trade graph)
-        .localCheckpoint()
     )
+    if not assume_distinct:
+        # `assume_distinct=True` lets a caller that PROVES its edge list
+        # unique (the declared trade-graph queries: explode of an already-
+        # distinct pair set into directions with disjoint c:/s: prefixes)
+        # skip this full-edge shuffle — the guide §2.4 "distinct on data
+        # that is already unique" removal; pinned result-identical
+        e = e.distinct()
+    # checkpoint the deduped edge list ONCE: nodes, degrees, and the
+    # degree-annotated join below all derive from it, and without the
+    # cut each checkpoint would re-run the caller's upstream plan
+    # (measured 2x the whole setup cost on the trade graph)
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1219,6 +1226,7 @@ def label_propagation(
     dst_col: str,
     iters: int = 4,
     encode_ids: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007 — LPA): every
     node starts as its own label; each round, a node adopts the most
@@ -1262,9 +1270,11 @@ def label_propagation(
     no quadratic, no driver collect; the label table is
     localCheckpointed per round so plan depth stays linear. Output:
     (node, community) after `iters` rounds."""
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).distinct()
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if not assume_distinct:
+        # same dial as pagerank: a caller that proves its edge list unique
+        # skips the full-edge dedup shuffle (guide §2.4); pinned identical
+        e = e.distinct()
     nodes = None
     if encode_ids:
         nodes = ordered_ranks(
@@ -1289,6 +1299,17 @@ def label_propagation(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
+    # nodes with no outgoing edge keep their seed label forever: the
+    # neighbor join is a-sided, so they are never re-labeled by any round.
+    # Compute that CONSTANT once (guide §2.4 — the old per-round
+    # `labels.join(distinct(e.a), left_anti)` re-shuffled the full edge
+    # list every round for a round-invariant result; on symmetrized
+    # inputs, like the declared query's, the set is simply empty). The
+    # one-row bounded probe skips even the union on such graphs.
+    stranded = labels.join(
+        e.select(F.col("a").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint()
+    has_stranded = stranded.limit(1).count() > 0
     for _ in range(int(iters)):
         labels = (
             e.join(labels, e["b"] == labels["node"])
@@ -1297,14 +1318,12 @@ def label_propagation(
             .groupBy("a")
             .agg(F.min_by("lbl", F.struct(-F.col("c"), F.col("lbl"))).alias("lbl"))
             .select(F.col("a").alias("node"), "lbl")
-            # nodes with no outgoing edge keep their seed label: the
-            # neighbor join is a-sided, so re-attach the stranded seeds
-            # (directed graphs only — symmetrized inputs never hit it)
-            .unionByName(
-                labels.join(e.select(F.col("a").alias("node")).distinct(), "node", "left_anti")
-            )
-            .localCheckpoint()
         )
+        if has_stranded:
+            # re-attach the stranded seeds (directed graphs only —
+            # symmetrized inputs never hit it)
+            labels = labels.unionByName(stranded)
+        labels = labels.localCheckpoint()
     out = labels.select("node", F.col("lbl").alias("community"))
     if nodes is not None:
         nn = nodes.select(F.col("nid").alias("node"), F.col("_n").alias("_ns"))

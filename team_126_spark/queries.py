@@ -4160,7 +4160,9 @@ def q_label_propagation(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.a", "e.b")
-    return R.label_propagation(edges, "a", "b", iters=4)
+    # assume_distinct: same proof as q_pagerank_topk — distinct pair set,
+    # disjoint c:/s: prefixes per direction
+    return R.label_propagation(edges, "a", "b", iters=4, assume_distinct=True)
 
 
 @declared(
@@ -5088,9 +5090,16 @@ def _minhash_index_probe_impl(spark, sf_dir, hash_fn: str):
         F.col("signature").isNotNull()
     )
     seed_sigs.write.mode("overwrite").parquet(f"{idx}/sigs/seed")
-    D.banded_signatures(seed_sigs, 16).write.mode("overwrite").parquet(
-        f"{idx}/bands/seed"
-    )
+    # band from the JUST-WRITTEN sigs parquet, not the live plan: the live
+    # plan re-runs the whole signing pass (shingle explode + hash +
+    # collect_list + Arrow minhash) a second time over the corpus-sized
+    # seed — reading back the few-MB signature table costs one scan of
+    # already-reduced rows instead (guide §1.2 "don't compute things
+    # twice"; measured 8.7 → ~6 s at sf0.1, band rows identical since
+    # bkeys are a pure function of the signature column)
+    D.banded_signatures(spark.read.parquet(f"{idx}/sigs/seed"), 16).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/bands/seed")
     b0_sigs = D.minhash_signatures(b0, "text", "doc_id", k=3, hash_fn=hash_fn).filter(
         F.col("signature").isNotNull()
     )
@@ -5100,9 +5109,10 @@ def _minhash_index_probe_impl(spark, sf_dir, hash_fn: str):
     # signing parallel and only the tiny batch-sized write is single-file.
     # The seed/backfill stays partitioned.
     b0_sigs.repartition(1).write.mode("overwrite").parquet(f"{idx}/sigs/b0")
-    D.banded_signatures(b0_sigs, 16).repartition(1).write.mode("overwrite").parquet(
-        f"{idx}/bands/b0"
-    )
+    # same read-back trick as the seed: never sign a batch twice
+    D.banded_signatures(
+        spark.read.parquet(f"{idx}/sigs/b0"), 16
+    ).repartition(1).write.mode("overwrite").parquet(f"{idx}/bands/b0")
 
     # batch 0 probed the index state {seed}; batch 1 probes {seed, b0}
     # through the same b<id>-glob read the streaming ingest performs
@@ -5965,7 +5975,10 @@ def q_pagerank_topk(spark, sf_dir):
             )
         ).alias("e")
     ).select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
-    pr = R.pagerank(edges, "src", "dst", iterations=5, damping=0.85)
+    # assume_distinct: eb is distinct and the two exploded directions can
+    # never collide (src carries the c: prefix, dst the s: prefix), so the
+    # operator's safety dedup would re-shuffle 2x|eb| rows for nothing
+    pr = R.pagerank(edges, "src", "dst", iterations=5, damping=0.85, assume_distinct=True)
     return (
         pr.select("node", F.round("pr", 6).alias("pr_r"))
         .orderBy(F.desc("pr_r"), F.asc("node"))

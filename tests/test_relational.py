@@ -737,6 +737,15 @@ def test_pagerank_known_graph_and_mass(spark):
     assert sum(pr.values()) == pytest.approx(1.0)
     assert all(pr["h"] > pr[str(i)] for i in range(4))
     assert stats["has_dangling"] is False and stats["n_nodes"] == 5
+    # assume_distinct dial (r11 optimization): on an already-unique edge
+    # list, skipping the operator's safety dedup is value-identical
+    pr_fast = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            star, "src", "dst", iterations=5, assume_distinct=True
+        ).collect()
+    }
+    assert pr_fast == pr
 
 
 def test_pagerank_dangling_mass_redistributed(spark):
@@ -979,6 +988,15 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges, "a", "b", iters=4).collect()
     }
     assert again == got
+    # assume_distinct dial (r11 optimization): on an already-unique edge
+    # list, skipping the operator's safety dedup is output-identical
+    fast = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            edges, "a", "b", iters=4, assume_distinct=True
+        ).collect()
+    }
+    assert fast == got
 
 
 def test_attribution_models_hand_computed(spark):
