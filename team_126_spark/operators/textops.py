@@ -1490,11 +1490,17 @@ def _distill_fit(
         F.lit(buckets + 1).cast("bigint").alias("i"),
         F.lit(1.0).alias("x"),
     )
-    exall = (
-        prop.unionByName(lenf)
-        .unionByName(bias)
-        .localCheckpoint()  # reused by every GD round (dot + gradient) + scoring
-    )
+    from ..tables import spread
+
+    # hash-partition the feature triples by rid BEFORE the checkpoint
+    # (guide §2.4 "two operations keyed the same way share one exchange"):
+    # every GD round groupBys on rid (the dot) and joins back on rid (the
+    # gradient), and scoring groupBys on rid again — with the checkpoint
+    # carrying HashPartitioning(rid) all of those reuse this ONE exchange
+    # instead of re-shuffling the corpus-sized triple table per round
+    exall = spread(
+        prop.unionByName(lenf).unionByName(bias), "rid"
+    ).localCheckpoint()  # reused by every GD round (dot + gradient) + scoring
     train_ids = base.filter(F.col("is_train")).select(
         F.col(id_col).alias("rid"),
         F.when(F.col("y_teacher"), 1.0).otherwise(0.0).alias("y"),
@@ -1588,15 +1594,45 @@ def bpe_train(
     tokenizer applies — with a full unrolled round-for-round DuckDB
     twin (queries.q_tokenizer_bpe_train). Rounds stop early if no
     adjacent pair remains."""
+    merges, _ = _bpe_train_full(df, text_col, n_merges, need_vocab=False)
+    return df.sparkSession.createDataFrame(
+        merges, "round int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_fold_sql(a: str, b: str) -> str:
+    """Greedy left-to-right (a,b)→'ab' fold over a `syms` array column.
+    Symbols must match ^[a-z0-9]+$ (bpe_train guarantees it; bpe_apply
+    validates caller-supplied merges) so literal inlining is safe."""
+    return (
+        f"aggregate(slice(syms, 2, greatest(size(syms)-1, 0)), "
+        f"slice(syms, 1, 1), "
+        f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}' "
+        f"THEN concat(slice(acc, 1, size(acc)-1), array('{a}{b}')) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def _bpe_train_full(df: DataFrame, text_col: str, n_merges: int, need_vocab: bool):
+    """Shared BPE trainer: returns (merges list, final folded vocab or None).
+
+    r11 optimization (guide §1.2 "don't compute things twice"): the vocab
+    table now carries `word` through every fold so bpe_apply(merges=None)
+    can reuse the FINAL trained vocab directly instead of replaying all
+    n_merges folds (each a vocab-wide pass + checkpoint) over a second
+    vocab build — the fold work runs once, not twice. With
+    need_vocab=False the LAST round's fold is skipped outright: bpe_train
+    alone returns only the merge rules, and nothing reads the vocab the
+    old code materialized after the final merge."""
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike("^[a-z0-9]+$"))
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    syms_df = (
-        words.select("cnt", F.split("word", "").alias("syms")).localCheckpoint()
-    )
+    syms_df = words.select(
+        "word", "cnt", F.split("word", "").alias("syms")
+    ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         pairs = (
@@ -1620,18 +1656,12 @@ def bpe_train(
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((r, a, b, c))
-        # symbols are ^[a-z0-9]+$ by construction: literal inlining is safe
-        fold = (
-            f"aggregate(slice(syms, 2, greatest(size(syms)-1, 0)), "
-            f"slice(syms, 1, 1), "
-            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}' "
-            f"THEN concat(slice(acc, 1, size(acc)-1), array('{a}{b}')) "
-            f"ELSE concat(acc, array(x)) END)"
-        )
-        syms_df = syms_df.select("cnt", F.expr(fold).alias("syms")).localCheckpoint()
-    return df.sparkSession.createDataFrame(
-        merges, "round int, lhs string, rhs string, pair_count bigint"
-    )
+        if not need_vocab and r == n_merges:
+            break  # nothing reads the post-final-merge vocab
+        syms_df = syms_df.select(
+            "word", "cnt", F.expr(_bpe_fold_sql(a, b)).alias("syms")
+        ).localCheckpoint()
+    return merges, (syms_df if need_vocab else None)
 
 
 def code_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -2048,11 +2078,18 @@ def bpe_apply(
     chars-per-BPE-token compression ratio is one division rounded 6dp.
     Output: (id, n_words, n_chars, n_bpe_tokens, compression_r) for
     docs with ≥ 1 alnum word."""
+    trained_vocab = None
     if merges is None:
-        merges = [
-            (r["lhs"], r["rhs"])
-            for r in bpe_train(df, text_col, id_col, n_merges).collect()
-        ]
+        # train in place AND keep the trained fold state: the trainer's
+        # vocab after all n_merges folds IS the encoded vocab this apply
+        # pass needs (same word source: explode(tokens) + the rlike gate,
+        # deduped; same folds in the same order), so reusing it skips a
+        # second vocab build plus n_merges replay folds — the fold work
+        # runs once, not twice (r11, guide §1.2)
+        rules, trained_vocab = _bpe_train_full(
+            df, text_col, n_merges, need_vocab=True
+        )
+        merges = [(a, b) for _, a, b, _ in rules]
     else:
         # merge symbols are inlined into an F.expr fold below; bpe_train
         # guarantees ^[a-z0-9]+$ but a CALLER-supplied list must be
@@ -2074,21 +2111,18 @@ def bpe_apply(
     docw = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
-    vocab = (
-        docw.select("word").distinct()
-        .select("word", F.split("word", "").alias("syms"))
-        .localCheckpoint()
-    )
-    for a, b in merges:
-        # symbols are ^[a-z0-9]+$ by construction: literal inlining is safe
-        fold = (
-            f"aggregate(slice(syms, 2, greatest(size(syms)-1, 0)), "
-            f"slice(syms, 1, 1), "
-            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}' "
-            f"THEN concat(slice(acc, 1, size(acc)-1), array('{a}{b}')) "
-            f"ELSE concat(acc, array(x)) END)"
+    if trained_vocab is not None:
+        vocab = trained_vocab.select("word", "syms")
+    else:
+        vocab = (
+            docw.select("word").distinct()
+            .select("word", F.split("word", "").alias("syms"))
+            .localCheckpoint()
         )
-        vocab = vocab.select("word", F.expr(fold).alias("syms")).localCheckpoint()
+        for a, b in merges:
+            vocab = vocab.select(
+                "word", F.expr(_bpe_fold_sql(a, b)).alias("syms")
+            ).localCheckpoint()
     enc = vocab.select(
         "word",
         F.length("word").cast("bigint").alias("_nc"),

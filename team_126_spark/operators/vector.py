@@ -1866,7 +1866,11 @@ def mmr_select(
                     F.col("_ms"), F.round(cosine_similarity(F.col("_v"), cvec), 6)
                 ).alias("_ms"),
             )
-            .localCheckpoint()
+            # lazy checkpoint (r11): the NEXT round's top-1 collect
+            # materializes-and-persists this in ITS job instead of paying a
+            # separate eager job per round — half the jobs, value-neutral,
+            # plan depth still O(1) once persisted
+            .localCheckpoint(eager=False)
         )
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
