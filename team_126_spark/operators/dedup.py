@@ -1373,6 +1373,11 @@ def edit_distance_pairs(
         normalize_ws(F.col(text_col)).alias("_nt"),
         (token_count(F.col(text_col)) / len_bucket).cast("bigint").alias("_bkt"),
     ).filter(F.col("_nt").isNotNull() & (F.col("_nt") != ""))
+    # checkpoint: THREE consumers (density guard, probe side, rhs) each
+    # re-ran the normalize+token_count scan without it (r11, guide §1.2).
+    # Storage is the normalized residue this fine-verifier pass is meant
+    # to run on (post-LSH), not the raw corpus.
+    base = base.localCheckpoint()
     if max_block_rows is not None:
         biggest = (
             base.groupBy("_lang", "_bkt").count().agg(F.max("count")).first()[0]

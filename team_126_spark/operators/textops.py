@@ -1630,8 +1630,11 @@ def _bpe_train_full(df: DataFrame, text_col: str, n_merges: int, need_vocab: boo
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    # `word` rides along only when the caller wants the folded vocab back
+    # (bpe_apply reuse); train-only callers keep the original slim rows
+    keep = ("word", "cnt") if need_vocab else ("cnt",)
     syms_df = words.select(
-        "word", "cnt", F.split("word", "").alias("syms")
+        *keep, F.split("word", "").alias("syms")
     ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -1659,7 +1662,7 @@ def _bpe_train_full(df: DataFrame, text_col: str, n_merges: int, need_vocab: boo
         if not need_vocab and r == n_merges:
             break  # nothing reads the post-final-merge vocab
         syms_df = syms_df.select(
-            "word", "cnt", F.expr(_bpe_fold_sql(a, b)).alias("syms")
+            *keep, F.expr(_bpe_fold_sql(a, b)).alias("syms")
         ).localCheckpoint()
     return merges, (syms_df if need_vocab else None)
 

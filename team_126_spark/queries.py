@@ -8396,7 +8396,12 @@ def q_ngram_index_probe(spark, sf_dir):
     seed = docs.filter(~F.col("source").isin("src0", "src1"))
     b0 = docs.filter(F.col("source") == "src0")
     b1 = docs.filter(F.col("source") == "src1")
-    seed_h = D.span_grams(seed, "text", "doc_id", 5).select("h").distinct()
+    # checkpoint the seed gram set: it feeds BOTH probes (sp0's filter and
+    # sp1's union), and without the cut the corpus-sized gram explode +
+    # hash pass runs twice (r11, guide §1.2)
+    seed_h = (
+        D.span_grams(seed, "text", "doc_id", 5).select("h").distinct().localCheckpoint()
+    )
     h0 = D.span_grams(b0, "text", "doc_id", 5).select("h").distinct()
     sp0 = D.dup_spans_probe(b0, seed_h, "text", "doc_id", 5)
     sp1 = D.dup_spans_probe(b1, seed_h.unionByName(h0).distinct(), "text", "doc_id", 5)
