@@ -1117,6 +1117,11 @@ def fuzzy_pairs(df: DataFrame, text_col: str, max_dist: int = 2) -> DataFrame:
     v = v.select(
         "name", _delete_at(_delete_at(s, F.col("j")), F.col("i")).alias("variant")
     ).distinct()
+    # checkpoint: BOTH sides of the variant equi-join read this, and the
+    # plan otherwise computes the whole deletion-neighborhood explode +
+    # string-slice pipeline twice (verified in the r11 plan audit — no
+    # ReusedExchange fires because one side sits under a BroadcastExchange)
+    v = v.localCheckpoint()
     a = v.select(F.col("name").alias("name_a"), "variant")
     b = v.select(F.col("name").alias("name_b"), "variant")
     return (
