@@ -1490,16 +1490,16 @@ def _distill_fit(
         F.lit(buckets + 1).cast("bigint").alias("i"),
         F.lit(1.0).alias("x"),
     )
-    from ..tables import spread
-
-    # hash-partition the feature triples by rid BEFORE the checkpoint
-    # (guide §2.4 "two operations keyed the same way share one exchange"):
-    # every GD round groupBys on rid (the dot) and joins back on rid (the
-    # gradient), and scoring groupBys on rid again — with the checkpoint
-    # carrying HashPartitioning(rid) all of those reuse this ONE exchange
-    # instead of re-shuffling the corpus-sized triple table per round
-    exall = spread(
-        prop.unionByName(lenf).unionByName(bias), "rid"
+    # Bare checkpoint, NO rid pre-partitioning: r11 added spread(..., "rid")
+    # here claiming per-GD-round exchange reuse, but the runtime receipt
+    # (r12, tools/job_metrics.py at sf0.1) shows IDENTICAL total shuffle
+    # bytes with and without it (2.61 MiB either way) — each round's
+    # groupBy(rid) already collapses the triples to per-rid partial
+    # aggregates map-side before its exchange, so there is no corpus-sized
+    # re-shuffle to save, and the spread only ADDED a full-triple exchange
+    # (the driver measured it ×1.31 slower with 8-vs-32-core anti-scaling).
+    exall = (
+        prop.unionByName(lenf).unionByName(bias)
     ).localCheckpoint()  # reused by every GD round (dot + gradient) + scoring
     train_ids = base.filter(F.col("is_train")).select(
         F.col(id_col).alias("rid"),
