@@ -80,9 +80,13 @@ def ngram_jaccard_pairs(
     frequency low. Exact semantics → DuckDB oracle twin.
     """
     _guard_quadratic(df, id_col, max_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
+    # checkpoint: THREE consumers (sizes, both self-join sides) each re-ran
+    # the shingle explode without it (r12 plan read — the sizes branch and
+    # the join sides scanned the corpus separately; guide §1.2). Bounded
+    # storage: the operator is max_rows-guarded by contract.
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -409,9 +413,13 @@ def lsh_blocking_eval(
     truth = ngram_jaccard_pairs(
         df, text_col, id_col, k=k, threshold=tmin, max_rows=max_rows
     ).select("id_a", "id_b", "jaccard")
+    # checkpoint: TWO consumers (the truth left-join and the n_cand scalar)
+    # each re-ran the full banded self-join + estimate re-attach without it
+    # (r12 plan read — the cand subtree appeared twice; guide §1.2). The
+    # materialized table is candidate-pairs-sized, not corpus-sized.
     cand = minhash_lsh_pairs(
         df, text_col, id_col, k=k, bands=bands, threshold=0.0, hash_fn=hash_fn
-    ).select("id_a", "id_b", F.lit(1).alias("is_cand"))
+    ).select("id_a", "id_b", F.lit(1).alias("is_cand")).localCheckpoint()
     # one pass: every truth pair fans out to all thresholds (tiny, bounded by
     # the guarded truth size), conditional sums keep a row per threshold even
     # when n_truth is 0 for the stricter ones

@@ -1358,18 +1358,94 @@ def dsir_importance(
     from the scored output. Output: (doc_id, n_bigrams, dsir_logw) for
     every raw doc — docs with < 2 tokens score 0.0 over 0 bigrams.
 
-    Scale shape — hashing is what makes DSIR 100 TB-able: one bigram
-    explode (slice + arrays_zip, codegen-native) → per-(doc, bucket)
-    partial-aggregated counts; the two corpus bucket tables are ≤
-    `buckets` rows merged with a single-partition window for totals (B is
-    a CONSTANT ≤ ~1e6 — the whole LM state is O(B), never O(vocab²)); the
-    B-row log-ratio table broadcast-joins back onto the per-doc counts and
-    one partial-aggregated sum per doc finishes. No quadratic anywhere;
-    md5-family bucketing keeps every intermediate DuckDB-reproducible
-    (swap xxhash64 in production, the sketch-family precedent)."""
-    ratios = dsir_bucket_ratios(df, text_col, id_col, is_target, buckets, k_smooth)
-    raw = df.filter(~is_target)
-    return dsir_score(raw, text_col, id_col, ratios, buckets)
+    Scale shape — hashing is what makes DSIR 100 TB-able: ONE bigram
+    explode (slice + arrays_zip, codegen-native) → per-(doc, is_target,
+    bucket) partial-aggregated counts, checkpointed and consumed by BOTH
+    halves (guide §1.2 — before r12 the fit's target/raw branches and the
+    score pass each re-ran the full tokenize+explode: three corpus scans,
+    visible as three Generate-on-Scan pipelines in
+    plans/r12/dsir_resample_before.txt). The fit aggregates that table to
+    two ≤`buckets`-row bucket tables merged with a single-partition window
+    for totals (B is a CONSTANT ≤ ~1e6 — the whole LM state is O(B), never
+    O(vocab²)); the B-row log-ratio table broadcast-joins back onto the
+    same per-doc counts and one partial-aggregated sum per doc finishes.
+    Exact-identical to the two-pass fit∘score composition: the per-(doc,
+    bucket) counts are integers (their double sums are exact), is_target
+    is functionally dependent on the doc, and the bigram/bucket expression
+    is shared code. No quadratic anywhere; md5-family bucketing keeps
+    every intermediate DuckDB-reproducible (swap xxhash64 in production,
+    the sketch-family precedent). Fit-once/score-many callers (and the
+    streaming surface) keep using dsir_bucket_ratios + dsir_score."""
+    from ..functions.text import md5_low32
+    from ..tables import spread
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+    )
+    db = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            is_target.alias("is_t"),
+            F.explode(zipped).alias("bg"),
+        )
+        .select(
+            "doc",
+            "is_t",
+            F.pmod(
+                md5_low32(F.concat_ws(" ", F.col("bg.0"), F.col("bg.1"))),
+                F.lit(buckets),
+            ).alias("b"),
+        )
+        .groupBy("doc", "is_t", "b")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint()  # three consumers: target fit, raw fit, score
+    )
+    tb = db.filter(F.col("is_t")).groupBy("b").agg(F.sum("c").alias("tc"))
+    rb = db.filter(~F.col("is_t")).groupBy("b").agg(F.sum("c").alias("rc"))
+    spine = df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    merged = (
+        spine.join(tb, "b", "left")
+        .join(rb, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0.0)).alias("tc"),
+            F.coalesce("rc", F.lit(0.0)).alias("rc"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    kb = float(k_smooth) * buckets
+    ratios = merged.select(
+        "b",
+        (
+            F.log(F.col("tc") + F.lit(float(k_smooth)))
+            - F.log(F.sum("tc").over(w) + F.lit(kb))
+            - F.log(F.col("rc") + F.lit(float(k_smooth)))
+            + F.log(F.sum("rc").over(w) + F.lit(kb))
+        ).alias("lr"),
+    )
+    per_doc = (
+        db.filter(~F.col("is_t"))
+        .join(F.broadcast(ratios), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("dsir_logw"),
+        )
+    )
+    return (
+        df.filter(~is_target)
+        .select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
+        )
+    )
 
 
 def quality_distill(

@@ -419,16 +419,26 @@ def with_ivf_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> 
     argmax is computed over an ARRAY of independent scores — never a chained
     when() (chaining re-embeds the running best into every branch, growing
     the expression tree exponentially with n_cells).
-    """
+
+    The centroid matrix is ONE nested-array literal traversed with
+    transform() (r12): the previous per-centroid F.array(*[F.lit(x)...])
+    expansion put n_cells×dim literal NODES into the plan — 1024 per
+    assignment at the declared 16×64 — which (a) made every
+    assignment-bearing plan huge (analysis/planning cost, the
+    semdedup_index_probe per-step tax) and (b) recompiled as a giant
+    generated class that fell out of the codegen cache under a 137-query
+    bench session (the documented ann_ivf 1.5 s ↔ 11 s bimodality). One
+    Literal node + an interpreted HOF pass has none of that; the dot fold,
+    element order, and first-max tie-break are unchanged, so the result is
+    bit-identical (pinned vs the broadcast path)."""
     from ..functions.vector import dot
 
     def unit(c: list[float]) -> list[float]:
         n = sum(x * x for x in c) ** 0.5 or 1.0
         return [x / n for x in c]
 
-    scores = F.array(
-        *[dot(F.col(vec_col), F.array(*[F.lit(x) for x in unit(c)])) for c in centroids]
-    )
+    cmat = F.lit([unit([float(x) for x in c]) for c in centroids])
+    scores = F.transform(cmat, lambda u: dot(F.col(vec_col), u))
     cell = F.array_position(scores, F.array_max(scores)).cast("int") - 1
     return df.withColumn("ivf_cell", cell)
 
@@ -1330,19 +1340,31 @@ def embedding_index_probe(
     The blocking trade is semdedup's: a near-dup pair straddling a cell
     boundary is missed, deterministically — the same pair set at any
     batch size or replay history. Norms computed once per row before the
-    join (embedding_neardup_exact precedent)."""
+    join (embedding_neardup_exact precedent) — or read straight from the
+    layout when a side carries a persisted `_norm` column (r12: the
+    index writers store it, so re-probing a grown corpus stops paying a
+    per-row array fold per probe; `_norm` is the same deterministic
+    norm(vec) computed at write time, and float round-trips parquet
+    exactly, so the value is bit-identical). The read is
+    coalesce-guarded: rows from legacy subdirs without the column (a
+    mixed-schema glob) fall back to computing norm(vec) in place."""
     from ..functions.vector import dot, norm
+
+    def _norm_of(df):
+        if "_norm" in df.columns:
+            return F.coalesce(F.col("_norm"), norm(F.col(vec_col)))
+        return norm(F.col(vec_col))
 
     left = new_vecs.select(
         F.col(id_col).alias("new_id"),
         F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col)).alias("_na"),
+        _norm_of(new_vecs).alias("_na"),
         F.col(cell_col).alias("_cell"),
     )
     right = corpus_vecs.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"),
+        _norm_of(corpus_vecs).alias("_nb"),
         F.col(cell_col).alias("_cell"),
     )
     sim = F.when(

@@ -3321,7 +3321,14 @@ def q_doc_tfidf(spark, sf_dir):
     tok = T.spread(d, "doc_id").select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("t")
     )
-    tf = tok.groupBy("doc_id", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    # checkpoint: TWO consumers (dfreq and the scored join) each re-ran the
+    # corpus token explode + (doc, term) aggregation without it (r12 plan
+    # read — two Generate-on-Scan pipelines, no ReusedExchange; guide §1.2)
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
@@ -7883,14 +7890,26 @@ def q_semdedup_index_probe(spark, sf_dir):
     ).localCheckpoint()
     cents = OV.ivf_centroids(seed_v, "vec", "doc", 16)
 
+    from .functions.vector import norm as _vnorm
+
+    # `_norm` is persisted INTO the layout (r12, the builder's standing #2):
+    # each probe previously recomputed norm(vec) per corpus row per probe —
+    # the GROWN-index probe (b1) paid it over seed+b0 again. norm is a
+    # deterministic fn of vec and float round-trips parquet exactly, so the
+    # stored value is bit-identical to the recompute it replaces
+    # (embedding_index_probe coalesce-guards legacy layouts without it).
     def assigned(df):
-        return OV.with_ivf_cell(vecs_of(df), "vec", cents).withColumnRenamed(
-            "ivf_cell", "cell"
+        return (
+            OV.with_ivf_cell(vecs_of(df), "vec", cents)
+            .withColumnRenamed("ivf_cell", "cell")
+            .withColumn("_norm", _vnorm(F.col("vec")))
         )
 
     OV.with_ivf_cell(seed_v, "vec", cents).withColumnRenamed(
         "ivf_cell", "cell"
-    ).write.mode("overwrite").parquet(f"{idx}/vecs/seed")
+    ).withColumn("_norm", _vnorm(F.col("vec"))).write.mode("overwrite").parquet(
+        f"{idx}/vecs/seed"
+    )
     b0 = assigned(docs.filter(F.col("source") == "src0"))
     # batch subdirs single-file like the streaming ingest: repartition(1),
     # never coalesce(1) (the minhash_index_probe lesson)
@@ -8498,7 +8517,14 @@ def q_cluster_keywords(spark, sf_dir):
     tok = T.spread(d, "doc_id").select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("t")
     )
-    tf = tok.groupBy("doc_id", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    # checkpoint: TWO consumers (dfreq and cell_tf) each re-ran the corpus
+    # token explode + (doc, term) aggregation without it (r12 plan read —
+    # two Generate-on-Scan pipelines, no ReusedExchange; guide §1.2)
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     cell_tf = (

@@ -538,10 +538,15 @@ def stream_semdedup_probe(
     by writing the existing corpus's vectors+cells to
     `index_dir/vecs/seed/` before starting the stream."""
     from ..functions.embed import embed
+    from ..functions.vector import norm as _vnorm
     from ..operators.vector import embedding_index_probe, with_ivf_cell
 
     def probe_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
+        # `_norm` rides the layout (r12, parity with q_semdedup_index_probe's
+        # writer): probes of the grown index read it instead of re-folding
+        # norm(vec) per corpus row; legacy seeds without the column are
+        # coalesce-guarded inside embedding_index_probe.
         vecs = (
             with_ivf_cell(
                 bdf.select(
@@ -552,6 +557,7 @@ def stream_semdedup_probe(
                 centroids,
             )
             .withColumnRenamed("ivf_cell", "cell")
+            .withColumn("_norm", _vnorm(F.col("vec")))
             .localCheckpoint()
         )
         corpus = spark.read.parquet(f"{index_dir}/vecs/*").filter(
