@@ -4151,13 +4151,16 @@ def _lpa_oracle_sql(iters: int) -> str:
 def q_label_propagation(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the raw int pair, strings after (r12, guide §2.3 — see
+    # q_shortest_paths: bijection, identical distinct set, narrower shuffle)
     eb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     edges = eb.select(
         F.explode(
@@ -5964,13 +5967,16 @@ def _pagerank_oracle(iterations: int = 5) -> str:
 def q_pagerank_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the raw int pair, strings after (r12, guide §2.3 — see
+    # q_shortest_paths: bijection, identical distinct set, narrower shuffle)
     eb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     # both directions from ONE scan of the joined pairs (a union of eb with
     # its reversal would run the lineitem-orders join twice)
@@ -6948,28 +6954,41 @@ def _sssp_oracle() -> str:
 def q_shortest_paths(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the RAW INT pair, strings built after (r12, guide §2.3
+    # narrower shuffle): the prefixed-string pair is a bijection of the
+    # (custkey, suppkey) int pair, so the distinct sets are identical
+    # row-for-row while the exchange carries two longs instead of two
+    # strings and the concat runs once per DISTINCT pair
     eb = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
-    und = eb.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
-                F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
-            )
-        ).alias("e")
-    ).select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
+    # the md5 weight is direction-invariant — "c:..." < "s:..." always, so
+    # least/greatest resolve to (src, dst) in BOTH exploded directions —
+    # compute it ONCE per undirected pair BEFORE the explode (r12: halves
+    # the md5 calls; identical value per edge row by the prefix argument)
     wcol = 1 + X.md5_low32(
-        F.concat(
-            F.lit("w:"), F.least("src", "dst"), F.lit(">"), F.greatest("src", "dst")
-        )
+        F.concat(F.lit("w:"), F.col("src"), F.lit(">"), F.col("dst"))
     ) % 10
-    edges = und.select("src", "dst", wcol.alias("w")).localCheckpoint()
+    edges = (
+        eb.select("src", "dst", wcol.alias("w"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("e"),
+            "w",
+        )
+        .select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"), "w")
+        .localCheckpoint()
+    )
     dist = edges.sparkSession.createDataFrame(
         [("c:1", 0)], "node string, dist long"
     )
