@@ -1386,11 +1386,10 @@ def edit_distance_pairs(
         normalize_ws(F.col(text_col)).alias("_nt"),
         (token_count(F.col(text_col)) / len_bucket).cast("bigint").alias("_bkt"),
     ).filter(F.col("_nt").isNotNull() & (F.col("_nt") != ""))
-    # checkpoint: THREE consumers (density guard, probe side, rhs) each
-    # re-ran the normalize+token_count scan without it (r11, guide §1.2).
-    # Storage is the normalized residue this fine-verifier pass is meant
-    # to run on (post-LSH), not the raw corpus.
-    base = base.localCheckpoint()
+    # Density guard FIRST, on the un-materialized plan (ADVICE r11): an
+    # oversized raw corpus must be refused BEFORE the checkpoint stores its
+    # normalized rows — the guard's count aggregate column-prunes to the
+    # slim (_lang, _bkt) projection, so the pre-check pass is cheap.
     if max_block_rows is not None:
         biggest = (
             base.groupBy("_lang", "_bkt").count().agg(F.max("count")).first()[0]
@@ -1405,6 +1404,12 @@ def edit_distance_pairs(
                 f"verifier on the residue, or pass a higher max_block_rows "
                 f"(or None) if you really mean it"
             )
+    # checkpoint AFTER the guard passes: THREE consumers (probe side, rhs,
+    # and the pair join's replays) each re-ran the normalize+token_count
+    # scan without it (r11, guide §1.2). Storage is the normalized residue
+    # this fine-verifier pass is meant to run on (post-LSH), not the raw
+    # corpus — and never an input the guard would have refused.
+    base = base.localCheckpoint()
     w = -(-max_dist // len_bucket)  # ceil: the no-miss probe width
     probes = base.select(
         F.col("_id").alias("a_id"),

