@@ -1532,6 +1532,12 @@ def _distill_fit(
     from ..functions.text import md5_low60
     from ..operators.relational import logreg_gd
 
+    # checkpoint (r12, guide §1.2): `base` — a corpus scan + teacher
+    # quality_expr (tokenize + punct ratio) + md5 split — feeds train_ids,
+    # which is REBUILT for every GD round's err-join broadcast AND the
+    # train semi-join AND the final scoring join: without the cut the
+    # text-processing pass re-ran ~(iters + 2) times per query. The
+    # materialized table is 3 slim columns per doc.
     base = df.select(
         F.col(id_col),
         (quality_expr(F.col(text_col)) >= F.lit(float(teacher_min))).alias(
@@ -1544,7 +1550,7 @@ def _distill_fit(
             )
             < train_pct
         ).alias("is_train"),
-    )
+    ).localCheckpoint()
     cnt = (
         _bigram_buckets(df, text_col, id_col, buckets)
         .groupBy("doc", "b")
